@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's DuckDB oracle gate.
+
+NOT part of the engine (the Scala library has no Python dependency) —
+this mirrors what the driver does with Verify's output so oracle
+mismatches are caught before a round ends:
+  1. register each testdata parquet as a view named after the table,
+  2. run every SQL in <outDir>/oracle_sql.json,
+  3. compare to the Spark result parquet at <outDir>/<name>/ with
+     columns sorted by name and rows sorted by all columns, exact match.
+
+Usage: oracle_check.py [sfDir] [outDir]
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no Spark output")
+            failures += 1
+            continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df())
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c].tolist(), want[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                same = (x == y) or (
+                    isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y)) or (
+                    x is None and y is None)
+                if not same:
+                    mismatch = (c, i, x, y)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            c, i, x, y = mismatch
+            print(f"FAIL {name}: col={c} row={i} spark={x!r} oracle={y!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

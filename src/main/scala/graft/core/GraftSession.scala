@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard knobs.
+  *
+  * Design notes for cluster scale (tested on local[N], designed for 1000
+  * executors):
+  *   - AQE on: runtime shuffle-partition coalescing + skew-join splitting
+  *     replace hand-tuned `repartition` calls.
+  *   - `spark.sql.shuffle.partitions` sized to the local core count here;
+  *     on a real cluster AQE's coalescing makes the initial number a cap,
+  *     not a constant.
+  *   - UTC session timezone so timestamp arithmetic matches the DuckDB
+  *     oracle and is stable across machines.
+  */
+object GraftSession {
+  def local(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

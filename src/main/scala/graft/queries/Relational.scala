@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.core.{Exact, Tables}
+import graft.ops.{StatsOps, TopKOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator pack over the TPC-H-ish tables (SURVEY §2.1-2.7).
+  *
+  * Covers: scans with pushdown, projection/filter/cast (P1-P8), equi /
+  * anti / semi / theta-self joins (J1/J3/J5 + semi), multi-key grouped
+  * aggregation with exact sums/avgs (A1-A3, A5, A8, A9), distinct (A10),
+  * pivot/crosstab (A7), conditional bucketing (P8), union (U1/U2),
+  * window top-k (W1/W2), global sort + limit (O1-O3), rollup (§2.4
+  * "absent" extension), min-max normalization (hw0_3 parity), sampling
+  * (P12, rows-only check — RNG not oracle-expressible).
+  *
+  * Scale notes are inline per query; the common ones:
+  *   - nation/region are O(25) rows → always `broadcast`.
+  *   - customer/supplier/part grow with SF → no hint; AQE picks
+  *     broadcast vs shuffle join from runtime stats.
+  *   - lineitem/orders are the fact tables → never broadcast, filters
+  *     pushed to parquet scan.
+  */
+object Relational extends QueryPack {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1.0 - l_discount)"
+
+  /** TPC-H Q1-style pricing summary: multi-key group, exact sums/avgs. */
+  private def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.sumFixed(col("l_quantity"), 2).as("sum_qty"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("sum_base_price"),
+        Exact.sumFixed(rev, 4).as("sum_disc_price"),
+        Exact.avgFixed(col("l_quantity"), 2).as("avg_qty"),
+        Exact.avgFixed(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${Exact.sumFixedSql("l_quantity", 2)} AS sum_qty,
+       ${Exact.sumFixedSql("l_extendedprice", 2)} AS sum_base_price,
+       ${Exact.sumFixedSql(revSql, 4)} AS sum_disc_price,
+       ${Exact.avgFixedSql("l_quantity", 2)} AS avg_qty,
+       ${Exact.avgFixedSql("l_discount", 2)} AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** hw0 parity: one-pass min/max/count/mean/stddev_pop (A1-A3). */
+  private def q2ColStats(s: SparkSession, d: String): DataFrame =
+    StatsOps.colStats(Tables(s, d, "lineitem"), "l_quantity", 2)
+
+  private val q2Sql =
+    s"""SELECT MIN(l_quantity) AS min_l_quantity,
+       MAX(l_quantity) AS max_l_quantity,
+       COUNT(l_quantity) AS count_l_quantity,
+       ${Exact.avgFixedSql("l_quantity", 2)} AS avg_l_quantity,
+       ${Exact.stddevPopFixedSql("l_quantity", 2)} AS stddev_pop_l_quantity
+       FROM lineitem"""
+
+  /** Star join fact→dims with broadcast of the O(25)-row nation dim. */
+  private def q3RevenueByNation(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        Exact.sumFixed(rev, 4).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_name"))
+
+  private val q3Sql =
+    s"""SELECT n_name,
+       ${Exact.sumFixedSql(revSql, 4)} AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  /** W1/W2: rank() top-3 orders per market segment. With the orderkey
+    * tie-break the window order is total → deterministic. Spark ≥3.5
+    * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
+    * per group per mapper) — scales to any group size.
+    */
+  private def q4TopOrdersPerSegment(s: SparkSession, d: String): DataFrame = {
+    val joined = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+    TopKOps
+      .topKPerGroup(joined, Seq(col("c_mktsegment")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private val q4Sql =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+       SELECT c_mktsegment, o_orderkey, o_totalprice,
+              RANK() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+       FROM orders JOIN customer ON o_custkey = c_custkey)
+       WHERE rnk <= 3 ORDER BY c_mktsegment, rnk"""
+
+  /** J5: left-anti join — customers with no urgent orders (the priority
+    * filter keeps the result non-empty on the synthetic data).
+    */
+  private def q5CustomersNoOrders(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
+      .join(
+        Tables(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // NOT EXISTS (not NOT IN): anti-join semantics under possible NULL keys.
+  private val q5Sql =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  /** Left-semi join: customers with ≥1 order, counted per segment. */
+  private def q6SegmentsWithOrders(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
+      .join(Tables(s, d, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  private val q6Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** J3: theta self-join, gated — pairs are *within* a nation (equi key
+    * n_nationkey + `<` predicate), so the blow-up is bounded per key
+    * instead of a full O(n²) cartesian (SURVEY §7.4 risk 2).
+    */
+  private def q7SupplierPairs(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables(s, d, "supplier")
+    val a = sup.select(col("s_suppkey").as("sk1"), col("s_nationkey").as("nk"))
+    val b = sup.select(col("s_suppkey").as("sk2"),
+      col("s_nationkey").as("nk2"))
+    a.join(b, col("nk") === col("nk2") && col("sk1") < col("sk2"))
+      .groupBy(col("nk").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q7Sql =
+    """SELECT a.s_nationkey, COUNT(*) AS n_pairs
+       FROM supplier a JOIN supplier b
+         ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+       GROUP BY a.s_nationkey ORDER BY a.s_nationkey"""
+
+  /** A7: pivot/crosstab — order counts status × priority. Explicit pivot
+    * value list keeps the schema static (no extra pass to discover
+    * values) and the SQL mirror uses FILTERed counts for the same shape.
+    */
+  // Pivot values mapped to parquet-safe output column names (raw values
+  // contain spaces, which the parquet writer rejects as column names).
+  private val priorities = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+    "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+    "5-LOW" -> "p5_low")
+
+  private def q8StatusPriorityPivot(s: SparkSession, d: String): DataFrame = {
+    val pv = Tables(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities.map(_._1))
+      .count()
+    val filled = priorities.foldLeft(pv) { case (df, (raw, safe)) =>
+      df.withColumn(safe, coalesce(col(s"`$raw`"), lit(0L))).drop(raw)
+    }
+    filled.orderBy(col("o_orderstatus"))
+  }
+
+  private val q8Sql = {
+    val cols = priorities
+      .map { case (raw, safe) =>
+        s"COUNT(*) FILTER (WHERE o_orderpriority = '$raw') AS $safe"
+      }
+      .mkString(",\n       ")
+    s"""SELECT o_orderstatus, $cols
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
+  /** P8: when/otherwise conditional bucketing + exact grouped sum. */
+  private def q9OrderSizeClass(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .withColumn("size_class",
+        when(col("o_totalprice") < 10000.0, "small")
+          .when(col("o_totalprice") < 100000.0, "medium")
+          .otherwise("large"))
+      .groupBy(col("size_class"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("size_class"))
+
+  private val q9Sql =
+    s"""SELECT CASE WHEN o_totalprice < 10000.0 THEN 'small'
+                    WHEN o_totalprice < 100000.0 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+       COUNT(*) AS n_orders,
+       ${Exact.sumFixedSql("o_totalprice", 2)} AS sum_price
+       FROM orders GROUP BY 1 ORDER BY size_class"""
+
+  /** A10: distinct. */
+  private def q10DistinctSegments(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
+      .select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  private val q10Sql =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** U1/U2: union of two filtered branches, then aggregate. */
+  private def q11UnionBranches(s: SparkSession, d: String): DataFrame = {
+    val o = Tables(s, d, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+    val pricey = o.filter(col("o_totalprice") > 400000.0)
+    urgent.unionByName(pricey)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q11Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows FROM (
+         SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT * FROM orders WHERE o_totalprice > 400000.0)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** hw0_3 parity: min-max normalize (broadcast 1-row bounds, no
+    * empty-partition window). Per-row FP ops on exact doubles →
+    * bit-identical to the oracle.
+    */
+  private def q12MinmaxNormalize(s: SparkSession, d: String): DataFrame =
+    StatsOps
+      .minMaxNormalize(Tables(s, d, "lineitem"), "l_extendedprice", "norm_price")
+      .select(col("l_orderkey"), col("l_linenumber"), col("norm_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q12Sql =
+    """SELECT l_orderkey, l_linenumber,
+              (l_extendedprice - __mn)/(__mx - __mn) AS norm_price
+       FROM lineitem, (SELECT MIN(l_extendedprice) AS __mn,
+                              MAX(l_extendedprice) AS __mx FROM lineitem)
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** Rollup (grouping-sets family; SURVEY §2.4 noted absent in reference
+    * — added as a first-class extension). NULL subtotal keys coalesced to
+    * 'ALL' so both engines sort/compare identically.
+    */
+  private def q13Rollup(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q13Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+
+  /** TPC-H Q3-style shipping priority: selective dim filters pushed to
+    * parquet, join, grouped exact revenue, global top-10 via
+    * TakeOrderedAndProject.
+    */
+  private def q14ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("1997-06-30 00:00:00"))
+    val c = Tables(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, d, "orders").filter(col("o_orderdate") < cut)
+    val l = Tables(s, d, "lineitem").filter(col("l_shipdate") > cut)
+    val agg = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+    TopKOps.topN(agg,
+      Seq(col("revenue").desc, col("l_orderkey").asc), 10)
+  }
+
+  private val q14Sql =
+    s"""SELECT l_orderkey, o_orderpriority,
+       ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+       GROUP BY l_orderkey, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  /** TPC-H Q5-style local-supplier volume: 5-way join where supplier and
+    * customer must share the nation (extra equi predicate), region
+    * filter pushed through two broadcast dims.
+    */
+  private def q15LocalSupplierVolume(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "AMERICA"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q15Sql =
+    s"""SELECT r_name, n_name, ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name IN ('ASIA', 'AMERICA')
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  /** A9: grouped mean (hw4 avg-rating shape) on part price per brand. */
+  private def q16AvgPriceByBrand(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        Exact.avgFixed(col("p_retailprice"), 2).as("avg_price"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  private val q16Sql =
+    s"""SELECT p_brand, ${Exact.avgFixedSql("p_retailprice", 2)} AS avg_price,
+       COUNT(*) AS n_parts FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  /** P12: seeded sampling — RNG is engine-specific, so this is a
+    * rows-only check (no oracle entry; driver verifies rows > 0).
+    */
+  private def q17Sample(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .agg(count(lit(1)).as("n_sampled"),
+        Exact.sumFixed(col("l_quantity"), 2).as("sum_qty"))
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_col_stats" -> q2ColStats,
+    "q3_revenue_by_nation" -> q3RevenueByNation,
+    "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
+    "q5_customers_no_orders" -> q5CustomersNoOrders,
+    "q6_segments_with_orders" -> q6SegmentsWithOrders,
+    "q7_supplier_pairs" -> q7SupplierPairs,
+    "q8_status_priority_pivot" -> q8StatusPriorityPivot,
+    "q9_order_size_class" -> q9OrderSizeClass,
+    "q10_distinct_segments" -> q10DistinctSegments,
+    "q11_union_branches" -> q11UnionBranches,
+    "q12_minmax_normalize" -> q12MinmaxNormalize,
+    "q13_rollup" -> q13Rollup,
+    "q14_shipping_priority" -> q14ShippingPriority,
+    "q15_local_supplier_volume" -> q15LocalSupplierVolume,
+    "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
+    "q17_sample" -> q17Sample)
+
+  override val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_col_stats" -> q2Sql,
+    "q3_revenue_by_nation" -> q3Sql,
+    "q4_top_orders_per_segment" -> q4Sql,
+    "q5_customers_no_orders" -> q5Sql,
+    "q6_segments_with_orders" -> q6Sql,
+    "q7_supplier_pairs" -> q7Sql,
+    "q8_status_priority_pivot" -> q8Sql,
+    "q9_order_size_class" -> q9Sql,
+    "q10_distinct_segments" -> q10Sql,
+    "q11_union_branches" -> q11Sql,
+    "q12_minmax_normalize" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_shipping_priority" -> q14Sql,
+    "q15_local_supplier_volume" -> q15Sql,
+    "q16_avg_price_by_brand" -> q16Sql)
+}
