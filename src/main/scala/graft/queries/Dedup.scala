@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection pack over `documents` (hw3 MinHash-LSH
+  * parity, re-designed Spark-first — SURVEY §2.10 M5/M6 — plus SimHash
+  * and exact n-gram Jaccard verification, the dedup trio a training-data
+  * pipeline runs at 100 TB).
+  *
+  * Pipeline shape (all candidates flow, no all-pairs step anywhere):
+  *   signatures (per-row exprs, shuffle-free) → LSH banding self-join
+  *   (equi-join on uniform keys) → exact Jaccard only on candidates.
+  */
+object Dedup extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** doc_id + 31-bit shingle-hash array, as chained projections (each
+    * array column materialized once per row; CollapseProject keeps the
+    * md5 work single-evaluation because the arrays are non-cheap and
+    * multiply referenced downstream).
+    */
+  private def hashed(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), DedupOps.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        DedupOps.shingleHashes(col("sh")).as("hs"))
+
+  /** Shared oracle CTE prelude: tokens → shingles → hashes. */
+  private val hashedCte =
+    s"""t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              FROM documents),
+        s AS (SELECT doc_id, ${DedupOps.shinglesSql("toks")} AS sh FROM t),
+        hsrc AS (SELECT doc_id, sh,
+                 ${DedupOps.shingleHashesSql("sh")} AS hs FROM s)"""
+
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    hashed(s, d).select(
+      col("doc_id") +:
+        (0 until 8).map(i => DedupOps.minhash(col("hs"), i).as(s"s$i")): _*)
+
+  private val sigsCte = {
+    val cols = (0 until 8)
+      .map(i => s"${DedupOps.minhashSql("hs", i)} AS s$i")
+      .mkString(", ")
+    s"sigs AS (SELECT doc_id, $cols FROM hsrc)"
+  }
+
+  /** q27: MinHash signatures (8 permutations) per document. */
+  private def q27MinhashSignatures(s: SparkSession, d: String): DataFrame =
+    sigs(s, d).orderBy(col("doc_id"))
+
+  private val q27Sql =
+    s"WITH $hashedCte, $sigsCte SELECT * FROM sigs ORDER BY doc_id"
+
+  /** Banded signature keys: 4 bands × 2 signature rows. */
+  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    val sg = sigs(s, d)
+    (0 until DedupOps.bands)
+      .map { b =>
+        sg.select(col("doc_id"), lit(b).as("band"),
+          concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+      }
+      .reduce(_ union _)
+  }
+
+  private val bandsCte = {
+    val selects = (0 until DedupOps.bands)
+      .map { b =>
+        s"""SELECT doc_id, $b AS band,
+            s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key
+            FROM sigs"""
+      }
+      .mkString(" UNION ALL ")
+    s"bands AS ($selects)"
+  }
+
+  /** q28: LSH candidate pairs — docs agreeing on ≥1 full band. The join
+    * key (band, key) is a uniform hash → balanced shuffle; quadratic
+    * work only inside a bucket (LSH-bounded).
+    */
+  private def q28LshBandPairs(s: SparkSession, d: String): DataFrame = {
+    val bd = bandsDf(s, d)
+    val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
+    val b = bd.select(col("doc_id").as("d2"), col("band").as("band2"),
+      col("key").as("key2"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val pairsCte =
+    s"""pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+          COUNT(*) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
+  private val q28Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte
+       SELECT * FROM pairs ORDER BY d1, d2"""
+
+  /** q29: 32-bit SimHash per document (per-row expression). */
+  private def q29Simhash(s: SparkSession, d: String): DataFrame =
+    hashed(s, d)
+      .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val simCte =
+    s"sim AS (SELECT doc_id, ${DedupOps.simhashSql("hs")} AS simhash FROM hsrc)"
+
+  private val q29Sql =
+    s"WITH $hashedCte, $simCte SELECT * FROM sim ORDER BY doc_id"
+
+  /** q30: SimHash near-dup pairs — bucket on 4×8-bit bands, then exact
+    * Hamming ≤ 6 on candidates (classic simhash index shape: only
+    * same-band docs are compared, never all pairs).
+    */
+  private def q30SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = hashed(s, d)
+      .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"))
+    val bnd = (0 until 4)
+      .map { b =>
+        sim.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+      }
+      .reduce(_ union _)
+    val a = bnd.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
+      col("band"), col("key"))
+    val b = bnd.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
+      col("band").as("band2"), col("key").as("key2"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q30Sql = {
+    val bandSelects = (0 until 4)
+      .map(b => s"""SELECT doc_id, simhash, $b AS band,
+                    (simhash >> ${8 * b}) & 255 AS key FROM sim""")
+      .mkString(" UNION ALL ")
+    s"""WITH $hashedCte, $simCte, sbands AS ($bandSelects)
+       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM sbands a JOIN sbands b
+         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       ORDER BY d1, d2"""
+  }
+
+  /** q31: exact n-gram Jaccard, computed ONLY for LSH candidates
+    * (candidate-driven verification — the full dedup pipeline).
+    */
+  private def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val h = hashed(s, d)
+    val sizes = h.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex = h.select(col("doc_id"), explode(col("sh")).as("g"))
+    val cands = q28LshBandPairs(s, d).select(col("d1"), col("d2"))
+    val shared = cands
+      .join(ex.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+      .join(ex.select(col("doc_id").as("d2"), col("g").as("g2")), Seq("d2"))
+      .filter(col("g") === col("g2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        (col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q31Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM hsrc),
+       ex AS (SELECT doc_id, unnest(sh) AS g FROM hsrc),
+       shared AS (SELECT p.d1, p.d2, COUNT(*) AS n_shared
+         FROM pairs p
+         JOIN ex e1 ON e1.doc_id = p.d1
+         JOIN ex e2 ON e2.doc_id = p.d2 AND e2.g = e1.g
+         GROUP BY 1, 2)
+       SELECT sh.d1, sh.d2, sh.n_shared,
+         sh.n_shared / (x.n + y.n - sh.n_shared) AS jaccard
+       FROM shared sh
+       JOIN sizes x ON x.doc_id = sh.d1
+       JOIN sizes y ON y.doc_id = sh.d2
+       WHERE sh.n_shared / (x.n + y.n - sh.n_shared) >= 0.8
+       ORDER BY d1, d2"""
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_minhash_signatures" -> q27MinhashSignatures,
+    "q28_lsh_band_pairs" -> q28LshBandPairs,
+    "q29_simhash" -> q29Simhash,
+    "q30_simhash_pairs" -> q30SimhashPairs,
+    "q31_ngram_jaccard" -> q31NgramJaccard)
+
+  override val oracle: Map[String, String] = Map(
+    "q27_minhash_signatures" -> q27Sql,
+    "q28_lsh_band_pairs" -> q28Sql,
+    "q29_simhash" -> q29Sql,
+    "q30_simhash_pairs" -> q30Sql,
+    "q31_ngram_jaccard" -> q31Sql)
+}
