@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same parquet tables, the rest get a rows-only check.
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(Relational, TextAnalytics, Dedup)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, TextAnalytics, Dedup, Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector arithmetic over `array<float>` embedding columns as
+  * native higher-order expressions (no UDF, no MLlib Vector boxing —
+  * stays inside whole-stage codegen; reference analogue: hw4/hw4.py:102
+  * `cosine_similarity` Python UDF).
+  *
+  * Exactness contract with the oracle: elements are cast float→double
+  * (lossless), products are exact double ops, and the sum is a
+  * *sequential left fold* on both engines (Spark `aggregate`, DuckDB
+  * `list_reduce` over a zero-prepended product list) — same operations
+  * in the same order → bit-identical doubles, no rounding tricks needed
+  * (queries still round for defense in depth).
+  */
+object VectorOps {
+
+  /** float[] → double[] (lossless widening). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def toDoubleSql(x: String): String = s"($x)::DOUBLE[]"
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** SQL mirror; `a`/`b` must be simple column/alias names (indexed in
+    * the lambda).
+    */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(
+        list_concat([0.0],
+          list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+        (acc, x) -> acc + x)"""
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Deterministic pseudo-random hyperplane component k (0-based) of
+    * plane j: ((aj·(k+1) + bj) mod 97 − 48) / 48 ∈ [−1, 1]. Pure integer
+    * arithmetic then one exact division — identical on both engines.
+    */
+  def plane(j: Int, dim: Int): Column = {
+    val (aj, bj) = planeCoef(j)
+    transform(sequence(lit(0), lit(dim - 1)),
+      k => (pmod((k + 1) * aj + bj, lit(97)) - 48).cast("double") / 48.0)
+  }
+
+  def planeSql(j: Int, dim: Int): String = {
+    val (aj, bj) = planeCoef(j)
+    s"""list_transform(range(0, $dim),
+        k -> ((((k + 1) * $aj + $bj) % 97) - 48)::DOUBLE / 48.0)"""
+  }
+
+  private def planeCoef(j: Int): (Int, Int) = (2 * j + 3, 7 * j + 1)
+
+  /** Sign-bucket of `v` under `nPlanes` hyperplanes → LONG bucket id.
+    * The dot is rounded to 6 dp before the sign test so a last-ulp
+    * summation difference can never flip a bucket bit.
+    */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(j => when(round(dot(v, plane(j, dim)), 6) > 0, lit(1L << j))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def lshBucketSql(v: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes)
+      .map { j =>
+        s"""(CASE WHEN round(${dotSql(v, s"__pl$j")}, 6) > 0
+             THEN ${1L << j} ELSE 0 END)"""
+      }
+      .mkString("(", " + ", ")")
+}

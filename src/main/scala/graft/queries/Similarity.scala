@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft.core.{Exact, Tables}
+import graft.ops.{TopKOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search pack over the `embeddings` table: brute-force
+  * cosine top-k as the correctness baseline, hyperplane-LSH bucketed ANN
+  * as the scale path, k-NN label voting, and per-label centroids (the
+  * IVF coarse quantizer build step).
+  *
+  * Scale notes:
+  *   - Brute force is query-side-bounded (vec_id < 20) → the candidate
+  *     scan is a broadcast-nested-loop over a *bounded* query set, cost
+  *     linear in corpus size. Unbounded all-pairs exists only in the
+  *     near-dup query, which LSH replaces at scale (q34 shape).
+  *   - q34 joins on the LSH bucket id — a uniform equi key — so the
+  *     shuffle balances and quadratic work is confined to buckets.
+  */
+object Similarity extends QueryPack {
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  /** vec_id, double vector, norm — shared projection. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("v"),
+        VectorOps.norm(col("v")).as("nrm"))
+
+  private val vecsCte =
+    s"""vecs AS (SELECT vec_id, label,
+          ${VectorOps.toDoubleSql("embedding")} AS v FROM embeddings),
+        n AS (SELECT vec_id, label, v,
+          ${VectorOps.normSql("v")} AS nrm FROM vecs)"""
+
+  private def cosCol: org.apache.spark.sql.Column =
+    round(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+
+  private val cosSql =
+    s"round(${VectorOps.dotSql("av", "bv")} / (an * bn), 6)"
+
+  private def scoredPairs(s: SparkSession, d: String,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val v = vecs(s, d)
+    val q = v.filter(queryPred).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("clabel"), cosCol.as("cos"))
+  }
+
+  private val scoredCte =
+    s"""pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+          b.label AS clabel, a.v AS av, b.v AS bv, a.nrm AS an, b.nrm AS bn
+        FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+        scored AS (SELECT qid, cid, clabel, $cosSql AS cos FROM pairs)"""
+
+  /** q32: brute-force cosine top-5 per query (ANN ground truth). */
+  private def q32CosineTopk(s: SparkSession, d: String): DataFrame =
+    TopKOps
+      .topKPerGroup(scoredPairs(s, d, col("vec_id") < 20),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("qid"), col("rnk"), col("cid"))
+
+  private val q32Sql =
+    s"""WITH $vecsCte, $scoredCte
+       SELECT qid, cid, cos, rnk FROM (
+         SELECT qid, cid, cos,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM scored)
+       WHERE rnk <= 5 ORDER BY qid, rnk, cid"""
+
+  /** q33: embedding near-dup pairs (cos ≥ 0.45) — the exact all-pairs
+    * form; at scale the q34 LSH bucketing replaces the pair generator.
+    */
+  private def q33EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val a = v.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val b = v.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    a.join(b, col("qid") < col("cid"))
+      .select(col("qid").as("d1"), col("cid").as("d2"), cosCol.as("cos"))
+      .filter(col("cos") >= 0.45)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val q33Sql =
+    s"""WITH $vecsCte,
+       p2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.v AS av, b.v AS bv,
+                a.nrm AS an, b.nrm AS bn
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT d1, d2, $cosSql AS cos FROM p2
+       WHERE $cosSql >= 0.45 ORDER BY d1, d2"""
+
+  /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
+    * vector. Bucket = 8 sign bits of dots with deterministic planes.
+    */
+  private def q34LshAnn(s: SparkSession, d: String): DataFrame = {
+    val bucketed = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"),
+      VectorOps.lshBucket(col("v"), DIM, PLANES).as("bkt"))
+    val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bkt"))
+    val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bkt").as("bkt2"))
+    val scored = a
+      .join(b, col("bkt") === col("bkt2") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosCol.as("cos"))
+    TopKOps
+      .topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid").asc), 1)
+      .select(col("qid"), col("cid"), col("cos"))
+      .orderBy(col("qid"))
+  }
+
+  private val q34Sql = {
+    val planeCols = (0 until PLANES)
+      .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       planes AS (SELECT $planeCols),
+       bucketed AS (SELECT vec_id, v, nrm,
+           ${VectorOps.lshBucketSql("v", DIM, PLANES)} AS bkt
+         FROM n CROSS JOIN planes),
+       bp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS av, b.v AS bv,
+                a.nrm AS an, b.nrm AS bn
+              FROM bucketed a JOIN bucketed b
+                ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp)
+       SELECT qid, cid, cos FROM (
+         SELECT qid, cid, cos,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM bscored)
+       WHERE rnk = 1 ORDER BY qid"""
+  }
+
+  /** q35: 5-NN majority-vote label prediction for the query set. */
+  private def q35KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val top5 = TopKOps.topKPerGroup(
+      scoredPairs(s, d, col("vec_id") < 20),
+      Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
+    val votes = top5
+      .groupBy(col("qid"), col("clabel"))
+      .agg(count(lit(1)).as("votes"))
+    val best = TopKOps
+      .topKPerGroup(votes, Seq(col("qid")),
+        Seq(col("votes").desc, col("clabel").asc), 1, rankCol = "vr")
+      .select(col("qid"), col("clabel").cast("long").as("pred_label"),
+        col("votes"))
+    best
+      .join(vecs(s, d).select(col("vec_id").as("qid"),
+        col("label").cast("long").as("true_label")), Seq("qid"))
+      .select(col("qid"), col("true_label"), col("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
+  private val q35Sql =
+    s"""WITH $vecsCte, $scoredCte,
+       top5 AS (SELECT qid, cid, clabel FROM (
+         SELECT qid, cid, clabel,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM scored) WHERE rnk <= 5),
+       votes AS (SELECT qid, clabel, COUNT(*) AS votes
+                 FROM top5 GROUP BY 1, 2),
+       best AS (SELECT qid, CAST(clabel AS BIGINT) AS pred_label, votes FROM (
+         SELECT qid, clabel, votes,
+           RANK() OVER (PARTITION BY qid
+                        ORDER BY votes DESC, clabel ASC) AS vr
+         FROM votes) WHERE vr = 1)
+       SELECT b.qid, CAST(n.label AS BIGINT) AS true_label,
+              b.pred_label, b.votes
+       FROM best b JOIN n ON n.vec_id = b.qid
+       ORDER BY b.qid"""
+
+  /** q36: per-label centroids (IVF coarse-quantizer build): exact
+    * fixed-point mean per (label, dimension).
+    */
+  private def q36LabelCentroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(VectorOps.toDouble(col("embedding"))).as(Seq("dim", "val")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(Exact.avgFixed(col("val"), 7).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  private val q36Sql =
+    s"""SELECT CAST(label AS BIGINT) AS label, dim,
+         ${Exact.avgFixedSql("val", 7)} AS centroid, COUNT(*) AS n
+       FROM (SELECT label,
+               unnest(${VectorOps.toDoubleSql("embedding")}) AS val,
+               unnest(range(0, len(embedding))) AS dim
+             FROM embeddings)
+       GROUP BY 1, 2 ORDER BY label, dim"""
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_cosine_topk" -> q32CosineTopk,
+    "q33_embedding_neardup" -> q33EmbeddingNeardup,
+    "q34_lsh_ann" -> q34LshAnn,
+    "q35_knn_classify" -> q35KnnClassify,
+    "q36_label_centroids" -> q36LabelCentroids)
+
+  override val oracle: Map[String, String] = Map(
+    "q32_cosine_topk" -> q32Sql,
+    "q33_embedding_neardup" -> q33Sql,
+    "q34_lsh_ann" -> q34Sql,
+    "q35_knn_classify" -> q35Sql,
+    "q36_label_centroids" -> q36Sql)
+}
