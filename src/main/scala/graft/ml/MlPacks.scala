@@ -1,0 +1,152 @@
+package graft.ml
+
+import graft.core.Tables
+import graft.queries.QueryPack
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark.ml operator pack (SURVEY §2.10 M1-M14 parity, Spark-native).
+  *
+  * Covers the reference's MLlib surface re-expressed in Scala:
+  * Tokenizer/CountVectorizer/MinHashLSH (hw3/hw3.py:80-137),
+  * VectorAssembler/MinMaxScaler (hw4/hw4.py:93-133), ALS + evaluator
+  * (hw4/hw4.py:169-194), KMeans/PCA (FinalProject/BDM_Final.py:533-563,
+  * BDM_Final_new.py:565-607 — sklearn single-node there, distributed
+  * here), and a LogisticRegression stand-in for the torch classifiers
+  * (SURVEY M14: parity surface is "3-class-ish classifier + accuracy").
+  *
+  * All models fix seeds; results are deterministic per Spark version but
+  * not SQL-expressible → rows-only driver checks (no oracle entries).
+  */
+object MlPacks extends QueryPack {
+
+  private def emb(s: SparkSession, d: String) =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        array_to_vector(col("embedding")).as("features"))
+
+  /** q50: KMeans k=10 (seed 42) on embeddings → cluster sizes +
+    * within-cluster stats. Distributed replacement for the sklearn
+    * KMeans stage (M12).
+    */
+  private def q50Kmeans(s: SparkSession, d: String): DataFrame = {
+    val data = emb(s, d).cache()
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    val fitted = model.fit(data)
+    fitted.transform(data)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q51: PCA to 2 components (M13; sklearn IncrementalPCA → one
+    * distributed PCA, no driver batching).
+    */
+  private def q51Pca(s: SparkSession, d: String): DataFrame = {
+    val data = emb(s, d)
+    val model = new PCA().setK(2).setInputCol("features")
+      .setOutputCol("pc").fit(data)
+    model.transform(data)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        round(element_at(vector_to_array(col("pc")), 1), 4).as("pc1_4dp"),
+        round(element_at(vector_to_array(col("pc")), 2), 4).as("pc2_4dp"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q52: multiclass LogisticRegression on embeddings (M14 parity
+    * surface) with MinMaxScaler (M4) + fixed-seed split (M9) + accuracy
+    * evaluator (M11-analogue for classification).
+    */
+  private def q52Logreg(s: SparkSession, d: String): DataFrame = {
+    val data = emb(s, d)
+    val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val pipe = new Pipeline().setStages(Array(
+      new MinMaxScaler().setInputCol("features").setOutputCol("scaled"),
+      new LogisticRegression().setLabelCol("label").setFeaturesCol("scaled")
+        .setMaxIter(25)))
+    val model = pipe.fit(train)
+    val pred = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(pred)
+    val spark = s
+    import spark.implicits._
+    Seq((train.count(), test.count(), math.round(acc * 1000) / 1000.0))
+      .toDF("n_train", "n_test", "accuracy_3dp")
+  }
+
+  /** q53: ALS recommender (M10/M11): implicit-ish ratings derived from
+    * events (user × item-from-props, rating = interaction count), fixed
+    * seed, cold-start drop, RMSE + top-5 recs for a 3-user subset
+    * folded into one result relation.
+    */
+  private def q53Als(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables(s, d, "events")
+      .select(col("user_id").cast("int").as("user"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("item"))
+      .groupBy(col("user"), col("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
+      .cache()
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val als = new ALS().setMaxIter(5).setRegParam(0.01).setSeed(42L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(train)
+    val rmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(model.transform(test))
+    val users = ratings.select(col("user")).distinct().orderBy(col("user")).limit(3)
+    model.recommendForUserSubset(users, 5)
+      .select(col("user"), explode(col("recommendations")).as("rec"))
+      .select(col("user"), col("rec.item").as("item"),
+        lit(math.round(rmse * 100) / 100.0).as("rmse_2dp"))
+      .orderBy(col("user"), col("item"))
+  }
+
+  /** q54: hw3 MinHash-LSH through spark.ml (M1/M2/M5/M6): RegexTokenizer
+    * → binary CountVectorizer → MinHashLSH → approxSimilarityJoin — the
+    * idiomatic production pair-finder the reference approximated with
+    * explode/repartition/sample (hw3/hw3.py:159-169).
+    */
+  private def q54MlLshPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val pipe = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("words")
+        .setPattern("[^a-z]+").setToLowercase(true),
+      new CountVectorizer().setInputCol("words").setOutputCol("features")
+        .setBinary(true),
+      new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)))
+    val model = pipe.fit(docs)
+    val tx = model.transform(docs)
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), col("features"), col("hashes"))
+    model.stages.last.asInstanceOf[org.apache.spark.ml.feature.MinHashLSHModel]
+      .approxSimilarityJoin(tx, tx, 0.3, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist_4dp"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_kmeans_clusters" -> q50Kmeans,
+    "q51_pca_projection" -> q51Pca,
+    "q52_logreg_accuracy" -> q52Logreg,
+    "q53_als_recommend" -> q53Als,
+    "q54_ml_lsh_pairs" -> q54MlLshPairs)
+
+  /** Model internals aren't SQL-expressible → rows-only checks. */
+  override val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.core.{Exact, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series pack over `events`: tumbling windows,
+  * sessionization, JSON property extraction, funnel analysis, and the
+  * hw2 wide-bucket-average shape (SURVEY §2.4 A6 — computed as one
+  * grouped projection, not the reference's 48 iterated outer joins).
+  *
+  * These are the batch twins of [[graft.streaming.StreamingOps]]: same
+  * window/session semantics, so a Structured Streaming deployment
+  * reuses the logic with a watermark.
+  *
+  * Time handling: events.parquet stores TIMESTAMP(NANOS), which Spark 4
+  * rejects; with `spark.sql.legacy.parquet.nanosAsLong` the column
+  * arrives as LONG nanoseconds and ALL time math here is exact integer
+  * DIV/% arithmetic — no doubles (2^53 < 1.7e18 ns would lose
+  * precision), no timestamp-type comparisons between engines. The
+  * DuckDB mirrors use `epoch_ns(ts) // k` for the same exact integers.
+  */
+object Events extends QueryPack {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  private val HOUR_NS = 3600L * 1000000000L
+  /** ts in whole microseconds (testdata is µs-granular; exact). */
+  private val tsUs: Column = expr("ts DIV 1000")
+  private val tsUsSql = "(epoch_ns(ts) // 1000)"
+
+  /** q40: tumbling 1-hour windows × event_type: count + exact sum. */
+  private def q40HourlyWindows(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(
+        (expr(s"ts DIV $HOUR_NS") * 3600L).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 6).as("sum_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  private val q40Sql =
+    s"""SELECT (epoch_ns(ts) // $HOUR_NS) * 3600 AS hour_epoch,
+         event_type, COUNT(*) AS n_events,
+         ${Exact.sumFixedSql("value", 6)} AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
+
+  /** q41: gap-based sessionization (30-min inactivity gap). Classic
+    * lag→flag→sum; one shuffle keyed on user_id. At 100 TB you'd
+    * range-partition by (user, time-bucket) first; the per-user math is
+    * unchanged.
+    */
+  private def q41Sessionization(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          tsUs - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q41Sql =
+    s"""SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+       FROM (SELECT user_id,
+               CASE WHEN prev_us IS NULL
+                      OR $tsUsSql - prev_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+             FROM (SELECT user_id, ts,
+                     LAG($tsUsSql) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_us
+                   FROM events))
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** q42: JSON property extraction + grouped stats (regex-based scalar
+    * extraction — identical semantics on both engines).
+    */
+  private def q42JsonProps(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k",
+        regexp_extract(col("props"), "[0-9]+", 0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q42Sql =
+    """SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+         MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
+         MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q43: view→click→purchase funnel: first-touch ordering per user. */
+  private def q43Funnel(s: SparkSession, d: String): DataFrame = {
+    def firstUs(t: String) =
+      min(when(col("event_type") === t, tsUs)).as(s"t_$t")
+    ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(firstUs("view"), firstUs("click"), firstUs("purchase"))
+      .withColumn("stage",
+        when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), "view_click_purchase")
+          .when(col("t_view").isNotNull && col("t_click") > col("t_view"),
+            "view_click")
+          .when(col("t_view").isNotNull, "view_only")
+          .otherwise("no_view"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  private val q43Sql =
+    s"""SELECT stage, COUNT(*) AS n_users FROM (
+         SELECT CASE
+             WHEN t_view IS NOT NULL AND t_click > t_view
+                  AND t_purchase > t_click THEN 'view_click_purchase'
+             WHEN t_view IS NOT NULL AND t_click > t_view THEN 'view_click'
+             WHEN t_view IS NOT NULL THEN 'view_only'
+             ELSE 'no_view' END AS stage
+         FROM (SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view'
+                     THEN $tsUsSql END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click'
+                     THEN $tsUsSql END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN $tsUsSql END) AS t_purchase
+               FROM events GROUP BY user_id))
+       GROUP BY stage ORDER BY stage"""
+
+  /** q44: hw2 A6 parity — 24 hourly (UTC) activity columns per user
+    * bucketed into 4 six-hour averages, in ONE grouped projection.
+    */
+  private def q44BucketAverages(s: SparkSession, d: String): DataFrame = {
+    val hourOfDay = expr(s"(ts DIV $HOUR_NS) % 24")
+    val hourly = (0 until 24).map(h =>
+      count(when(hourOfDay === h, 1)).as(s"h$h"))
+    val grouped = ev(s, d).groupBy(col("user_id"))
+      .agg(hourly.head, hourly.tail: _*)
+    val buckets = (0 until 4).map { q =>
+      ((6 * q until 6 * (q + 1)).map(h => col(s"h$h")).reduce(_ + _) / 6.0)
+        .as(s"q$q")
+    }
+    grouped.select(col("user_id") +: buckets: _*).orderBy(col("user_id"))
+  }
+
+  private val q44Sql = {
+    val hourly = (0 until 24)
+      .map(h =>
+        s"COUNT(*) FILTER (WHERE (epoch_ns(ts) // $HOUR_NS) % 24 = $h) AS h$h")
+      .mkString(", ")
+    val buckets = (0 until 4)
+      .map { q =>
+        val s6 = (6 * q until 6 * (q + 1)).map(h => s"h$h").mkString(" + ")
+        s"(($s6) / 6.0) AS q$q"
+      }
+      .mkString(", ")
+    s"""SELECT user_id, $buckets FROM (
+         SELECT user_id, $hourly FROM events GROUP BY user_id)
+       ORDER BY user_id"""
+  }
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_hourly_windows" -> q40HourlyWindows,
+    "q41_sessionization" -> q41Sessionization,
+    "q42_json_props" -> q42JsonProps,
+    "q43_funnel" -> q43Funnel,
+    "q44_bucket_averages" -> q44BucketAverages)
+
+  override val oracle: Map[String, String] = Map(
+    "q40_hourly_windows" -> q40Sql,
+    "q41_sessionization" -> q41Sql,
+    "q42_json_props" -> q42Sql,
+    "q43_funnel" -> q43Sql,
+    "q44_bucket_averages" -> q44Sql)
+}

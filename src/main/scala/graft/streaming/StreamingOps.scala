@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event row as seen by the streaming pipeline (event-time as a proper
+  * timestamp so watermarks apply).
+  */
+case class StreamEvent(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Closed session emitted by [[StreamingOps.sessionize]]. */
+case class SessionSummary(
+    user_id: Long,
+    start_us: Long,
+    end_us: Long,
+    n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+
+/** Structured Streaming operators (SURVEY §2.11 — absent from the
+  * reference, included as the engine's streaming seam; the batch twins
+  * live in graft.queries.Events with identical semantics).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 10 min is dropped, state for closed windows is
+  * evicted); sessionization state is one small case class per active
+  * user, evicted by event-time timeout — both scale horizontally with
+  * the shuffle partitioning on the group key.
+  */
+object StreamingOps {
+
+  /** Schema of events.parquet with nanosecond timestamps surfaced as
+    * LONG (matches `spark.sql.legacy.parquet.nanosAsLong=true`).
+    */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events-shaped parquet directory, with
+    * event-time lifted to TimestampType for watermarking.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsNanosSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts + sums with a watermark. Works unchanged on
+    * a batch DataFrame (watermark is a no-op there) — the streaming twin
+    * of q40_hourly_windows.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with typed per-user state
+    * (flatMapGroupsWithState + event-time timeout): emits a
+    * SessionSummary whenever a 30-min (default) inactivity gap closes a
+    * session, or when the watermark times the user out. Streaming twin
+    * of q41_sessionization.
+    */
+  def sessionize(
+      events: Dataset[StreamEvent],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.start_us, s.last_us, s.n_events))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.last_us > gapUs =>
+                  closed += SessionSummary(userId, s.start_us, s.last_us, s.n_events)
+                  open = Some(SessionState(t, t, 1L))
+                case Some(s) =>
+                  open = Some(SessionState(s.start_us, t, s.n_events + 1L))
+                case None =>
+                  open = Some(SessionState(t, t, 1L))
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // time the session out once the watermark passes its gap
+                state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60000L)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
