@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.MultimodalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pack: binary payloads + typed metadata flowing
+  * through the engine (see [[graft.ops.MultimodalOps]] — decode is a
+  * clearly-marked deterministic stub; schema/batching/partitioning are
+  * the real plumbing).
+  */
+object Multimodal extends QueryPack {
+
+  private def assets(s: SparkSession, d: String) =
+    MultimodalOps.assetsFromDocuments(Tables(s, d, "documents"))
+
+  /** q60: binary metadata scan — byte length + content digest computed
+    * on the binary column (oracle mirrors over the utf8 source text).
+    */
+  private def q60MediaStats(s: SparkSession, d: String): DataFrame =
+    assets(s, d).toDF()
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        length(col("content")).cast("long").as("byte_len"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  private val q60Sql =
+    """SELECT doc_id,
+         (['png','jpeg','wav'])[(doc_id % 3) + 1] AS format,
+         CAST((doc_id % 7) * 64 + 64 AS INTEGER) AS width,
+         CAST((doc_id % 5) * 64 + 64 AS INTEGER) AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_md5
+       FROM documents ORDER BY doc_id"""
+
+  /** q61: partition-batched stub decode → per-format feature stats
+    * (rows-only check: the byte-loop checksum isn't SQL-expressible).
+    */
+  private def q61MediaFeatures(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.extractFeatures(assets(s, d)).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("byte_len")).cast("long").as("sum_bytes"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+      .orderBy(col("format"))
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_media_stats" -> q60MediaStats,
+    "q61_media_features" -> q61MediaFeatures)
+
+  override val oracle: Map[String, String] = Map(
+    "q60_media_stats" -> q60Sql)
+}

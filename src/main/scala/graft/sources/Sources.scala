@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-format source/sink surface of the reference (SURVEY §2.1
+  * S1-S11), re-expressed declaratively.
+  *
+  * Where the reference collected to the driver to work around reader
+  * gaps (hw4/hw4.py:25-41 `collect()` + `createDataFrame`; hw3/hw3.py:
+  * 27-31 per-file driver loop), these stay fully distributed: a
+  * `Dataset[String]` parse pipeline for multi-char delimiters, and
+  * wholetext + explode for document splitting.
+  */
+object Sources {
+
+  /** S1: `sep`-delimited text where the listed 0-based field indexes are
+    * parsed as double; unparseable rows (headers, `?` markers) get the
+    * sentinel in every parsed field (hw0/hw0_1.py:10-27 semantics —
+    * sentinel, not drop, so row counts are preserved).
+    */
+  def delimitedWithSentinel(
+      spark: SparkSession,
+      path: String,
+      sep: String,
+      usedIdx: Seq[Int],
+      sentinel: Double): DataFrame = {
+    val raw = spark.read.textFile(path)
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+    // *throw* on the first malformed field — dirty ingestion must yield
+    // NULL per row instead and let the policy decide.
+    val parsed = usedIdx.map { i =>
+      try_element_at(parts, lit(i + 1)).try_cast("double").as(s"c$i")
+    }
+    val row = raw.select(parsed: _*)
+    // any unparseable used field poisons the whole row → sentinel
+    val anyNull = usedIdx.map(i => col(s"c$i").isNull).reduce(_ || _)
+    row.select(usedIdx.map { i =>
+      when(anyNull, lit(sentinel)).otherwise(col(s"c$i")).as(s"c$i")
+    }: _*)
+  }
+
+  /** S2/S3: quoted/escaped CSV with header and an EXPLICIT schema (never
+    * inferSchema in production paths — SURVEY §1.3). Accepts globs and
+    * multiple paths (S4 multi-file union without the reduce(union) loop).
+    */
+  def quotedCsv(
+      spark: SparkSession,
+      schema: StructType,
+      paths: String*): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(paths: _*)
+
+  /** S6: multi-char `::`-delimited text (MovieLens shape) → named
+    * columns, no driver collect. Spark's csv reader rejects multi-char
+    * separators, so parse as a Dataset[String] projection.
+    */
+  def multiCharDelimited(
+      spark: SparkSession,
+      path: String,
+      sep: String,
+      names: Seq[String]): DataFrame = {
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
+    spark.read.textFile(path)
+      .select(names.zipWithIndex.map { case (n, i) =>
+        element_at(parts, i + 1).as(n)
+      }: _*)
+  }
+
+  /** S5: whole-file text scan + in-file document splitting (hw3 Reuters
+    * `*.sgm` shape): one row per document, fully distributed (the
+    * reference looped files on the driver — hw3/hw3.py:27-31).
+    */
+  def wholeTextDocs(
+      spark: SparkSession,
+      globPath: String,
+      docDelimiter: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(globPath)
+      .select(explode(split(col("value"),
+        java.util.regex.Pattern.quote(docDelimiter))).as("doc"))
+      .filter(trim(col("doc")) =!= "")
+
+  /** S7: local-collection source (API edge for tests/small dims). */
+  def fromSeq[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, rows: Seq[T]): Dataset[T] =
+    spark.createDataset(rows)
+
+  /** S9: quoted CSV sink (hw3/hw3.py:99-106 shape). `coalesce1` only
+    * for tiny outputs — a large result keeps its partitioning.
+    */
+  def writeQuotedCsv(df: DataFrame, path: String,
+      coalesce1: Boolean = false): Unit = {
+    val out = if (coalesce1) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .csv(path)
+  }
+
+  /** S8: text sink. */
+  def writeText(df: DataFrame, path: String,
+      coalesce1: Boolean = false): Unit = {
+    val out = if (coalesce1) df.coalesce(1) else df
+    out.write.mode("overwrite").text(path)
+  }
+}

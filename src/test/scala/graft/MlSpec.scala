@@ -1,0 +1,39 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ml.MlPacks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("kmeans partitions all points into <=10 clusters") {
+    val df = MlPacks.all("q50_kmeans_clusters")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_points")).sum === 500L)
+  }
+
+  test("pca projects the query vectors to 2 components") {
+    assert(MlPacks.all("q51_pca_projection")(spark, sf).count() === 20)
+  }
+
+  test("logreg beats the 10-class random baseline") {
+    val r = MlPacks.all("q52_logreg_accuracy")(spark, sf).head()
+    assert(r.getAs[Double]("accuracy_3dp") > 0.1)
+  }
+
+  test("als emits top-5 recs for the 3-user subset") {
+    val df = MlPacks.all("q53_als_recommend")(spark, sf)
+    assert(df.select(col("user")).distinct().count() === 3)
+    assert(df.count() === 15)
+  }
+
+  test("spark.ml LSH pair-finder returns plausible near-dup pairs") {
+    val df = MlPacks.all("q54_ml_lsh_pairs")(spark, sf)
+    assert(df.filter(col("jaccard_dist_4dp") > 0.3).count() === 0)
+    assert(df.count() > 0)
+  }
+}

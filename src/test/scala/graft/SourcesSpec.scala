@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.GraftSession
+import graft.sources.{DirtyRows, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-driven tests of the reference file-format surface
+  * (FIXTURES.md §1/§2/§5 shapes, tiny and deterministic).
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-fixture")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("S1: ;-delimited scan poisons unparseable rows with the sentinel") {
+    // hw0 household-power shape: header row + '?' missing markers
+    val path = tmpFile("power.txt",
+      """Date;Time;Global_active_power;Global_reactive_power;Voltage;Global_intensity
+        |16/12/2006;17:24:00;4.216;0.418;234.840;18.400
+        |16/12/2006;17:25:00;?;0.436;233.630;23.000
+        |16/12/2006;17:26:00;5.360;0.498;233.290;23.000""".stripMargin)
+    val df = Sources.delimitedWithSentinel(spark, path, ";",
+      usedIdx = Seq(2, 3, 4, 5), sentinel = -1.0)
+    assert(df.count() === 4, "row count preserved (header + 3 data rows)")
+    assert(df.filter(col("c2") === -1.0).count() === 2,
+      "header and '?' rows both sentineled")
+    assert(df.agg(max(col("c2"))).head().getDouble(0) === 5.36)
+  }
+
+  test("S6: multi-char :: delimiter parses without driver collect") {
+    val path = tmpFile("ratings.dat",
+      """1::1193::5::978300760
+        |1::661::3::978302109
+        |2::1357::5::978298709""".stripMargin)
+    val df = Sources.multiCharDelimited(spark, path, "::",
+      Seq("UserID", "MovieID", "Rating", "Timestamp"))
+    assert(df.columns.toSeq === Seq("UserID", "MovieID", "Rating", "Timestamp"))
+    assert(df.filter(col("UserID") === "1").count() === 2)
+  }
+
+  test("S5: wholetext scan splits files into documents distributively") {
+    val dir = Files.createTempDirectory("graft-sgm")
+    Files.writeString(dir.resolve("a.sgm"),
+      "<REUTERS>doc one</REUTERS><REUTERS>doc two</REUTERS>")
+    Files.writeString(dir.resolve("b.sgm"),
+      "<REUTERS>doc three</REUTERS>")
+    val df = Sources.wholeTextDocs(spark, dir.toString + "/*.sgm",
+      "</REUTERS>")
+    assert(df.count() === 3)
+    assert(df.filter(col("doc").contains("doc two")).count() === 1)
+  }
+
+  test("S2: quoted CSV with explicit schema honors escapes") {
+    val path = tmpFile("news.csv",
+      "IDLink,Title\n1.0,\"say \"\"hi\"\", world\"\n2.0,plain")
+    val schema = StructType(Seq(
+      StructField("IDLink", DoubleType),
+      StructField("Title", StringType)))
+    val df = Sources.quotedCsv(spark, schema, path)
+    assert(df.count() === 2)
+    assert(df.filter(col("IDLink") === 1.0).head().getString(1)
+      === "say \"hi\", world")
+  }
+
+  test("S9 sink round-trip: quoteAll CSV") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq((1L, "a,b"), (2L, "c")).toDF("id", "s")
+    val out = Files.createTempDirectory("graft-out").toString + "/csv"
+    Sources.writeQuotedCsv(df, out, coalesce1 = true)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() === 2)
+    assert(back.filter(col("s") === "a,b").count() === 1)
+  }
+
+  test("dirty-row policies: drop / sentinel / quarantine") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq(("1", "10.5"), ("2", "oops"), ("3", "2.25"))
+      .toDF("id", "v")
+      .withColumn("v", col("v").try_cast("double"))
+    val valid = col("v").isNotNull
+    assert(DirtyRows.drop(df, valid).count() === 2)
+    val sent = DirtyRows.sentinel(df, valid, lit(-1.0), Seq("v"))
+    assert(sent.count() === 3)
+    assert(sent.filter(col("v") === -1.0).count() === 1)
+    val (clean, dirty) = DirtyRows.quarantine(df, valid)
+    assert(clean.count() === 2 && dirty.count() === 1)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.core.GraftSession
+import graft.streaming.{StreamEvent, StreamingOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  private def ev(id: Long, user: Long, minute: Long, tpe: String = "view") =
+    StreamEvent(id, new Timestamp(minute * 60000L), user, tpe, 1.0)
+
+  test("windowed counts aggregate by tumbling hour windows") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 5), ev(2, 1, 10), ev(3, 2, 65))
+      query.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).sum === 3L)
+      assert(rows.length === 2, "two distinct hour windows expected")
+    } finally query.stop()
+  }
+
+  test("sessionize closes a session when the 30-min gap is exceeded") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // NOTE: event-time 0 would be == the initial watermark and get
+      // dropped by the late filter — start away from epoch 0.
+      input.addData(ev(1, 7, 100), ev(2, 7, 110))
+      query.processAllAvailable()
+      assert(spark.table("sess").count() === 0, "session still open")
+      // 2h later: closes the first session (gap) in the same batch
+      input.addData(ev(3, 7, 230))
+      query.processAllAvailable()
+      val closed = spark.table("sess").collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n_events") === 2L)
+      assert(closed.head.getAs[Long]("start_us") === 100L * 60000000L)
+      assert(closed.head.getAs[Long]("end_us") === 110L * 60000000L)
+    } finally query.stop()
+  }
+}
