@@ -164,17 +164,112 @@ object Events extends QueryPack {
        ORDER BY user_id"""
   }
 
+  /** q45: 3-event moving average of value per user (aggregate-over-frame
+    * window, SURVEY §2.5 "absent" extension). The frame sum runs over
+    * fixed-point integers so the average is exact on both engines.
+    */
+  private def q45MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    ev(s, d)
+      .select(col("event_id"), col("user_id"),
+        (sum(Exact.fixed(col("value"), 6)).over(w).cast("double") /
+          1000000.0 / count(lit(1)).over(w)).as("mavg_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q45Sql =
+    s"""SELECT event_id, user_id,
+         CAST(SUM(${Exact.fixedSql("value", 6)}) OVER w AS DOUBLE)
+           / 1000000.0 / COUNT(*) OVER w AS mavg_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  /** q46: lag-based inter-event gap statistics per user. */
+  private def q46GapStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)))
+          .as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q46Sql =
+    s"""SELECT user_id, COUNT(*) AS n_gaps,
+         CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us,
+         MAX(gap_us) AS max_gap_us
+       FROM (SELECT user_id,
+               $tsUsSql - LAG($tsUsSql) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS gap_us
+             FROM events)
+       WHERE gap_us IS NOT NULL
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** q47: ntile quartiles of value per event type (deterministic: the
+    * window order is total via the event_id tie-break).
+    */
+  private def q47ValueQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(Exact.fixed(col("value"), 6), col("event_id"))
+    ev(s, d)
+      .select(col("event_type"), ntile(4).over(w).cast("long").as("quartile"),
+        Exact.fixed(col("value"), 6).as("v"))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("v")).cast("double") / 1000000.0).as("max_value"))
+      .orderBy(col("event_type"), col("quartile"))
+  }
+
+  private val q47Sql =
+    s"""SELECT event_type, quartile, COUNT(*) AS n,
+         CAST(MAX(v) AS DOUBLE) / 1000000.0 AS max_value
+       FROM (SELECT event_type,
+               CAST(NTILE(4) OVER (PARTITION BY event_type
+                 ORDER BY ${Exact.fixedSql("value", 6)}, event_id)
+                 AS BIGINT) AS quartile,
+               ${Exact.fixedSql("value", 6)} AS v
+             FROM events)
+       GROUP BY 1, 2 ORDER BY event_type, quartile"""
+
+  /** q48: HLL sketch vs exact distinct-count per event type — the
+    * 100 TB-scale cardinality operator (approx_count_distinct is a
+    * mergeable HyperLogLog++; rows-only check, sketch internals are
+    * engine-specific).
+    */
+  private def q48HllUsers(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_hourly_windows" -> q40HourlyWindows,
     "q41_sessionization" -> q41Sessionization,
     "q42_json_props" -> q42JsonProps,
     "q43_funnel" -> q43Funnel,
-    "q44_bucket_averages" -> q44BucketAverages)
+    "q44_bucket_averages" -> q44BucketAverages,
+    "q45_moving_avg" -> q45MovingAvg,
+    "q46_gap_stats" -> q46GapStats,
+    "q47_value_quartiles" -> q47ValueQuartiles,
+    "q48_hll_users" -> q48HllUsers)
 
   override val oracle: Map[String, String] = Map(
     "q40_hourly_windows" -> q40Sql,
     "q41_sessionization" -> q41Sql,
     "q42_json_props" -> q42Sql,
     "q43_funnel" -> q43Sql,
-    "q44_bucket_averages" -> q44Sql)
+    "q44_bucket_averages" -> q44Sql,
+    "q45_moving_avg" -> q45Sql,
+    "q46_gap_stats" -> q46Sql,
+    "q47_value_quartiles" -> q47Sql)
 }

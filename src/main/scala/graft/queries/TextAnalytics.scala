@@ -39,6 +39,27 @@ object TextAnalytics extends QueryPack {
        FROM (SELECT unnest($toksSql) AS word FROM documents)
        GROUP BY word ORDER BY n DESC, word ASC LIMIT 100"""
 
+  /** A4 + P5: word count with the stopword lexicon filtered out (hw2
+    * shape — stopword removal before counting, done with a literal
+    * lexicon inside the plan, no broadcast variable needed).
+    */
+  private def q19WordCountsNostop(s: SparkSession, d: String): DataFrame =
+    TopKOps.topN(
+      docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(!col("word").isInCollection(TextOps.stopwords))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("word").asc), 100)
+
+  private val q19Sql = {
+    val lits = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT word, COUNT(*) AS n
+       FROM (SELECT unnest($toksSql) AS word FROM documents)
+       WHERE word NOT IN ($lits)
+       GROUP BY word ORDER BY n DESC, word ASC LIMIT 100"""
+  }
+
   /** A5+W2: top-5 words per language (rank, ties kept) — the
     * FinalProject top-k-per-(year,month) shape on the synthetic corpus.
     */
@@ -175,6 +196,7 @@ object TextAnalytics extends QueryPack {
        FROM documents GROUP BY 1 ORDER BY h"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q20_word_counts" -> q20WordCounts,
     "q21_top_words_per_lang" -> q21TopWordsPerLang,
     "q22_token_stats" -> q22TokenStats,
@@ -184,6 +206,7 @@ object TextAnalytics extends QueryPack {
     "q26_exact_dedup" -> q26ExactDedup)
 
   override val oracle: Map[String, String] = Map(
+    "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
     "q21_top_words_per_lang" -> q21Sql,
     "q22_token_stats" -> q22Sql,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.GraftSession
+import graft.queries._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the scale properties the engine is designed
+  * around are asserted here so a regression (lost pushdown, vanished
+  * broadcast, windowed top-k degrading to a full sort) fails the build
+  * — not just a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q3 star join broadcasts the nation dim (no shuffle for O(25) rows)") {
+    val p = planOf(Relational.all("q3_revenue_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = planOf(Relational.all("q1_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p.take(3000))
+  }
+
+  test("q1 scan prunes to only the referenced columns") {
+    val p = planOf(Relational.all("q1_pricing_summary")(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan should not read unused columns: $readSchema")
+  }
+
+  test("q4 rank<=k plans as WindowGroupLimit (pre-shuffle per-group k-limit)") {
+    val p = planOf(Relational.all("q4_top_orders_per_segment")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q14 global top-10 plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf(Relational.all("q14_shipping_priority")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q20 word count does map-side partial aggregation before the shuffle") {
+    val p = planOf(TextAnalytics.all("q20_word_counts")(spark, sf))
+    // partial HashAggregate → Exchange → final HashAggregate → top-k
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("hashpartitioning"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("dedup signatures compute without any shuffle") {
+    val p = planOf(Dedup.all("q27_minhash_signatures")(spark, sf))
+    // only the final presentation orderBy may exchange; no hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("text pipeline is UDF-free: one projection, no mid-plan shuffle") {
+    val p = planOf(TextAnalytics.all("q22_token_stats")(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "text ops must stay native expressions")
+    // only the presentation sort exchanges (rangepartitioning); the
+    // scan→project pipeline itself is shuffle-free
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("scalar expression pipelines compile to whole-stage codegen") {
+    val df = Relational.all("q9_order_size_class")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = planOf(df)
+    assert(p.contains("codegen id"), p.take(2000))
+  }
+}
