@@ -28,6 +28,7 @@ object GraftSession {
       // default; read it as LONG nanoseconds and do exact integer time
       // arithmetic (see graft.queries.Events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

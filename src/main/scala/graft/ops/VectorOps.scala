@@ -22,8 +22,20 @@ object VectorOps {
 
   def toDoubleSql(x: String): String = s"($x)::DOUBLE[]"
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two double arrays: the codegen'd native expression
+    * [[graft.plans.DotProductExpr]] (registered by GraftExtensions as
+    * `graft_dot`). Identical strict left-to-right accumulation as the
+    * interpreted fold `aggregate(zip_with(a,b,_*_),0d,_+_)` it replaced
+    * — that composition allocates an intermediate array per row and
+    * can't participate in whole-stage codegen, which dominated the
+    * all-pairs similarity scan.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The builtin-composition fallback (no extensions needed); same
+    * bit-exact result, interpreted evaluation.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** SQL mirror; `a`/`b` must be simple column/alias names (indexed in

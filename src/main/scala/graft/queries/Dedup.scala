@@ -160,21 +160,23 @@ object Dedup extends QueryPack {
 
   /** q31: exact n-gram Jaccard, computed ONLY for LSH candidates
     * (candidate-driven verification — the full dedup pipeline).
+    *
+    * Shape: candidates (small) equi-join the shingle-set table twice to
+    * fetch both arrays, then a per-row `array_intersect` — no shingle
+    * explode, no wide shuffle. The shingle sets are distinct by
+    * construction so |intersect| is the exact shared-gram count.
     */
   private def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val h = hashed(s, d)
-    val sizes = h.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val ex = h.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sets = hashed(s, d).select(col("doc_id"), col("sh"))
     val cands = q28LshBandPairs(s, d).select(col("d1"), col("d2"))
-    val shared = cands
-      .join(ex.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
-      .join(ex.select(col("doc_id").as("d2"), col("g").as("g2")), Seq("d2"))
-      .filter(col("g") === col("g2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("n_shared"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"))
       .select(col("d1"), col("d2"), col("n_shared"),
         (col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
           .as("jaccard"))
@@ -184,19 +186,17 @@ object Dedup extends QueryPack {
 
   private val q31Sql =
     s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte,
-       sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM hsrc),
-       ex AS (SELECT doc_id, unnest(sh) AS g FROM hsrc),
-       shared AS (SELECT p.d1, p.d2, COUNT(*) AS n_shared
+       withsets AS (SELECT p.d1, p.d2,
+           CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_shared,
+           CAST(len(x.sh) AS BIGINT) AS n1,
+           CAST(len(y.sh) AS BIGINT) AS n2
          FROM pairs p
-         JOIN ex e1 ON e1.doc_id = p.d1
-         JOIN ex e2 ON e2.doc_id = p.d2 AND e2.g = e1.g
-         GROUP BY 1, 2)
-       SELECT sh.d1, sh.d2, sh.n_shared,
-         sh.n_shared / (x.n + y.n - sh.n_shared) AS jaccard
-       FROM shared sh
-       JOIN sizes x ON x.doc_id = sh.d1
-       JOIN sizes y ON y.doc_id = sh.d2
-       WHERE sh.n_shared / (x.n + y.n - sh.n_shared) >= 0.8
+         JOIN hsrc x ON x.doc_id = p.d1
+         JOIN hsrc y ON y.doc_id = p.d2)
+       SELECT d1, d2, n_shared,
+         n_shared / (n1 + n2 - n_shared) AS jaccard
+       FROM withsets
+       WHERE n_shared / (n1 + n2 - n_shared) >= 0.8
        ORDER BY d1, d2"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -360,6 +360,55 @@ object Relational extends QueryPack {
     s"""SELECT p_brand, ${Exact.avgFixedSql("p_retailprice", 2)} AS avg_price,
        COUNT(*) AS n_parts FROM part GROUP BY p_brand ORDER BY p_brand"""
 
+  /** U-extensions: INTERSECT / EXCEPT (SURVEY §2.7 noted absent in the
+    * reference — first-class here): nations present in both customer
+    * and supplier bases vs customer-only.
+    */
+  private def q18NationSetops(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables(s, d, "customer")
+      .select(col("c_nationkey").as("nk")).distinct()
+    val sn = Tables(s, d, "supplier")
+      .select(col("s_nationkey").as("nk")).distinct()
+    cn.intersect(sn).withColumn("which", lit("both"))
+      .unionByName(cn.except(sn).withColumn("which", lit("customer_only")))
+      .select(col("which"), col("nk"))
+      .orderBy(col("which"), col("nk"))
+  }
+
+  private val q18Sql =
+    """SELECT 'both' AS which, nk FROM
+         (SELECT DISTINCT c_nationkey AS nk FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'customer_only' AS which, nk FROM
+         (SELECT DISTINCT c_nationkey AS nk FROM customer
+          EXCEPT
+          SELECT DISTINCT s_nationkey FROM supplier)
+       ORDER BY which, nk"""
+
+  /** Typed-Aggregator UDAF (graft.ops.ExactWeightedMean): size-weighted
+    * mean retail price per brand, exact fixed-point accumulation —
+    * order-independent, hence oracle-mirrorable ANSI SQL.
+    */
+  private def q49WeightedAvgPrice(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(new graft.ops.ExactWeightedMean(2))
+    Tables(s, d, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        wmean(col("p_retailprice"), col("p_size").cast("long"))
+          .as("wavg_price"),
+        sum(col("p_size").cast("long")).as("sum_weight"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q49Sql =
+    s"""SELECT p_brand,
+       ${graft.ops.ExactWeightedMean.sql("p_retailprice", "p_size", 2)}
+         AS wavg_price,
+       CAST(SUM(p_size) AS BIGINT) AS sum_weight
+       FROM part GROUP BY p_brand ORDER BY p_brand"""
+
   /** P12: seeded sampling — RNG is engine-specific, so this is a
     * rows-only check (no oracle entry; driver verifies rows > 0).
     */
@@ -386,7 +435,9 @@ object Relational extends QueryPack {
     "q14_shipping_priority" -> q14ShippingPriority,
     "q15_local_supplier_volume" -> q15LocalSupplierVolume,
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
-    "q17_sample" -> q17Sample)
+    "q17_sample" -> q17Sample,
+    "q18_nation_setops" -> q18NationSetops,
+    "q49_weighted_avg_price" -> q49WeightedAvgPrice)
 
   override val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -404,5 +455,7 @@ object Relational extends QueryPack {
     "q13_rollup" -> q13Sql,
     "q14_shipping_priority" -> q14Sql,
     "q15_local_supplier_volume" -> q15Sql,
-    "q16_avg_price_by_brand" -> q16Sql)
+    "q16_avg_price_by_brand" -> q16Sql,
+    "q18_nation_setops" -> q18Sql,
+    "q49_weighted_avg_price" -> q49Sql)
 }

@@ -60,6 +60,19 @@ class EngineSpec extends AnyFunSuite {
     assert(joined.filter(col("lsh_cos") > col("bf_cos")).count() === 0)
   }
 
+  test("salted join is row-identical to the plain equi-join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select(col("o_orderkey"), col("c_name"))
+    val salted = graft.ops.SkewOps
+      .saltedInnerJoin(orders, customer, "o_custkey", salts = 7)
+      .select(col("o_orderkey"), col("c_name"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("sessionization counts: sessions <= events per user") {
     val s = Events.all("q41_sessionization")(spark, sf)
     assert(s.filter(col("n_sessions") > col("n_events")).count() === 0)
