@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProductExpr(children.head, children(1))
       }))
+    ext.injectCheckRule(_ => CartesianGuard)
   }
 }

@@ -252,6 +252,38 @@ object Events extends QueryPack {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** q62: as-of join, Spark-first — for every purchase, the most recent
+    * *prior* view by the same user. Composed as a running `max(when)`
+    * over the per-user event-time order (one shuffle on user_id, no
+    * join at all) instead of a range self-join — the classic as-of
+    * pattern that scales linearly.
+    */
+  private def q62AsofViewPurchase(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", tsUs)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("purchase_us"),
+        col("last_view_us"),
+        (tsUs - col("last_view_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q62Sql =
+    s"""SELECT event_id, user_id, $tsUsSql AS purchase_us, last_view_us,
+         $tsUsSql - last_view_us AS gap_us
+       FROM (SELECT event_id, user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN $tsUsSql END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_view_us
+             FROM events)
+       WHERE event_type = 'purchase'
+       ORDER BY event_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_hourly_windows" -> q40HourlyWindows,
     "q41_sessionization" -> q41Sessionization,
@@ -261,7 +293,8 @@ object Events extends QueryPack {
     "q45_moving_avg" -> q45MovingAvg,
     "q46_gap_stats" -> q46GapStats,
     "q47_value_quartiles" -> q47ValueQuartiles,
-    "q48_hll_users" -> q48HllUsers)
+    "q48_hll_users" -> q48HllUsers,
+    "q62_asof_view_purchase" -> q62AsofViewPurchase)
 
   override val oracle: Map[String, String] = Map(
     "q40_hourly_windows" -> q40Sql,
@@ -271,5 +304,6 @@ object Events extends QueryPack {
     "q44_bucket_averages" -> q44Sql,
     "q45_moving_avg" -> q45Sql,
     "q46_gap_stats" -> q46Sql,
-    "q47_value_quartiles" -> q47Sql)
+    "q47_value_quartiles" -> q47Sql,
+    "q62_asof_view_purchase" -> q62Sql)
 }

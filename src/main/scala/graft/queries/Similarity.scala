@@ -202,14 +202,94 @@ object Similarity extends QueryPack {
              FROM embeddings)
        GROUP BY 1, 2 ORDER BY label, dim"""
 
+  /** q37: IVF-style ANN — the third scale path beside LSH (q34):
+    * (1) build exact per-label centroids (coarse quantizer, q36's
+    * math re-assembled into arrays), (2) assign each query to its
+    * nearest centroid via a broadcast-sized 10-row cross join,
+    * (3) search ONLY the assigned cell's members (label partition).
+    * At 100 TB the cells are the partition key — each probe touches
+    * 1/k of the corpus.
+    */
+  private def q37IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    // (1) centroid arrays: 64 exact fixed-point means per label
+    val centroids = emb(s, d)
+      .select(col("label"), VectorOps.toDouble(col("embedding")).as("v"))
+      .groupBy(col("label"))
+      .agg(array((0 until DIM).map(i =>
+        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .select(col("label").as("clabel"), col("cv"),
+        VectorOps.norm(col("cv")).as("cn"))
+    // (2) assign queries (vec_id < 20) to the nearest centroid
+    val q = v.filter(col("vec_id") < 20).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val assigned = TopKOps
+      .topKPerGroup(
+        q.crossJoin(broadcast(centroids))
+          .select(col("qid"), col("qv"), col("qn"), col("clabel"),
+            round(VectorOps.dot(col("qv"), col("cv")) /
+              (col("qn") * col("cn")), 6).as("ccos")),
+        Seq(col("qid")), Seq(col("ccos").desc, col("clabel").asc), 1,
+        rankCol = "crnk")
+      .select(col("qid"), col("qv"), col("qn"), col("clabel"))
+    // (3) exact search within the assigned cell only
+    val cell = v.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("v").as("cv2"), col("nrm").as("cn2"))
+    val scored = assigned
+      .join(cell, Seq("clabel"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("clabel").cast("long").as("cell"), col("cid"),
+        round(VectorOps.dot(col("qv"), col("cv2")) /
+          (col("qn") * col("cn2")), 6).as("cos"))
+    TopKOps
+      .topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cell"), col("cid"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("qid"), col("rnk"), col("cid"))
+  }
+
+  private val q37Sql = {
+    val centroidCols = (0 until DIM)
+      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+                 FROM vecs GROUP BY label),
+       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
+                  FROM cents),
+       q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+             WHERE vec_id < 20),
+       assigned AS (SELECT qid, qv, qn, clabel FROM (
+         SELECT q.qid, q.qv, q.qn, c.clabel,
+           RANK() OVER (PARTITION BY q.qid ORDER BY
+             round(${VectorOps.dotSql("qv", "cv")} / (qn * cn), 6) DESC,
+             c.clabel ASC) AS crnk
+         FROM q CROSS JOIN cents2 c) WHERE crnk = 1),
+       cscored AS (SELECT a.qid, CAST(a.clabel AS BIGINT) AS cell,
+           m.vec_id AS cid,
+           round(${VectorOps.dotSql("qv", "mv")} / (a.qn * m.nrm), 6) AS cos
+         FROM assigned a
+         JOIN (SELECT vec_id, label, v AS mv, nrm FROM n) m
+           ON m.label = a.clabel AND m.vec_id <> a.qid)
+       SELECT qid, cell, cid, cos, rnk FROM (
+         SELECT qid, cell, cid, cos,
+           RANK() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) AS rnk
+         FROM cscored)
+       WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_cosine_topk" -> q32CosineTopk,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q34_lsh_ann" -> q34LshAnn,
     "q35_knn_classify" -> q35KnnClassify,
-    "q36_label_centroids" -> q36LabelCentroids)
+    "q36_label_centroids" -> q36LabelCentroids,
+    "q37_ivf_ann" -> q37IvfAnn)
 
   override val oracle: Map[String, String] = Map(
+    "q37_ivf_ann" -> q37Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
     "q34_lsh_ann" -> q34Sql,

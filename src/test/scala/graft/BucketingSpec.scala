@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.GraftSession
+import graft.plans.CartesianGuard
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanics specs: bucketed co-located joins (the 100 TB answer
+  * to repeated fact⋈fact joins — pay the shuffle once at write time)
+  * and the cartesian-join lint rule.
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any exchange") {
+    // tables are external (explicit path option) → the static warehouse
+    // dir is irrelevant; only the local metastore records the metadata
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_customer").saveAsTable("b_customer")
+
+    // force the shuffle-join path (tiny test tables would broadcast,
+    // which hides the property under test: bucket-aligned scans)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try {
+        val j = spark.table("b_orders")
+          .join(spark.table("b_customer"), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment")).count()
+        j.collect()
+        j
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket-pruned scan-to-scan join: the join itself needs no shuffle
+    val exchangesBeforeAgg = plan.linesIterator
+      .takeWhile(!_.contains("HashAggregate"))
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"bucketed join must not re-shuffle on the bucket key:\n${plan.take(1500)}")
+  }
+
+  test("cartesian guard rejects condition-less joins when enabled") {
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    spark.conf.set(CartesianGuard.FLAG, "true")
+    try {
+      val e = intercept[Exception] { a.crossJoin(b).collect() }
+      assert(e.getMessage.contains("cartesian"), e.getMessage)
+      // bounded/conditioned joins still pass
+      assert(a.join(b, col("x") === col("y")).count() === 10)
+      assert(a.join(b, col("x") < col("y")).count() === 45)
+    } finally spark.conf.set(CartesianGuard.FLAG, "false")
+  }
+}
