@@ -195,6 +195,26 @@ object TextAnalytics extends QueryPack {
        MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY h"""
 
+  /** q70: the reference's exact cleaning pipelines (D1/D8 ports from
+    * [[graft.ops.ReferenceTextOps]]) run as a parity scan — cleaned
+    * text and preprocessed token counts, oracle-mirrored so fidelity is
+    * hash-checked, not eyeballed.
+    */
+  private def q70ReferenceClean(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      graft.ops.ReferenceTextOps.lowerCleanStr(col("text")).as("ref_clean"),
+      size(graft.ops.ReferenceTextOps.preprocessTokens(col("text")))
+        .cast("long").as("n_ref_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    s"""SELECT doc_id,
+       ${graft.ops.ReferenceTextOps.lowerCleanStrSql("text")} AS ref_clean,
+       CAST(len(${graft.ops.ReferenceTextOps.preprocessTokensSql("text")})
+            AS BIGINT) AS n_ref_tokens
+       FROM documents ORDER BY doc_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q20_word_counts" -> q20WordCounts,
@@ -203,7 +223,8 @@ object TextAnalytics extends QueryPack {
     "q23_quality_score" -> q23QualityScore,
     "q24_langid_confusion" -> q24LangIdConfusion,
     "q25_fingerprint" -> q25Fingerprint,
-    "q26_exact_dedup" -> q26ExactDedup)
+    "q26_exact_dedup" -> q26ExactDedup,
+    "q70_reference_clean" -> q70ReferenceClean)
 
   override val oracle: Map[String, String] = Map(
     "q19_word_counts_nostop" -> q19Sql,
@@ -213,5 +234,6 @@ object TextAnalytics extends QueryPack {
     "q23_quality_score" -> q23Sql,
     "q24_langid_confusion" -> q24Sql,
     "q25_fingerprint" -> q25Sql,
-    "q26_exact_dedup" -> q26Sql)
+    "q26_exact_dedup" -> q26Sql,
+    "q70_reference_clean" -> q70Sql)
 }
