@@ -215,8 +215,49 @@ object TextAnalytics extends QueryPack {
             AS BIGINT) AS n_ref_tokens
        FROM documents ORDER BY doc_id"""
 
+  /** q71: word co-occurrence matrix over the top-10 vocabulary (hw2's
+    * remove_others + crosstab shape, SURVEY §2.4 A7/§2.9 D2 —
+    * re-designed distributed: the vocabulary is a rank-limited
+    * aggregate joined back in, not a driver-collected Python global).
+    * Emitted as (w1, w2, n_docs) pairs — same information as the
+    * pivoted crosstab without the wide dynamic schema.
+    */
+  private def q71Cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val tokens = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(!col("word").isInCollection(TextOps.stopwords))
+    val vocab = TopKOps.topN(
+      tokens.groupBy(col("word")).agg(count(lit(1)).as("n")),
+      Seq(col("n").desc, col("word").asc), 10)
+    val inVocab = tokens
+      .join(broadcast(vocab.select(col("word"))), Seq("word"))
+      .select(col("doc_id"), col("word")).distinct()
+    inVocab.select(col("doc_id"), col("word").as("w1"))
+      .join(inVocab.select(col("doc_id"), col("word").as("w2")), Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  private val q71Sql = {
+    val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, word FROM
+           (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         WHERE word NOT IN ($stops)),
+       vocab AS (SELECT word FROM
+           (SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 10)),
+       iv AS (SELECT DISTINCT doc_id, word FROM tok
+              WHERE word IN (SELECT word FROM vocab))
+       SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_docs
+       FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.word < b.word
+       GROUP BY 1, 2 ORDER BY w1, w2"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_word_counts_nostop" -> q19WordCountsNostop,
+    "q71_cooccurrence" -> q71Cooccurrence,
     "q20_word_counts" -> q20WordCounts,
     "q21_top_words_per_lang" -> q21TopWordsPerLang,
     "q22_token_stats" -> q22TokenStats,
@@ -235,5 +276,6 @@ object TextAnalytics extends QueryPack {
     "q24_langid_confusion" -> q24Sql,
     "q25_fingerprint" -> q25Sql,
     "q26_exact_dedup" -> q26Sql,
-    "q70_reference_clean" -> q70Sql)
+    "q70_reference_clean" -> q70Sql,
+    "q71_cooccurrence" -> q71Sql)
 }

@@ -30,6 +30,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source stream over events parquet matches the batch window counts") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.StreamingOps
+      .readEventsStream(spark, dir)
+    val query = graft.streaming.StreamingOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("filewc")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("filewc")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      val batch = spark.read.parquet(s"$dir/events.parquet").count()
+      assert(streamed === batch,
+        "every event must land in exactly one tumbling window")
+    } finally query.stop()
+  }
+
+  test("wide-column bucket average (A6) is a single projection") {
+    val sq = spark
+    import sq.implicits._
+    val df = Seq((1L, 1.0, 2.0, 3.0, 9.0), (2L, 4.0, 4.0, 4.0, 0.0))
+      .toDF("id", "t1", "t2", "t3", "t4")
+    val out = graft.ops.BucketOps.bucketAverage(
+      df, Seq(org.apache.spark.sql.functions.col("id")),
+      Seq("t1", "t2", "t3", "t4"), 2, "b")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getDouble(1) === 1.5 && rows(0).getDouble(2) === 6.0)
+    assert(rows(1).getDouble(1) === 4.0 && rows(1).getDouble(2) === 2.0)
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "bucket averaging must not join")
+  }
+
   test("sessionize closes a session when the 30-min gap is exceeded") {
     val sq = spark
     import sq.implicits._
