@@ -409,6 +409,52 @@ object Relational extends QueryPack {
        CAST(SUM(p_size) AS BIGINT) AS sum_weight
        FROM part GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Exact discrete median per group via window rank — integer-rank
+    * logic, no interpolation-formula FP hazards, identical on both
+    * engines. At scale this is one shuffle + per-group sort; for a
+    * quantile *sketch* over 100 TB see q73.
+    */
+  private def q72MedianByStatus(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2")) // integer div: `/` on
+      // longs is double division and misses even-sized groups
+      .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
+        col("n").as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q72Sql =
+    """SELECT o_orderstatus, o_totalprice AS median_price, n AS n_orders
+       FROM (SELECT o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+             FROM orders)
+       WHERE rn = (n + 1) // 2
+       ORDER BY o_orderstatus"""
+
+  /** Quantile sketch (percentile_approx — mergeable, single pass, the
+    * 100 TB path the exact window median can't take). Sketch internals
+    * are engine-specific → rows-only check.
+    */
+  private def q73ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+          .as("p95_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   /** P12: seeded sampling — RNG is engine-specific, so this is a
     * rows-only check (no oracle entry; driver verifies rows > 0).
     */
@@ -437,7 +483,9 @@ object Relational extends QueryPack {
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
     "q17_sample" -> q17Sample,
     "q18_nation_setops" -> q18NationSetops,
-    "q49_weighted_avg_price" -> q49WeightedAvgPrice)
+    "q49_weighted_avg_price" -> q49WeightedAvgPrice,
+    "q72_median_by_status" -> q72MedianByStatus,
+    "q73_approx_quantiles" -> q73ApproxQuantiles)
 
   override val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -457,5 +505,6 @@ object Relational extends QueryPack {
     "q15_local_supplier_volume" -> q15Sql,
     "q16_avg_price_by_brand" -> q16Sql,
     "q18_nation_setops" -> q18Sql,
-    "q49_weighted_avg_price" -> q49Sql)
+    "q49_weighted_avg_price" -> q49Sql,
+    "q72_median_by_status" -> q72Sql)
 }

@@ -31,6 +31,19 @@ class MlSpec extends AnyFunSuite {
     assert(df.count() === 15)
   }
 
+  test("StringIndexer + OneHotEncoder produce k-1 sized vectors (M8)") {
+    import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer}
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val indexed = new StringIndexer().setInputCol("o_orderpriority")
+      .setOutputCol("prio_idx").setStringOrderType("alphabetAsc")
+      .fit(orders).transform(orders)
+    val encoded = new OneHotEncoder().setInputCol("prio_idx")
+      .setOutputCol("prio_vec").fit(indexed).transform(indexed)
+    val v = encoded.select("prio_vec").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size === 4, "5 priorities -> 4-dim dropLast one-hot")
+  }
+
   test("spark.ml LSH pair-finder returns plausible near-dup pairs") {
     val df = MlPacks.all("q54_ml_lsh_pairs")(spark, sf)
     assert(df.filter(col("jaccard_dist_4dp") > 0.3).count() === 0)
