@@ -22,9 +22,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Ordered run: deterministic output layout, warm JIT/classloading is
     // amortized across queries exactly like the driver's invocation.
+    // noop sink, not count(): count() lets Catalyst prune computed
+    // columns, so projection-heavy queries would measure as ~free —
+    // noop materializes every output row without write I/O.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
