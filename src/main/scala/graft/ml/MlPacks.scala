@@ -149,8 +149,24 @@ object MlPacks extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** q55: KMeans elbow sweep (M12's inertia-over-k loop, distributed):
+    * training cost for k ∈ [2,6], fixed seed.
+    */
+  private def q55KmeansElbow(s: SparkSession, d: String): DataFrame = {
+    val data = emb(s, d).cache()
+    val rows = (2 to 6).map { k =>
+      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+        .setFeaturesCol("features").fit(data)
+      (k.toLong, math.round(m.summary.trainingCost * 100) / 100.0)
+    }
+    val spark = s
+    import spark.implicits._
+    rows.toDF("k", "inertia_2dp")
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_kmeans_clusters" -> q50Kmeans,
+    "q55_kmeans_elbow" -> q55KmeansElbow,
     "q51_pca_projection" -> q51Pca,
     "q52_logreg_accuracy" -> q52Logreg,
     "q53_als_recommend" -> q53Als,

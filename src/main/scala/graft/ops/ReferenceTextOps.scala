@@ -70,6 +70,29 @@ object ReferenceTextOps {
     s"translate(lower($x), '$lit', '')"
   }
 
+  /** hw2:227 `remove_others` punctuation list — note it differs from
+    * [[punc]]: it INCLUDES the space character (tokens are produced by
+    * punctuation-to-comma substitution, so space must become a
+    * delimiter) and EXCLUDES the comma (it *is* the delimiter).
+    */
+  val removeOthersPunc: String = "!\"#”$%&'()*+—–./:;<=>?@[\\]^_’ ‘`{|}~-…"
+
+  /** D2: `remove_others` — lowercase, map every listed char to ',',
+    * split on ',', keep tokens ∈ vocab (duplicates and order
+    * preserved), sentinel `"No Values"` when none survive, re-join
+    * with ','. The reference read the vocab from a mutable driver
+    * global (hw2/BDM_hw2_final.py:222-240); here it's a plan literal
+    * (broadcast-compiled), no driver state.
+    */
+  def removeOthers(c: Column, vocab: Seq[String]): Column = {
+    val commas = ",".repeat(removeOthersPunc.length)
+    val kept = filter(
+      split(translate(lower(c), removeOthersPunc, commas), ","),
+      w => w.isInCollection(vocab))
+    array_join(
+      when(size(kept) === 0, array(lit("No Values"))).otherwise(kept), ",")
+  }
+
   /** `remove_tags`: strip `<[^>]+>`. */
   def removeTags(c: Column): Column = regexp_replace(c, "<[^>]+>", "")
 

@@ -35,6 +35,19 @@ class ReferenceTextSpec extends AnyFunSuite {
     assert(runClean("Keep 123 spaces") === "keep 123 spaces")
   }
 
+  test("remove_others keeps vocab duplicates in order, sentinels empties") {
+    val sq = spark
+    import sq.implicits._
+    def run(s: String, vocab: Seq[String]): String =
+      Seq(s).toDF("x")
+        .select(graft.ops.ReferenceTextOps.removeOthers(col("x"), vocab))
+        .head().getString(0)
+    // space and '&' become delimiters; ',' already is one; dups kept
+    assert(run("The cat & dog, cat bird!", Seq("cat", "dog"))
+      === "cat,dog,cat")
+    assert(run("nothing matches here", Seq("zz")) === "No Values")
+  }
+
   test("preprocess_text matches the Python pipeline token-for-token") {
     // tags stripped, digits->space, single chars dropped, stopword 'the'
     // removed, 5-year-old loses the digit and keeps year/old
