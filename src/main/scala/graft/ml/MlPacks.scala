@@ -12,6 +12,8 @@ import org.apache.spark.ml.recommendation.ALS
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** spark.ml operator pack (SURVEY §2.10 M1-M14 parity, Spark-native).
   *
   * Covers the reference's MLlib surface re-expressed in Scala:
@@ -31,6 +33,23 @@ object MlPacks extends QueryPack {
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         array_to_vector(col("embedding")).as("features"))
+
+  /** M14 API edge (SURVEY §2.10): exports `(features, label)` rows for
+    * an external deep-learning trainer — the ONLY sanctioned
+    * driver-materialization point (`toLocalIterator` streams one
+    * partition at a time instead of a full collect), mirroring the
+    * reference's collect()-into-torch step without its OOM cliff.
+    */
+  def collectFeatures(s: SparkSession, d: String):
+      Iterator[(Array[Float], Int)] = {
+    import s.implicits._
+    emb(s, d)
+      .select(vector_to_array(col("features"), "float32").as("f"),
+        col("label"))
+      .as[(Array[Float], Int)]
+      .toLocalIterator()
+      .asScala
+  }
 
   /** q50: KMeans k=10 (seed 42) on embeddings → cluster sizes +
     * within-cluster stats. Distributed replacement for the sklearn

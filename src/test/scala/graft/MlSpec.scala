@@ -31,6 +31,13 @@ class MlSpec extends AnyFunSuite {
     assert(df.count() === 15)
   }
 
+  test("collectFeatures streams (features, label) rows for external DL") {
+    val it = MlPacks.collectFeatures(spark, sf)
+    val first = it.take(3).toSeq
+    assert(first.size === 3)
+    assert(first.forall(_._1.length === 64))
+  }
+
   test("StringIndexer + OneHotEncoder produce k-1 sized vectors (M8)") {
     import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer}
     val orders = spark.read.parquet(s"$sf/orders.parquet")

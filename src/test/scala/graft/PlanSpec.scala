@@ -69,6 +69,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("q15 broadcasts both region and nation dims through the 6-way join") {
+    val p = planOf(Relational.all("q15_local_supplier_volume")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q44 bucket averages plan with no Join (single grouped projection)") {
+    val p = planOf(Events.all("q44_bucket_averages")(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q41 sessionization shuffles exactly once on user_id") {
+    val p = planOf(Events.all("q41_sessionization")(spark, sf))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p.take(2000))
+    // the groupBy after the window reuses the window's partitioning —
+    // no second user_id exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
   test("scalar expression pipelines compile to whole-stage codegen") {
     val df = Relational.all("q9_order_size_class")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
