@@ -57,15 +57,19 @@ object Dedup extends QueryPack {
   private val q27Sql =
     s"WITH $hashedCte, $sigsCte SELECT * FROM sigs ORDER BY doc_id"
 
-  /** Banded signature keys: 4 bands × 2 signature rows. */
+  /** Banded signature keys: 4 bands × 2 signature rows. One pass over
+    * the signatures with an `explode` of band structs — a union of 4
+    * selects would recompute the whole tokenize→shingle→md5→minhash
+    * pipeline once per band (measured 4× the scan cost).
+    */
   private def bandsDf(s: SparkSession, d: String): DataFrame = {
-    val sg = sigs(s, d)
-    (0 until DedupOps.bands)
-      .map { b =>
-        sg.select(col("doc_id"), lit(b).as("band"),
-          concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
-      }
-      .reduce(_ union _)
+    val bandStructs = array((0 until DedupOps.bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+    }: _*)
+    sigs(s, d)
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   private val bandsCte = {
@@ -125,12 +129,15 @@ object Dedup extends QueryPack {
   private def q30SimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sim = hashed(s, d)
       .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"))
-    val bnd = (0 until 4)
-      .map { b =>
-        sim.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
-      }
-      .reduce(_ union _)
+    // single pass + explode (not union: see bandsDf note)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+    }: _*)
+    val bnd = sim
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val a = bnd.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
       col("band"), col("key"))
     val b = bnd.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
