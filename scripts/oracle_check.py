@@ -59,6 +59,16 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # Dtype-strict: the driver hashes typed values, so int64 vs
+        # float64 (e.g. DuckDB HUGEINT from SUM(BIGINT) → pandas float)
+        # is a failure even when Python == says the values are equal.
+        badtype = [(c, str(got[c].dtype), str(want[c].dtype))
+                   for c in got.columns if got[c].dtype != want[c].dtype]
+        if badtype:
+            c, g, w = badtype[0]
+            print(f"FAIL {name}: dtype col={c} spark={g} oracle={w}")
+            failures += 1
+            continue
         mismatch = None
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()

@@ -86,4 +86,34 @@ object VectorOps {
              THEN ${1L << j} ELSE 0 END)"""
       }
       .mkString("(", " + ", ")")
+
+  /** LSH banding over `bands`×`rowsPerBand` hyperplanes: an array of
+    * (band, bkey) structs, one element per band, where bkey packs the
+    * band's `rowsPerBand` sign bits. Two vectors are *candidates* iff
+    * they share a bkey in at least one band — the standard banding
+    * amplification (recall 1-(1-p^r)^b). Explode the array once and
+    * equi-join on (band, bkey): uniform keys, no nested loop, the same
+    * single-pass shape the Dedup pack uses for MinHash bands.
+    */
+  def lshBandKeys(v: Column, dim: Int, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (0 until rowsPerBand)
+          .map(j =>
+            when(round(dot(v, plane(b * rowsPerBand + j, dim)), 6) > 0,
+              lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bkey"))
+    }: _*)
+
+  /** SQL mirror of one band's key (band `b`); expects the hyperplanes
+    * exposed as `__pl{j}` columns (CROSS JOIN of a planes CTE), as with
+    * [[lshBucketSql]].
+    */
+  def lshBandKeySql(v: String, b: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand)
+      .map { j =>
+        s"""(CASE WHEN round(${dotSql(v, s"__pl${b * rowsPerBand + j}")}, 6) > 0
+             THEN ${1L << j} ELSE 0 END)"""
+      }
+      .mkString("(", " + ", ")")
 }

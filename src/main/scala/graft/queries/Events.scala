@@ -65,7 +65,8 @@ object Events extends QueryPack {
   }
 
   private val q41Sql =
-    s"""SELECT user_id, COUNT(*) AS n_events, SUM(new_sess) AS n_sessions
+    s"""SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(new_sess) AS BIGINT) AS n_sessions
        FROM (SELECT user_id,
                CASE WHEN prev_us IS NULL
                       OR $tsUsSql - prev_us > 1800 * 1000000
@@ -90,7 +91,8 @@ object Events extends QueryPack {
 
   private val q42Sql =
     """SELECT event_type, COUNT(*) AS n,
-         SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+         CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))
+           AS BIGINT) AS sum_k,
          MIN(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS min_k,
          MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type"""

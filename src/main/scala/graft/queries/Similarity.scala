@@ -79,28 +79,68 @@ object Similarity extends QueryPack {
          FROM scored)
        WHERE rnk <= 5 ORDER BY qid, rnk, cid"""
 
-  /** q33: embedding near-dup pairs (cos ≥ 0.45) — the exact all-pairs
-    * form; at scale the q34 LSH bucketing replaces the pair generator.
+  private val BANDS = 4
+  private val ROWS_PER_BAND = 4
+
+  /** q33: embedding near-dup pairs (cos ≥ 0.45), candidate-driven —
+    * banded hyperplane LSH (4 bands × 4 bits) generates candidates
+    * through a uniform (band, bkey) equi-join, then the exact cosine
+    * verifies candidates only. No unbounded nested-loop join anywhere:
+    * the previous exact all-pairs form was O(n²) over the corpus — a
+    * BroadcastNestedLoopJoin that 100×'s into 10,000× work — whereas
+    * this is the same band→bucket→verify shape the Dedup pack ships for
+    * MinHash (q28→q31), linear in candidates. Recall is the banding
+    * curve 1-(1-p^4)^4; both engines mirror the identical candidate set
+    * so the oracle comparison stays exact.
     */
   private def q33EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    val a = v.select(col("vec_id").as("qid"), col("v").as("qv"),
+    val keyed = v.select(col("vec_id"),
+      explode(VectorOps.lshBandKeys(col("v"), DIM, BANDS, ROWS_PER_BAND))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val q = v.select(col("vec_id").as("d1"), col("v").as("qv"),
       col("nrm").as("qn"))
-    val b = v.select(col("vec_id").as("cid"), col("v").as("cv"),
+    val c = v.select(col("vec_id").as("d2"), col("v").as("cv"),
       col("nrm").as("cn"))
-    a.join(b, col("qid") < col("cid"))
-      .select(col("qid").as("d1"), col("cid").as("d2"), cosCol.as("cos"))
+    cand.join(q, Seq("d1")).join(c, Seq("d2"))
+      .select(col("d1"), col("d2"), cosCol.as("cos"))
       .filter(col("cos") >= 0.45)
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val q33Sql =
+  private val q33Sql = {
+    val nPlanes = BANDS * ROWS_PER_BAND
+    val planeCols = (0 until nPlanes)
+      .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
+      .mkString(", ")
+    val keyedBranches = (0 until BANDS)
+      .map(b => s"""SELECT vec_id, $b AS band,
+            ${VectorOps.lshBandKeySql("v", b, ROWS_PER_BAND)} AS bkey
+          FROM nn""")
+      .mkString(" UNION ALL ")
     s"""WITH $vecsCte,
-       p2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2, a.v AS av, b.v AS bv,
-                a.nrm AS an, b.nrm AS bn
-              FROM n a JOIN n b ON a.vec_id < b.vec_id)
-       SELECT d1, d2, $cosSql AS cos FROM p2
+       planes AS (SELECT $planeCols),
+       nn AS (SELECT n.vec_id, n.v, planes.* FROM n CROSS JOIN planes),
+       keyed AS ($keyedBranches),
+       cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+                FROM keyed a JOIN keyed b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.vec_id < b.vec_id),
+       cp AS (SELECT cand.d1, cand.d2, qa.v AS av, qb.v AS bv,
+                qa.nrm AS an, qb.nrm AS bn
+              FROM cand JOIN n qa ON qa.vec_id = cand.d1
+                        JOIN n qb ON qb.vec_id = cand.d2)
+       SELECT d1, d2, $cosSql AS cos FROM cp
        WHERE $cosSql >= 0.45 ORDER BY d1, d2"""
+  }
 
   /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
     * vector. Bucket = 8 sign bits of dots with deterministic planes.

@@ -63,4 +63,26 @@ class BucketingSpec extends AnyFunSuite {
       assert(a.join(b, col("x") < col("y")).count() === 45)
     } finally spark.conf.set(CartesianGuard.FLAG, "false")
   }
+
+  test("cartesian guard rejects inequality-only joins over two large inputs") {
+    val a = spark.range(10000).toDF("x")
+    val b = spark.range(10000).toDF("y")
+    spark.conf.set(CartesianGuard.FLAG, "true")
+    spark.conf.set(CartesianGuard.MAX_BYTES, "1024")
+    try {
+      val e = intercept[Exception] {
+        a.join(b, col("x") < col("y")).count()
+      }
+      assert(e.getMessage.contains("inequality-only"), e.getMessage)
+      // an equi conjunct gives a hash key → allowed even with a bound
+      assert(a.join(b, col("x") === col("y") && col("x") < lit(5))
+        .count() === 5)
+      // a bounded (small) side keeps the nested loop linear → allowed
+      val small = spark.range(3).toDF("y")
+      assert(a.join(small, col("x") < col("y")).count() === 3)
+    } finally {
+      spark.conf.set(CartesianGuard.FLAG, "false")
+      spark.conf.unset(CartesianGuard.MAX_BYTES)
+    }
+  }
 }

@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("q33 near-dup is candidate-driven: no nested-loop join over the corpus") {
+    val p = planOf(Similarity.all("q33_embedding_neardup")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q33 must pair via the (band,bkey) equi-join, not O(n^2):\n${p.take(2000)}")
+  }
+
   test("scalar expression pipelines compile to whole-stage codegen") {
     val df = Relational.all("q9_order_size_class")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
