@@ -156,9 +156,12 @@ object MlPacks extends QueryPack {
       new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)))
     val model = pipe.fit(docs)
+    // cache: approxSimilarityJoin scans both sides, which would re-run
+    // tokenize→shingle→vectorize→minhash twice without it
     val tx = model.transform(docs)
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("features"), col("hashes"))
+      .cache()
     model.stages.last.asInstanceOf[org.apache.spark.ml.feature.MinHashLSHModel]
       .approxSimilarityJoin(tx, tx, 0.3, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
@@ -166,6 +169,38 @@ object MlPacks extends QueryPack {
         col("datasetB.doc_id").as("d2"),
         round(col("jaccard_dist"), 4).as("jaccard_dist_4dp"))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q56: ALS full fan-out (M10 completion; reference hw4/hw4.py:185-188
+    * `recommendForAllUsers(10)` / `recommendForAllItems(10)`): top-10
+    * recommendations for EVERY user and EVERY item — the
+    * scale-interesting form (blocked top-k over the full user×item
+    * factor cross product, computed distributed by spark.ml, never
+    * materialized as raw pairs). Deterministic projection
+    * (side, id, rank, rec_id); float scores are excluded so the output
+    * is stable across BLAS variants.
+    */
+  private def q56AlsAllRecommend(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables(s, d, "events")
+      .select(col("user_id").cast("int").as("user"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("item"))
+      .groupBy(col("user"), col("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
+    val als = new ALS().setMaxIter(5).setRegParam(0.01).setSeed(42L)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+    val model = als.fit(ratings)
+    val byUser = model.recommendForAllUsers(10)
+      .select(lit("user").as("side"), col("user").cast("long").as("id"),
+        posexplode(col("recommendations")).as(Seq("rank0", "rec")))
+      .select(col("side"), col("id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("rec.item").cast("long").as("rec_id"))
+    val byItem = model.recommendForAllItems(10)
+      .select(lit("item").as("side"), col("item").cast("long").as("id"),
+        posexplode(col("recommendations")).as(Seq("rank0", "rec")))
+      .select(col("side"), col("id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("rec.user").cast("long").as("rec_id"))
+    byUser.unionByName(byItem).orderBy(col("side"), col("id"), col("rank"))
   }
 
   /** q55: KMeans elbow sweep (M12's inertia-over-k loop, distributed):
@@ -189,7 +224,8 @@ object MlPacks extends QueryPack {
     "q51_pca_projection" -> q51Pca,
     "q52_logreg_accuracy" -> q52Logreg,
     "q53_als_recommend" -> q53Als,
-    "q54_ml_lsh_pairs" -> q54MlLshPairs)
+    "q54_ml_lsh_pairs" -> q54MlLshPairs,
+    "q56_als_all_recommend" -> q56AlsAllRecommend)
 
   /** Model internals aren't SQL-expressible → rows-only checks. */
   override val oracle: Map[String, String] = Map.empty

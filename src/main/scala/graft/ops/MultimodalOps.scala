@@ -1,5 +1,11 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -14,38 +20,40 @@ case class MediaAsset(
     height: Int,
     content: Array[Byte])
 
-/** Decoded per-asset features (see [[MultimodalOps.extractFeatures]]). */
+/** Decoded per-asset features (see [[MultimodalOps.extractFeatures]]):
+  * decoded dimensions (pixels for images; frames×channels for audio),
+  * a rolling payload checksum, a 16-bin normalized histogram (pixel
+  * luminance / PCM amplitude), and an 8-d embedding derived from it.
+  */
 case class MediaFeatures(
     doc_id: Long,
     format: String,
     byte_len: Int,
+    dec_width: Int,
+    dec_height: Int,
     checksum: Long,
     histogram: Array[Double],
-    fake_embedding: Array[Float])
+    embedding: Array[Float])
 
 /** Multimodal-column plumbing: treat image/audio/video as opaque
   * `binary` columns with typed metadata, decode/feature-extract in
-  * partition-sized batches.
+  * partition-sized batches with REAL codecs — `javax.imageio` for
+  * PNG/JPEG (deterministic seeded render → encode → decode → pixel
+  * luminance histogram) and RIFF/PCM for WAV (header write/parse +
+  * amplitude histogram). No image/audio libraries beyond the JDK.
   *
-  * ==STUB NOTICE==
-  * Real decoders (JPEG/PNG/audio) are NOT available in this build
-  * environment, so [[extractFeatures]] substitutes a *deterministic
-  * fake decode* (byte histogram + rolling checksum standing in for
-  * pixels/samples). Everything around the stub — the binary schema,
-  * the `Dataset[MediaAsset]` typed boundary, the mapPartitions batch
-  * shape (decoder state initialized once per partition, streamed over
-  * rows), and the feature schema — is the real plumbing a decoder
-  * drops into: replace the body of `decodeOne` with the codec call.
-  *
-  * Scale notes: payload bytes never hit the driver; features are a
-  * narrow projection so downstream aggregation shuffles only small
-  * rows; partition-batched decode amortizes per-partition setup the
-  * way an Arrow-batched Pandas UDF would in PySpark.
+  * Scale notes: payload bytes never hit the driver; synthesis and
+  * decode both run `mapPartitions` so per-partition codec setup is
+  * amortized the way an Arrow-batched Pandas UDF would be in PySpark;
+  * features are a narrow projection so downstream aggregation shuffles
+  * only small rows.
   */
 object MultimodalOps {
 
   /** Lift documents into binary assets (stand-in for `binaryFile`
-    * sources); format/width/height are deterministic metadata.
+    * sources); format/width/height are deterministic metadata and the
+    * payload is the utf8 text — the oracle-mirrorable metadata path
+    * (q60). For real codec payloads see [[synthesizeMedia]].
     */
   def assetsFromDocuments(docs: DataFrame): Dataset[MediaAsset] = {
     val spark = docs.sparkSession
@@ -61,33 +69,179 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
-  /** Partition-batched "decode" — STUB body, real batch shape. */
+  /** Real-media synthesis: replace each asset's payload with an actual
+    * encoded PNG / JPEG / WAV generated deterministically from
+    * (doc_id, width, height). Distributed per-partition — the encoder
+    * never leaves the executor.
+    */
+  def synthesizeMedia(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(encodeOne))
+  }
+
+  /** Partition-batched REAL decode: `ImageIO.read` for png/jpeg,
+    * RIFF/PCM parse for wav.
+    */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.mapPartitions { batch =>
-      // Real codec: initialize the decoder ONCE here per partition.
-      batch.map(decodeOne)
-    }
+    assets.mapPartitions(_.map(decodeOne))
   }
 
-  /** STUB: deterministic byte-level features in place of pixel/sample
-    * decode. Replace this body with the real codec call.
+  /** WAV frame count is deterministic metadata math (kept small so a
+    * 100 TB corpus of assets stays payload-bounded, not frame-bounded).
     */
-  private def decodeOne(a: MediaAsset): MediaFeatures = {
-    val bytes = a.content
-    var checksum = 0L
-    val hist = new Array[Double](16)
+  def wavFrames(docId: Long, width: Int, height: Int): Int =
+    4096 + (docId % 5).toInt * 1024
+
+  // ---- encode ----
+
+  private def encodeOne(a: MediaAsset): MediaAsset = a.format match {
+    case "png" | "jpeg" =>
+      val img = renderImage(a.doc_id, a.width, a.height)
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(img, a.format, bos),
+        s"no ${a.format} ImageIO writer on this JVM")
+      a.copy(content = bos.toByteArray)
+    case "wav" =>
+      a.copy(content =
+        encodeWav(a.doc_id, wavFrames(a.doc_id, a.width, a.height)))
+    case other => sys.error(s"unknown media format: $other")
+  }
+
+  /** Deterministic seeded render: smooth gradients + a doc_id-keyed
+    * xor pattern (structured enough that JPEG survives it; no RNG so
+    * re-synthesis is bit-stable for PNG and encoder-stable for JPEG).
+    */
+  private def renderImage(docId: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val seed = (docId * 0x9e3779b9L & 0xff).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 255 / w + seed) & 0xff
+        val g = (y * 255 / h + (seed >> 1)) & 0xff
+        val b = ((x ^ y) + seed) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Minimal-but-real RIFF/WAVE writer: 44-byte canonical header +
+    * 16-bit mono PCM sine sweep keyed by doc_id at 8 kHz.
+    */
+  private def encodeWav(docId: Long, frames: Int): Array[Byte] = {
+    val sampleRate = 8000
+    val dataLen = frames * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort)            // PCM
+    buf.putShort(1.toShort)            // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)         // byte rate
+    buf.putShort(2.toShort)            // block align
+    buf.putShort(16.toShort)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val freq = 200.0 + (docId % 40) * 25.0
     var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      checksum = (checksum * 1000003L + b) % 2147483648L
-      hist(b >> 4) += 1.0
+    while (i < frames) {
+      val s = math.sin(2.0 * math.Pi * freq * i / sampleRate) * 12000.0
+      buf.putShort(s.toShort)
       i += 1
     }
-    val n = math.max(bytes.length, 1).toDouble
-    val norm = hist.map(_ / n)
-    MediaFeatures(a.doc_id, a.format, bytes.length, checksum, norm,
+    buf.array()
+  }
+
+  // ---- decode ----
+
+  private def decodeOne(a: MediaAsset): MediaFeatures = a.format match {
+    case "png" | "jpeg" => decodeImage(a)
+    case "wav" => decodeWav(a)
+    case other => sys.error(s"unknown media format: $other")
+  }
+
+  private def decodeImage(a: MediaAsset): MediaFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(a.content))
+    require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    finish(a, w, h, hist, (w * h).toDouble)
+  }
+
+  /** RIFF/WAVE parse: validate magics, walk chunks to `fmt `/`data`,
+    * histogram the 16-bit amplitudes.
+    */
+  private def decodeWav(a: MediaAsset): MediaFeatures = {
+    val buf = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"not a RIFF payload (doc ${a.doc_id})")
+    buf.getInt // riff size
+    require(tag() == "WAVE", s"not a WAVE payload (doc ${a.doc_id})")
+    var channels = 0
+    var bits = 0
+    var frames = 0
+    val hist = new Array[Double](16)
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val size = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + size
+          require(buf.getShort == 1, "only PCM wav supported")
+          channels = buf.getShort.toInt
+          buf.getInt // sample rate
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bits = buf.getShort.toInt
+          buf.position(fmtEnd)
+        case "data" =>
+          require(bits == 16, s"expected 16-bit PCM, got $bits")
+          val n = size / 2
+          frames = n / math.max(channels, 1)
+          var i = 0
+          while (i < n) {
+            hist((buf.getShort + 32768) >> 12) += 1.0
+            i += 1
+          }
+        case _ => buf.position(buf.position() + size)
+      }
+    }
+    require(frames > 0, s"no data chunk (doc ${a.doc_id})")
+    finish(a, frames, channels, hist, (frames * channels).toDouble)
+  }
+
+  private def finish(a: MediaAsset, w: Int, h: Int,
+      hist: Array[Double], n: Double): MediaFeatures = {
+    val bytes = a.content
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      checksum = (checksum * 1000003L + (bytes(i) & 0xff)) % 2147483648L
+      i += 1
+    }
+    val norm = hist.map(_ / math.max(n, 1.0))
+    MediaFeatures(a.doc_id, a.format, bytes.length, w, h, checksum, norm,
       norm.take(8).map(_.toFloat))
   }
 }

@@ -77,6 +77,21 @@ object ReferenceTextOps {
     */
   val removeOthersPunc: String = "!\"#”$%&'()*+—–./:;<=>?@[\\]^_’ ‘`{|}~-…"
 
+  /** The `remove_others` tokenizer: lowercase, map every listed char
+    * to ',', split on ','. (Empty tokens appear between consecutive
+    * delimiters, exactly as in the Python `split(',')`.)
+    */
+  def removeOthersTokens(c: Column): Column = {
+    val commas = ",".repeat(removeOthersPunc.length)
+    split(translate(lower(c), removeOthersPunc, commas), ",")
+  }
+
+  def removeOthersTokensSql(x: String): String = {
+    val lit = removeOthersPunc.replace("'", "''")
+    val commas = ",".repeat(removeOthersPunc.length)
+    s"string_split(translate(lower($x), '$lit', '$commas'), ',')"
+  }
+
   /** D2: `remove_others` — lowercase, map every listed char to ',',
     * split on ',', keep tokens ∈ vocab (duplicates and order
     * preserved), sentinel `"No Values"` when none survive, re-join
@@ -85,10 +100,7 @@ object ReferenceTextOps {
     * (broadcast-compiled), no driver state.
     */
   def removeOthers(c: Column, vocab: Seq[String]): Column = {
-    val commas = ",".repeat(removeOthersPunc.length)
-    val kept = filter(
-      split(translate(lower(c), removeOthersPunc, commas), ","),
-      w => w.isInCollection(vocab))
+    val kept = filter(removeOthersTokens(c), w => w.isInCollection(vocab))
     array_join(
       when(size(kept) === 0, array(lit("No Values"))).otherwise(kept), ",")
   }

@@ -6,9 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pack: binary payloads + typed metadata flowing
-  * through the engine (see [[graft.ops.MultimodalOps]] — decode is a
-  * clearly-marked deterministic stub; schema/batching/partitioning are
-  * the real plumbing).
+  * through the engine (see [[graft.ops.MultimodalOps]] — real JDK
+  * codecs: `javax.imageio` PNG/JPEG and RIFF/PCM WAV).
   */
 object Multimodal extends QueryPack {
 
@@ -34,14 +33,20 @@ object Multimodal extends QueryPack {
          md5(text) AS content_md5
        FROM documents ORDER BY doc_id"""
 
-  /** q61: partition-batched stub decode → per-format feature stats
-    * (rows-only check: the byte-loop checksum isn't SQL-expressible).
+  /** q61: real media decode — synthesize actual PNG/JPEG/WAV payloads
+    * per partition, decode them back (`ImageIO` / RIFF parse), and
+    * aggregate per-format feature stats including the decoded
+    * dimensions (rows-only check: codec byte streams aren't
+    * SQL-expressible).
     */
   private def q61MediaFeatures(s: SparkSession, d: String): DataFrame =
-    MultimodalOps.extractFeatures(assets(s, d)).toDF()
+    MultimodalOps
+      .extractFeatures(MultimodalOps.synthesizeMedia(assets(s, d))).toDF()
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("byte_len")).cast("long").as("sum_bytes"),
+        sum(col("dec_width").cast("long") * col("dec_height"))
+          .as("sum_dec_pixels"),
         min(col("checksum")).as("min_checksum"),
         max(col("checksum")).as("max_checksum"))
       .orderBy(col("format"))

@@ -86,7 +86,10 @@ object StreamingOps {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    // µs-exact event time from the Timestamp's nanos field — getTime
+    // truncates to ms, which would diverge from the µs-exact batch twin
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -109,7 +112,11 @@ object StreamingOps {
                   closed += SessionSummary(userId, s.start_us, s.last_us, s.n_events)
                   open = Some(SessionState(t, t, 1L))
                 case Some(s) =>
-                  open = Some(SessionState(s.start_us, t, s.n_events + 1L))
+                  // late-but-within-watermark events from a later
+                  // micro-batch must never rewind the session end (or
+                  // start): fold them in monotonically
+                  open = Some(SessionState(math.min(s.start_us, t),
+                    math.max(s.last_us, t), s.n_events + 1L))
                 case None =>
                   open = Some(SessionState(t, t, 1L))
               }

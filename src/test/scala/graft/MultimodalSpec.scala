@@ -19,21 +19,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(3L).width === 256 && byId(3L).height === 256)
   }
 
-  test("stub decode is deterministic and batch-shaped") {
+  test("synthesized media are real codec payloads with correct magic bytes") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = MultimodalOps
+      .synthesizeMedia(MultimodalOps.assetsFromDocuments(docs))
+      .collect()
+    assert(media.length === docs.count())
+    media.foreach { a =>
+      val head = a.content.take(8).map(_ & 0xff)
+      a.format match {
+        case "png" =>
+          assert(head.startsWith(Seq(0x89, 0x50, 0x4e, 0x47)),
+            s"doc ${a.doc_id}: not a PNG signature")
+        case "jpeg" =>
+          assert(head.startsWith(Seq(0xff, 0xd8, 0xff)),
+            s"doc ${a.doc_id}: not a JPEG SOI marker")
+        case "wav" =>
+          assert(new String(a.content.take(4), "US-ASCII") === "RIFF")
+          assert(new String(a.content.slice(8, 12), "US-ASCII") === "WAVE")
+      }
+    }
+  }
+
+  test("real decode recovers the encoded dimensions and normalized histograms") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val metaById = assets.collect().map(a => a.doc_id -> a).toMap
     val feats = MultimodalOps
-      .extractFeatures(MultimodalOps.assetsFromDocuments(docs))
+      .extractFeatures(MultimodalOps.synthesizeMedia(assets))
       .collect()
     assert(feats.length === docs.count())
     feats.foreach { f =>
-      assert(f.fake_embedding.length === 8)
+      val m = metaById(f.doc_id)
+      f.format match {
+        case "png" | "jpeg" =>
+          // ImageIO round-trip must recover the rendered pixel dims
+          assert(f.dec_width === m.width && f.dec_height === m.height,
+            s"doc ${f.doc_id}: decoded ${f.dec_width}x${f.dec_height}, " +
+              s"rendered ${m.width}x${m.height}")
+        case "wav" =>
+          assert(f.dec_width ===
+            MultimodalOps.wavFrames(f.doc_id, m.width, m.height))
+          assert(f.dec_height === 1) // mono
+      }
+      assert(f.embedding.length === 8)
       assert(math.abs(f.histogram.sum - 1.0) < 1e-9,
         s"histogram of ${f.doc_id} must be normalized")
       assert(f.checksum >= 0L && f.checksum < 2147483648L)
     }
-    // same input → same checksum (determinism across runs)
+    // same input → same checksum (codec determinism across runs)
     val again = MultimodalOps
-      .extractFeatures(MultimodalOps.assetsFromDocuments(docs))
+      .extractFeatures(MultimodalOps.synthesizeMedia(assets))
       .collect()
       .map(f => f.doc_id -> f.checksum)
       .toMap

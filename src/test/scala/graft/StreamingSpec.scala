@@ -86,4 +86,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.head.getAs[Long]("end_us") === 110L * 60000000L)
     } finally query.stop()
   }
+
+  test("sessionize folds late-but-within-watermark events without rewinding") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 9, 100), ev(2, 9, 110))
+      query.processAllAvailable()
+      // late event (t=105, within the 10-min watermark of max=110)
+      // arrives in a LATER micro-batch: must not rewind last_us to 105
+      input.addData(ev(3, 9, 105))
+      query.processAllAvailable()
+      input.addData(ev(4, 9, 230)) // gap > 30 min → closes the session
+      query.processAllAvailable()
+      val closed = spark.table("sess_late").collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n_events") === 3L)
+      assert(closed.head.getAs[Long]("start_us") === 100L * 60000000L)
+      assert(closed.head.getAs[Long]("end_us") === 110L * 60000000L,
+        "a late event must never rewind the session end")
+    } finally query.stop()
+  }
 }
