@@ -50,6 +50,11 @@ case class MediaFeatures(
   */
 object MultimodalOps {
 
+  // ImageIO defaults to a disk-backed stream cache (a temp file per
+  // encode/decode) — in-memory is strictly better for byte-array IO
+  // and avoids /tmp contention across executor threads.
+  ImageIO.setUseCache(false)
+
   /** Lift documents into binary assets (stand-in for `binaryFile`
     * sources); format/width/height are deterministic metadata and the
     * payload is the utf8 text — the oracle-mirrorable metadata path
@@ -77,7 +82,12 @@ object MultimodalOps {
   def synthesizeMedia(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.mapPartitions(_.map(encodeOne))
+    // Codec work is CPU-bound but the metadata input is tiny (one scan
+    // partition for thousands of assets) — spread it across the cluster
+    // before encoding or the whole stage runs on one core.
+    assets
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(encodeOne))
   }
 
   /** Partition-batched REAL decode: `ImageIO.read` for png/jpeg,
@@ -117,16 +127,20 @@ object MultimodalOps {
   private def renderImage(docId: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val seed = (docId * 0x9e3779b9L & 0xff).toInt
+    // bulk row writes: per-pixel setRGB pays a color-model conversion
+    // and bounds check per call, ~5x slower than a raster row store
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      val g = (y * 255 / h + (seed >> 1)) & 0xff
       var x = 0
       while (x < w) {
         val r = (x * 255 / w + seed) & 0xff
-        val g = (y * 255 / h + (seed >> 1)) & 0xff
         val b = ((x ^ y) + seed) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        row(x) = (r << 16) | (g << 8) | b
         x += 1
       }
+      img.setRGB(0, y, w, 1, row, 0, w)
       y += 1
     }
     img
@@ -172,11 +186,13 @@ object MultimodalOps {
     require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
     val (w, h) = (img.getWidth, img.getHeight)
     val hist = new Array[Double](16)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w) // bulk row read (see renderImage)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
           (rgb & 0xff) * 114) / 1000
         hist(lum >> 4) += 1.0
