@@ -72,6 +72,30 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup — the streaming twin of q26: drop events
+    * whose dedup key was already seen, with state bounded by the
+    * watermark (a key's state is evicted once the watermark passes it,
+    * so memory is O(keys-per-watermark-window), not O(stream)). At
+    * 100 TB/day this is the standard ingest-dedup front of a training
+    * pipeline; key by a content hash for payload dedup.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * static dimension (broadcast when small — same plan rules as
+    * batch). No state is kept: the static side is re-resolved per
+    * batch, so a dim refresh is picked up without restarting.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys)
+
   /** Gap-based sessionization with typed per-user state
     * (flatMapGroupsWithState + event-time timeout): emits a
     * SessionSummary whenever a 30-min (default) inactivity gap closes a

@@ -62,6 +62,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lshBandKeys: equal vectors collide in every band, keys stay in range") {
+    val sq = spark
+    import sq.implicits._
+    val dim = 16
+    val vec: Gen[List[Double]] =
+      Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+    samples(vec, 8).foreach { v =>
+      val df = Seq(("a", v.toArray), ("b", v.toArray)).toDF("id", "v")
+        .select(col("id"),
+          graft.ops.VectorOps.lshBandKeys(col("v"), dim, 4, 4).as("bks"))
+      val rows = df.collect().map(r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(b => (b.getLong(0), b.getLong(1))))
+      val (a, b) = (rows(0)._2, rows(1)._2)
+      assert(a === b, "identical vectors must produce identical band keys")
+      assert(a.map(_._1) === Seq(0L, 1L, 2L, 3L), "one key per band, in order")
+      assert(a.forall { case (_, k) => k >= 0L && k < 16L },
+        s"4-bit band keys must be in [0,16): $a")
+    }
+  }
+
+  test("removeOthers keeps only vocab tokens, preserving order and duplicates") {
+    val sq = spark
+    import sq.implicits._
+    val vocab = Seq("alpha", "beta", "gamma")
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "longword")
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    samples(text, 10).foreach { t =>
+      val got = Seq(t).toDF("text")
+        .select(graft.ops.ReferenceTextOps.removeOthers(col("text"), vocab))
+        .head().getString(0)
+      val want = {
+        val kept = t.split(" ").filter(vocab.contains)
+        if (kept.isEmpty) "No Values" else kept.mkString(",")
+      }
+      assert(got === want, s"for input '$t'")
+    }
+  }
+
   test("topKPerGroup returns exactly the k-prefix of the per-group sort") {
     val sq = spark
     import sq.implicits._

@@ -87,6 +87,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated keys across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps
+      .dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 100), ev(1, 1, 100), ev(2, 1, 101))
+      query.processAllAvailable()
+      input.addData(ev(2, 1, 101), ev(3, 1, 102)) // event 2 repeats later
+      query.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq === Seq(1L, 2L, 3L),
+        "each key must survive exactly once across batches")
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment join broadcasts the dim per micro-batch") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val dim = Seq(("view", 1.0), ("click", 5.0)).toDF("event_type", "weight")
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps
+      .enrichStream(input.toDF(), dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 100, "view"), ev(2, 1, 101, "click"),
+        ev(3, 1, 102, "purchase")) // no dim row → dropped (inner join)
+      query.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+      assert(rows.length === 2)
+      assert(rows.map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("weight")).toMap ===
+        Map("view" -> 1.0, "click" -> 5.0))
+    } finally query.stop()
+  }
+
   test("sessionize folds late-but-within-watermark events without rewinding") {
     val sq = spark
     import sq.implicits._
