@@ -43,7 +43,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             Some(e.getClass.getSimpleName)
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release per-query caches so storage memory doesn't accumulate
+      // (outside the timed region: eviction isn't the query's cost)
+      spark.catalog.clearCache()
+      (name, elapsed, err)
     }
     // A failed query must be visibly failed, never a suspiciously fast
     // timing: it benches as -1 and is listed in "errors".

@@ -176,9 +176,11 @@ object MlPacks extends QueryPack {
     * recommendations for EVERY user and EVERY item — the
     * scale-interesting form (blocked top-k over the full user×item
     * factor cross product, computed distributed by spark.ml, never
-    * materialized as raw pairs). Deterministic projection
-    * (side, id, rank, rec_id); float scores are excluded so the output
-    * is stable across BLAS variants.
+    * materialized as raw pairs). Projection (side, id, rank, rec_id)
+    * excludes the float scores to reduce environment sensitivity in
+    * the rows-only check — the ranks themselves are still model-
+    * derived, so near-tie orderings can differ across BLAS variants
+    * (which is why this is a rows-only query, not an oracle one).
     */
   private def q56AlsAllRecommend(s: SparkSession, d: String): DataFrame = {
     val ratings = Tables(s, d, "events")

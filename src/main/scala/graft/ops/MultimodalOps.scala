@@ -230,7 +230,7 @@ object MultimodalOps {
           buf.getInt // byte rate
           buf.getShort // block align
           bits = buf.getShort.toInt
-          buf.position(fmtEnd)
+          buf.position(fmtEnd + (size & 1)) // word-aligned (see below)
         case "data" =>
           require(bits == 16, s"expected 16-bit PCM, got $bits")
           val n = size / 2
@@ -240,7 +240,10 @@ object MultimodalOps {
             hist((buf.getShort + 32768) >> 12) += 1.0
             i += 1
           }
-        case _ => buf.position(buf.position() + size)
+        case _ =>
+          // RIFF chunks are word-aligned: an odd-sized chunk is
+          // followed by a pad byte that is not counted in `size`
+          buf.position(buf.position() + size + (size & 1))
       }
     }
     require(frames > 0, s"no data chunk (doc ${a.doc_id})")

@@ -31,22 +31,48 @@ object CartesianGuard extends (LogicalPlan => Unit) {
   val MAX_BYTES = "spark.graft.inequalityJoinMaxBytes"
   private val DEFAULT_MAX_BYTES: Long = 64L * 1024 * 1024
 
-  /** Does any top-level conjunct equate attributes (a hashable key)?
-    * Note `a =!= b` is Not(EqualTo(..)) — a NESTED equality inside a
-    * negation is not a key, so only top-level conjuncts count.
+  /** Does any top-level conjunct equate attributes ACROSS the two join
+    * inputs (a hashable key)? A same-side equality (`b.x === b.y`)
+    * gives Spark no shuffle key, and `a =!= b` is Not(EqualTo(..)) —
+    * a NESTED equality inside a negation is not a key either, so only
+    * cross-side top-level conjuncts count.
     */
-  private def hasEquiConjunct(cond: Expression): Boolean = {
+  private def hasCrossEquiConjunct(
+      cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def crossSides(l: Expression, r: Expression): Boolean =
+      l.references.nonEmpty && r.references.nonEmpty &&
+        ((l.references.subsetOf(left.outputSet) &&
+          r.references.subsetOf(right.outputSet)) ||
+          (l.references.subsetOf(right.outputSet) &&
+            r.references.subsetOf(left.outputSet)))
     conjuncts(cond).exists {
-      case EqualTo(l, r) => l.references.nonEmpty && r.references.nonEmpty
-      case EqualNullSafe(l, r) => l.references.nonEmpty && r.references.nonEmpty
+      case EqualTo(l, r) => crossSides(l, r)
+      case EqualNullSafe(l, r) => crossSides(l, r)
       case _ => false
     }
   }
+
+  /** Conservative "is this side plausibly bounded" test for the lint:
+    * basic (non-CBO) stats pass a child's sizeInBytes through Filter
+    * unchanged, so a filtered query set (`vec_id < 20` over a big
+    * table) would read as large. Any Filter in the subtree is assumed
+    * selective — the unbounded corpus-×-corpus shape the lint targets
+    * has bare scans on both sides, so this keeps the lint precise
+    * without CBO selectivity estimates.
+    */
+  private def unboundedAbove(side: LogicalPlan, maxBytes: Long): Boolean =
+    side.stats.sizeInBytes > maxBytes &&
+      !side.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+        case _ => false
+      }
 
   override def apply(plan: LogicalPlan): Unit = {
     SparkSession.getActiveSession.foreach { s =>
@@ -59,15 +85,15 @@ object CartesianGuard extends (LogicalPlan => Unit) {
               s"[graft] unguarded cartesian join rejected ($FLAG=true): " +
                 s"add a join condition or an explicit bound. Plan:\n$j")
           case j @ Join(l, r, Inner | Cross, Some(cond), _)
-              if !hasEquiConjunct(cond) &&
-                l.stats.sizeInBytes > maxBytes &&
-                r.stats.sizeInBytes > maxBytes =>
+              if !hasCrossEquiConjunct(cond, l, r) &&
+                unboundedAbove(l, maxBytes) &&
+                unboundedAbove(r, maxBytes) =>
             throw new IllegalStateException(
-              s"[graft] inequality-only join over two large inputs " +
-                s"rejected ($FLAG=true, both sides > $maxBytes bytes): " +
-                s"no hash key means a nested-loop O(n^2) scan. Add an " +
-                s"equi conjunct (bucket/band key) or bound one side. " +
-                s"Plan:\n$j")
+              s"[graft] inequality-only join over two large unbounded " +
+                s"inputs rejected ($FLAG=true, both sides > $maxBytes " +
+                s"bytes): no cross-input hash key means a nested-loop " +
+                s"O(n^2) scan. Add an equi conjunct (bucket/band key) " +
+                s"or bound one side. Plan:\n$j")
           case _ =>
         }
       }

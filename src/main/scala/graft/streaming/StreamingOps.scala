@@ -73,11 +73,13 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
 
   /** Streaming exact-dedup — the streaming twin of q26: drop events
-    * whose dedup key was already seen, with state bounded by the
-    * watermark (a key's state is evicted once the watermark passes it,
-    * so memory is O(keys-per-watermark-window), not O(stream)). At
-    * 100 TB/day this is the standard ingest-dedup front of a training
-    * pipeline; key by a content hash for payload dedup.
+    * whose dedup key was already seen, KEY-ONLY (a re-delivery with a
+    * different event-time is still a duplicate — the at-least-once
+    * source case), with state bounded by the watermark: a key's state
+    * is evicted once the watermark passes it, so memory is
+    * O(keys-per-watermark-window), not O(stream). At 100 TB/day this
+    * is the standard ingest-dedup front of a training pipeline; key by
+    * a content hash for payload dedup.
     */
   def dedupStream(
       events: DataFrame,
@@ -85,16 +87,19 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-static enrichment join: each micro-batch joins against a
-    * static dimension (broadcast when small — same plan rules as
-    * batch). No state is kept: the static side is re-resolved per
-    * batch, so a dim refresh is picked up without restarting.
+    * static dimension with the planner's normal join selection (a dim
+    * under the broadcast threshold broadcasts automatically; a huge
+    * one falls back to a shuffle join instead of forcing an 8 GB+
+    * broadcast every batch). No state is kept: the static side is
+    * re-resolved per batch, so a dim refresh is picked up without
+    * restarting.
     */
   def enrichStream(events: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
-    events.join(broadcast(dim), keys)
+    events.join(dim, keys)
 
   /** Gap-based sessionization with typed per-user state
     * (flatMapGroupsWithState + event-time timeout): emits a

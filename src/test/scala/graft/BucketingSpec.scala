@@ -80,6 +80,15 @@ class BucketingSpec extends AnyFunSuite {
       // a bounded (small) side keeps the nested loop linear → allowed
       val small = spark.range(3).toDF("y")
       assert(a.join(small, col("x") < col("y")).count() === 3)
+      // a same-side equality is NOT a hash key → still rejected
+      val e2 = intercept[Exception] {
+        a.join(b, col("y") === col("y") && col("x") < col("y")).count()
+      }
+      assert(e2.getMessage.contains("inequality-only"), e2.getMessage)
+      // a filtered side is assumed bounded (basic stats don't shrink
+      // through Filter, so the lint trusts the author's predicate)
+      assert(a.filter(col("x") < 5).join(b, col("x") < col("y"))
+        .count() > 0)
     } finally {
       spark.conf.set(CartesianGuard.FLAG, "false")
       spark.conf.unset(CartesianGuard.MAX_BYTES)
