@@ -94,7 +94,9 @@ object Similarity extends QueryPack {
     * so the oracle comparison stays exact.
     */
   private def q33EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
+    // cache: the (v, nrm) projection feeds band-keying AND both sides
+    // of the verify join-back — 4 scans of the 64-dim norm otherwise
+    val v = vecs(s, d).cache()
     val keyed = v.select(col("vec_id"),
       explode(VectorOps.lshBandKeys(col("v"), DIM, BANDS, ROWS_PER_BAND))
         .as("bk"))

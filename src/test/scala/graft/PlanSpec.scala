@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite {
       s"q33 must pair via the (band,bkey) equi-join, not O(n^2):\n${p.take(2000)}")
   }
 
+  test("q74 remove_others is a UDF-free scan-side projection (no join)") {
+    val p = planOf(TextAnalytics.all("q74_remove_others")(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "vocab filter must be a literal in-plan expression")
+    assert(!p.contains("Join"),
+      s"the collected vocab is a plan literal, not a join:\n${p.take(1500)}")
+  }
+
   test("scalar expression pipelines compile to whole-stage codegen") {
     val df = Relational.all("q9_order_size_class")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
