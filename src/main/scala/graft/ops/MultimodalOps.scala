@@ -173,6 +173,80 @@ object MultimodalOps {
     buf.array()
   }
 
+  /** Real image resize: decode → bilinear-scale so the longest side is
+    * `maxDim` (aspect preserved, never upscaled) → re-encode in the
+    * same format, metadata updated to the new dims. Audio passes
+    * through untouched. The standard normalize-before-training step
+    * for an image corpus; per-partition like the other codec stages.
+    */
+  def resizeImages(assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map {
+      case a if a.format == "png" || a.format == "jpeg" => resizeOne(a, maxDim)
+      case a => a
+    })
+  }
+
+  private def resizeOne(a: MediaAsset, maxDim: Int): MediaAsset = {
+    val img = ImageIO.read(new ByteArrayInputStream(a.content))
+    require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val scale = maxDim.toDouble / math.max(w, h)
+    if (scale >= 1.0) a
+    else {
+      val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+      g.dispose()
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(out, a.format, bos),
+        s"no ${a.format} ImageIO writer on this JVM")
+      MediaAsset(a.doc_id, a.format, nw, nh, bos.toByteArray)
+    }
+  }
+
+  /** Real audio frame-sampling: decimate PCM to every `everyN`-th frame
+    * and re-encode the RIFF container (the video analogue — keyframe
+    * sampling — has the same shape: parse container, keep 1/N frames,
+    * rewrite). Images pass through untouched.
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyN: Int): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    assets.mapPartitions(_.map {
+      case a if a.format == "wav" => sampleWavOne(a, everyN)
+      case a => a
+    })
+  }
+
+  private def sampleWavOne(a: MediaAsset, everyN: Int): MediaAsset = {
+    val in = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
+    in.position(44) // canonical header written by encodeWav
+    val frames = (a.content.length - 44) / 2
+    val kept = (frames + everyN - 1) / everyN
+    val dataLen = kept * 2
+    val out = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(a.content, 0, 44)
+    out.putInt(4, 36 + dataLen)  // RIFF size
+    val rate = math.max(1, in.getInt(24) / everyN)
+    out.putInt(24, rate)         // sample rate ÷ N (duration preserved)
+    out.putInt(28, rate * 2)     // byte rate
+    out.putInt(40, dataLen)      // data size
+    var i = 0
+    while (i < frames) {
+      val s = in.getShort(44 + i * 2)
+      if (i % everyN == 0) out.putShort(s)
+      i += 1
+    }
+    a.copy(content = out.array())
+  }
+
   // ---- decode ----
 
   private def decodeOne(a: MediaAsset): MediaFeatures = a.format match {

@@ -51,9 +51,30 @@ object Multimodal extends QueryPack {
         max(col("checksum")).as("max_checksum"))
       .orderBy(col("format"))
 
+  /** q63: the full media-normalization pipeline — synthesize real
+    * payloads, resize images to ≤128 px (bilinear, aspect-preserving),
+    * decimate audio to every 4th frame, decode, and aggregate the
+    * decoded dims per format. The resize/frame-sample stages are what
+    * a training-data pipeline runs corpus-wide before feature
+    * extraction (rows-only: codec byte streams aren't SQL-expressible).
+    */
+  private def q63MediaPipeline(s: SparkSession, d: String): DataFrame = {
+    val normalized = MultimodalOps.sampleFrames(
+      MultimodalOps.resizeImages(
+        MultimodalOps.synthesizeMedia(assets(s, d)), 128), 4)
+    MultimodalOps.extractFeatures(normalized).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        max(col("dec_width")).cast("long").as("max_dec_width"),
+        max(col("dec_height")).cast("long").as("max_dec_height"),
+        sum(col("byte_len")).cast("long").as("sum_bytes"))
+      .orderBy(col("format"))
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_stats" -> q60MediaStats,
-    "q61_media_features" -> q61MediaFeatures)
+    "q61_media_features" -> q61MediaFeatures,
+    "q63_media_pipeline" -> q63MediaPipeline)
 
   override val oracle: Map[String, String] = Map(
     "q60_media_stats" -> q60Sql)

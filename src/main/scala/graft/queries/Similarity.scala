@@ -164,12 +164,12 @@ object Similarity extends QueryPack {
       .orderBy(col("qid"))
   }
 
-  private val q34Sql = {
+  /** Shared CTE chain for the bucketed-LSH scored pairs (q34, q38). */
+  private val annCtes = {
     val planeCols = (0 until PLANES)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
-    s"""WITH $vecsCte,
-       planes AS (SELECT $planeCols),
+    s"""planes AS (SELECT $planeCols),
        bucketed AS (SELECT vec_id, v, nrm,
            ${VectorOps.lshBucketSql("v", DIM, PLANES)} AS bkt
          FROM n CROSS JOIN planes),
@@ -177,13 +177,55 @@ object Similarity extends QueryPack {
                 a.nrm AS an, b.nrm AS bn
               FROM bucketed a JOIN bucketed b
                 ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
-       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp)
+       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp)"""
+  }
+
+  private val q34Sql =
+    s"""WITH $vecsCte, $annCtes
        SELECT qid, cid, cos FROM (
          SELECT qid, cid, cos,
            RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
          FROM bscored)
        WHERE rnk = 1 ORDER BY qid"""
+
+  /** q38: ANN recall audit — the evaluation operator every ANN
+    * deployment needs: for each query in the bounded set, does the
+    * LSH best-neighbor (q34 shape) land in the exact brute-force
+    * top-5 (q32 shape)? Ground truth is query-side-bounded, the ANN
+    * side is the bucketed equi-join, so the audit itself is scale-safe
+    * — run it on a sampled query set to monitor recall in production.
+    */
+  private def q38AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact5 = TopKOps
+      .topKPerGroup(scoredPairs(s, d, col("vec_id") < 20),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    val ann = q34LshAnn(s, d)
+      .filter(col("qid") < 20)
+      .select(col("qid"), col("cid").as("ann_cid"))
+    exact5.join(ann, Seq("qid"), "left")
+      .groupBy(col("qid"))
+      .agg(max(when(col("cid") === col("ann_cid"), 1L).otherwise(0L))
+        .as("hit"))
+      .orderBy(col("qid"))
   }
+
+  private val q38Sql =
+    s"""WITH $vecsCte, $scoredCte,
+       exact5 AS (SELECT qid, cid FROM (
+         SELECT qid, cid,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM scored) WHERE rnk <= 5),
+       $annCtes,
+       ann AS (SELECT qid, cid AS ann_cid FROM (
+         SELECT qid, cid,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM bscored) WHERE rnk = 1 AND qid < 20)
+       SELECT e.qid,
+         CAST(MAX(CASE WHEN e.cid = a.ann_cid THEN 1 ELSE 0 END) AS BIGINT)
+           AS hit
+       FROM exact5 e LEFT JOIN ann a ON a.qid = e.qid
+       GROUP BY e.qid ORDER BY e.qid"""
 
   /** q35: 5-NN majority-vote label prediction for the query set. */
   private def q35KnnClassify(s: SparkSession, d: String): DataFrame = {
@@ -326,6 +368,7 @@ object Similarity extends QueryPack {
     "q32_cosine_topk" -> q32CosineTopk,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q34_lsh_ann" -> q34LshAnn,
+    "q38_ann_recall" -> q38AnnRecall,
     "q35_knn_classify" -> q35KnnClassify,
     "q36_label_centroids" -> q36LabelCentroids,
     "q37_ivf_ann" -> q37IvfAnn)
@@ -335,6 +378,7 @@ object Similarity extends QueryPack {
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
     "q34_lsh_ann" -> q34Sql,
+    "q38_ann_recall" -> q38Sql,
     "q35_knn_classify" -> q35Sql,
     "q36_label_centroids" -> q36Sql)
 }

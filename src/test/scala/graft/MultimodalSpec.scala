@@ -75,4 +75,43 @@ class MultimodalSpec extends AnyFunSuite {
       .toMap
     feats.foreach(f => assert(again(f.doc_id) === f.checksum))
   }
+
+  test("resize caps the longest side, preserves aspect, never upscales") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val metaById = assets.collect().map(a => a.doc_id -> a).toMap
+    val resized = MultimodalOps
+      .resizeImages(MultimodalOps.synthesizeMedia(assets), 128)
+    val feats = MultimodalOps.extractFeatures(resized).collect()
+    feats.filter(f => f.format == "png" || f.format == "jpeg").foreach { f =>
+      val m = metaById(f.doc_id)
+      val scale = 128.0 / math.max(m.width, m.height)
+      if (scale >= 1.0) {
+        assert(f.dec_width === m.width && f.dec_height === m.height,
+          s"doc ${f.doc_id}: small image must pass through unchanged")
+      } else {
+        assert(math.max(f.dec_width, f.dec_height) === 128,
+          s"doc ${f.doc_id}: longest side must be 128, got " +
+            s"${f.dec_width}x${f.dec_height}")
+        assert(f.dec_width === math.max(1, math.round(m.width * scale).toInt))
+        assert(f.dec_height === math.max(1, math.round(m.height * scale).toInt))
+      }
+    }
+  }
+
+  test("frame sampling keeps every Nth PCM frame and rewrites the container") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val assets = MultimodalOps.assetsFromDocuments(docs)
+    val metaById = assets.collect().map(a => a.doc_id -> a).toMap
+    val sampled = MultimodalOps
+      .sampleFrames(MultimodalOps.synthesizeMedia(assets), 4)
+    val feats = MultimodalOps.extractFeatures(sampled).collect()
+    feats.filter(_.format == "wav").foreach { f =>
+      val m = metaById(f.doc_id)
+      val orig = MultimodalOps.wavFrames(f.doc_id, m.width, m.height)
+      assert(f.dec_width === (orig + 3) / 4,
+        s"doc ${f.doc_id}: expected ceil($orig/4) frames, got ${f.dec_width}")
+      assert(f.dec_height === 1)
+    }
+  }
 }
