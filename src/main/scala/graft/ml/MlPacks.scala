@@ -209,12 +209,22 @@ object MlPacks extends QueryPack {
     * training cost for k ∈ [2,6], fixed seed.
     */
   private def q55KmeansElbow(s: SparkSession, d: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val data = emb(s, d).cache()
-    val rows = (2 to 6).map { k =>
-      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-        .setFeaturesCol("features").fit(data)
-      (k.toLong, math.round(m.summary.trainingCost * 100) / 100.0)
-    }
+    data.count() // materialize once before the concurrent fits share it
+    // the five fits are independent seeded models over the same cached
+    // input — submit them concurrently so the cluster pipelines their
+    // stages instead of idling between driver-side iterations
+    val rows = Await.result(
+      Future.sequence((2 to 6).map { k =>
+        Future {
+          val m = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+            .setFeaturesCol("features").fit(data)
+          (k.toLong, math.round(m.summary.trainingCost * 100) / 100.0)
+        }
+      }), Duration.Inf)
     val spark = s
     import spark.implicits._
     rows.toDF("k", "inertia_2dp")
