@@ -455,6 +455,30 @@ object Relational extends QueryPack {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** q39: salted fact⋈dim join through the oracle gate — the salt must
+    * be semantically invisible, so the DuckDB mirror is the PLAIN join:
+    * any divergence (a dropped/duplicated row from the salt/replicate
+    * transform) hash-mismatches. This is the explicit-salting path for
+    * the single-hot-key skew AQE can't split
+    * ([[graft.ops.SkewOps.saltedInnerJoin]]).
+    */
+  private def q39SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables(s, d, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.ops.SkewOps
+      .saltedInnerJoin(Tables(s, d, "lineitem"), dim, "l_partkey", 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q39Sql =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+         ${Exact.sumFixedSql("l_extendedprice", 2)} AS sum_price
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       GROUP BY p_brand ORDER BY p_brand"""
+
   /** P12: seeded sampling — RNG is engine-specific, so this is a
     * rows-only check (no oracle entry; driver verifies rows > 0).
     */
@@ -483,6 +507,7 @@ object Relational extends QueryPack {
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
     "q17_sample" -> q17Sample,
     "q18_nation_setops" -> q18NationSetops,
+    "q39_salted_join" -> q39SaltedJoin,
     "q49_weighted_avg_price" -> q49WeightedAvgPrice,
     "q72_median_by_status" -> q72MedianByStatus,
     "q73_approx_quantiles" -> q73ApproxQuantiles)
@@ -505,6 +530,7 @@ object Relational extends QueryPack {
     "q15_local_supplier_volume" -> q15Sql,
     "q16_avg_price_by_brand" -> q16Sql,
     "q18_nation_setops" -> q18Sql,
+    "q39_salted_join" -> q39Sql,
     "q49_weighted_avg_price" -> q49Sql,
     "q72_median_by_status" -> q72Sql)
 }
