@@ -162,6 +162,10 @@ object MlPacks extends QueryPack {
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("features"), col("hashes"))
       .cache()
+    // materialize BEFORE the self-join: its two concurrent scans would
+    // otherwise race the cache population and both recompute the
+    // tokenize→shingle→vectorize→minhash pipeline
+    tx.count()
     model.stages.last.asInstanceOf[org.apache.spark.ml.feature.MinHashLSHModel]
       .approxSimilarityJoin(tx, tx, 0.3, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
