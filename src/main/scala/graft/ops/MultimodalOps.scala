@@ -105,15 +105,27 @@ object MultimodalOps {
   def wavFrames(docId: Long, width: Int, height: Int): Int =
     4096 + (docId % 5).toInt * 1024
 
+  // ---- shared ImageIO edges ----
+
+  private def readImage(a: MediaAsset): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(a.content))
+    require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
+    img
+  }
+
+  private def writeImage(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, bos),
+      s"no $format ImageIO writer on this JVM")
+    bos.toByteArray
+  }
+
   // ---- encode ----
 
   private def encodeOne(a: MediaAsset): MediaAsset = a.format match {
     case "png" | "jpeg" =>
-      val img = renderImage(a.doc_id, a.width, a.height)
-      val bos = new ByteArrayOutputStream()
-      require(ImageIO.write(img, a.format, bos),
-        s"no ${a.format} ImageIO writer on this JVM")
-      a.copy(content = bos.toByteArray)
+      a.copy(content =
+        writeImage(renderImage(a.doc_id, a.width, a.height), a.format))
     case "wav" =>
       a.copy(content =
         encodeWav(a.doc_id, wavFrames(a.doc_id, a.width, a.height)))
@@ -189,24 +201,27 @@ object MultimodalOps {
   }
 
   private def resizeOne(a: MediaAsset, maxDim: Int): MediaAsset = {
-    val img = ImageIO.read(new ByteArrayInputStream(a.content))
-    require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
+    val img = readImage(a)
     val (w, h) = (img.getWidth, img.getHeight)
     val scale = maxDim.toDouble / math.max(w, h)
     if (scale >= 1.0) a
     else {
       val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
         math.max(1, math.round(h * scale).toInt))
-      val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+      // preserve transparency for formats that carry it (JPEG can't
+      // encode alpha, and compositing ARGB onto an RGB target would
+      // silently flatten transparent pixels to black)
+      val targetType =
+        if (a.format != "jpeg" && img.getColorModel.hasAlpha)
+          BufferedImage.TYPE_INT_ARGB
+        else BufferedImage.TYPE_INT_RGB
+      val out = new BufferedImage(nw, nh, targetType)
       val g = out.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(img, 0, 0, nw, nh, null)
       g.dispose()
-      val bos = new ByteArrayOutputStream()
-      require(ImageIO.write(out, a.format, bos),
-        s"no ${a.format} ImageIO writer on this JVM")
-      MediaAsset(a.doc_id, a.format, nw, nh, bos.toByteArray)
+      MediaAsset(a.doc_id, a.format, nw, nh, writeImage(out, a.format))
     }
   }
 
@@ -225,26 +240,66 @@ object MultimodalOps {
     })
   }
 
+  /** Chunk-walking decimation (same RIFF discipline as [[decodeWav]]):
+    * non-data chunks are copied verbatim, the data chunk keeps every
+    * `everyN`-th 16-bit frame, and the fmt rates are divided so the
+    * duration is preserved. Works on any standards-compliant PCM WAV,
+    * not just the canonical 44-byte header [[encodeWav]] writes.
+    */
   private def sampleWavOne(a: MediaAsset, everyN: Int): MediaAsset = {
     val in = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
-    in.position(44) // canonical header written by encodeWav
-    val frames = (a.content.length - 44) / 2
-    val kept = (frames + everyN - 1) / everyN
-    val dataLen = kept * 2
-    val out = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
-    out.put(a.content, 0, 44)
-    out.putInt(4, 36 + dataLen)  // RIFF size
-    val rate = math.max(1, in.getInt(24) / everyN)
-    out.putInt(24, rate)         // sample rate ÷ N (duration preserved)
-    out.putInt(28, rate * 2)     // byte rate
-    out.putInt(40, dataLen)      // data size
-    var i = 0
-    while (i < frames) {
-      val s = in.getShort(44 + i * 2)
-      if (i % everyN == 0) out.putShort(s)
-      i += 1
+    def tag(): String = {
+      val b = new Array[Byte](4); in.get(b); new String(b, "US-ASCII")
     }
-    a.copy(content = out.array())
+    require(tag() == "RIFF", s"not a RIFF payload (doc ${a.doc_id})")
+    in.getInt // riff size (rewritten below)
+    require(tag() == "WAVE", s"not a WAVE payload (doc ${a.doc_id})")
+    val out = ByteBuffer.allocate(a.content.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(0) // size patched at end
+    out.put("WAVE".getBytes("US-ASCII"))
+    var fmtRatePos = -1
+    while (in.remaining() >= 8) {
+      val id = tag()
+      val size = in.getInt
+      val padded = size + (size & 1)
+      id match {
+        case "fmt " =>
+          out.put(id.getBytes("US-ASCII")).putInt(size)
+          fmtRatePos = out.position() + 4 // after format+channels shorts
+          val body = new Array[Byte](padded)
+          in.get(body)
+          out.put(body)
+        case "data" =>
+          require(size % 2 == 0, s"odd PCM data size (doc ${a.doc_id})")
+          val frames = size / 2
+          val kept = (frames + everyN - 1) / everyN
+          out.put(id.getBytes("US-ASCII")).putInt(kept * 2)
+          var i = 0
+          while (i < frames) {
+            val s = in.getShort
+            if (i % everyN == 0) out.putShort(s)
+            i += 1
+          }
+          if ((size & 1) == 1) in.get()
+          if ((kept * 2 & 1) == 1) out.put(0.toByte)
+        case _ =>
+          out.put(id.getBytes("US-ASCII")).putInt(size)
+          val body = new Array[Byte](padded)
+          in.get(body)
+          out.put(body)
+      }
+    }
+    require(fmtRatePos >= 0, s"no fmt chunk (doc ${a.doc_id})")
+    val rate = math.max(1, out.getInt(fmtRatePos) / everyN)
+    val blockAlign = out.getShort(fmtRatePos + 8).toInt
+    out.putInt(fmtRatePos, rate)              // sample rate ÷ N
+    out.putInt(fmtRatePos + 4, rate * blockAlign) // byte rate
+    val total = out.position()
+    out.putInt(4, total - 8)                  // RIFF size
+    val bytes = new Array[Byte](total)
+    out.rewind(); out.get(bytes)
+    a.copy(content = bytes)
   }
 
   // ---- decode ----
@@ -256,8 +311,7 @@ object MultimodalOps {
   }
 
   private def decodeImage(a: MediaAsset): MediaFeatures = {
-    val img = ImageIO.read(new ByteArrayInputStream(a.content))
-    require(img != null, s"undecodable ${a.format} payload (doc ${a.doc_id})")
+    val img = readImage(a)
     val (w, h) = (img.getWidth, img.getHeight)
     val hist = new Array[Double](16)
     val row = new Array[Int](w)

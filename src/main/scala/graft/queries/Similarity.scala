@@ -95,8 +95,10 @@ object Similarity extends QueryPack {
     */
   private def q33EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     // cache: the (v, nrm) projection feeds band-keying AND both sides
-    // of the verify join-back — 4 scans of the 64-dim norm otherwise
+    // of the verify join-back — 4 scans of the 64-dim norm otherwise;
+    // materialize before the self-join's concurrent scans race it
     val v = vecs(s, d).cache()
+    v.count()
     val keyed = v.select(col("vec_id"),
       explode(VectorOps.lshBandKeys(col("v"), DIM, BANDS, ROWS_PER_BAND))
         .as("bk"))
@@ -196,6 +198,12 @@ object Similarity extends QueryPack {
     * — run it on a sampled query set to monitor recall in production.
     */
   private def q38AnnRecall(s: SparkSession, d: String): DataFrame = {
+    // cache+materialize the shared projection once: the exact side
+    // scans it twice and the LSH self-join twice more; the builders
+    // below re-derive the same plan, which the cache manager matches
+    // by canonicalized plan equality
+    val v = vecs(s, d).cache()
+    v.count()
     val exact5 = TopKOps
       .topKPerGroup(scoredPairs(s, d, col("vec_id") < 20),
         Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
