@@ -29,6 +29,8 @@ object GraftSession {
       // arithmetic (see graft.queries.Events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // dogfood the cartesian/nested-loop lint on every engine query
+      .config("spark.graft.failOnCartesian", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

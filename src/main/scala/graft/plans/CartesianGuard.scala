@@ -10,20 +10,22 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
   * cluster scale (the reference ran exactly this on ~6k users,
   * hw4/hw4.py:104-110, which is lethal at 100 TB). Two shapes:
   *
-  *  1. no join condition at all — a cross product, virtually always an
-  *     authoring mistake in an analytics job;
-  *  2. an *inequality-only* condition (no top-level equality conjunct,
-  *     e.g. `a.id < b.id`): Spark has no hash key to shuffle on, so the
-  *     plan is a BroadcastNestedLoopJoin — O(|L|·|R|) work however the
-  *     predicate filters the output. Flagged only when BOTH sides'
-  *     estimated size exceeds `spark.graft.inequalityJoinMaxBytes`
-  *     (default 64 MiB): a bounded side (broadcast dim, filtered query
-  *     set) keeps the nested loop linear in the big side, which is the
-  *     legitimate theta-join shape (q7-style bounds ride on an equi key
-  *     and never hit this path).
+  *  1. no join condition at all — a cross product;
+  *  2. an *inequality-only* condition (no top-level cross-input
+  *     equality conjunct, e.g. `a.id < b.id`): Spark has no hash key
+  *     to shuffle on, so the plan is a BroadcastNestedLoopJoin —
+  *     O(|L|·|R|) work however the predicate filters the output.
   *
-  * Opt-in via `spark.graft.failOnCartesian=true` (default off: the
-  * engine's own bounded nested-loop baselines are legitimate).
+  * Both shapes are flagged only when BOTH sides' estimated size
+  * exceeds `spark.graft.inequalityJoinMaxBytes` (default 64 MiB) with
+  * no reducing operator (Filter/Limit/Aggregate/Sample) above the
+  * scan: a bounded side (broadcast dim, filtered query set, small
+  * aggregate) keeps the nested loop linear in the big side, which is
+  * the legitimate theta-join shape.
+  *
+  * Enabled via `spark.graft.failOnCartesian=true` — ON in the engine's
+  * own sessions (GraftSession/Verify/Bench), so every gate query
+  * dogfoods the lint; default off for embedders.
   */
 object CartesianGuard extends (LogicalPlan => Unit) {
 
@@ -60,10 +62,10 @@ object CartesianGuard extends (LogicalPlan => Unit) {
   /** Conservative "is this side plausibly bounded" test for the lint:
     * basic (non-CBO) stats pass a child's sizeInBytes through Filter
     * unchanged, so a filtered query set (`vec_id < 20` over a big
-    * table) would read as large. Any Filter in the subtree is assumed
-    * selective — the unbounded corpus-×-corpus shape the lint targets
-    * has bare scans on both sides, so this keeps the lint precise
-    * without CBO selectivity estimates.
+    * table) would read as large. Any Filter/Limit/Aggregate/Sample in
+    * the subtree is assumed reducing — the unbounded corpus-×-corpus
+    * shape the lint targets has bare scans on both sides, so this
+    * keeps the lint precise without CBO selectivity estimates.
     */
   private def unboundedAbove(side: LogicalPlan, maxBytes: Long): Boolean =
     side.stats.sizeInBytes > maxBytes &&
@@ -71,6 +73,15 @@ object CartesianGuard extends (LogicalPlan => Unit) {
         case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
         case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
         case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+        // typed/object pipelines (spark.ml's blocked factor cross
+        // joins, Dataset-from-RDD sources) report the default
+        // sizeInBytes (Long.MaxValue) — unknown, not "large"; the lint
+        // targets declarative plans over stats-bearing sources
+        case _: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => true
+        case _: org.apache.spark.sql.execution.ExternalRDD[_] => true
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
         case _ => false
       }
 
@@ -80,20 +91,23 @@ object CartesianGuard extends (LogicalPlan => Unit) {
         val maxBytes =
           s.conf.get(MAX_BYTES, DEFAULT_MAX_BYTES.toString).toLong
         plan.foreach {
-          case j @ Join(_, _, Inner | Cross, None, _) =>
-            throw new IllegalStateException(
-              s"[graft] unguarded cartesian join rejected ($FLAG=true): " +
-                s"add a join condition or an explicit bound. Plan:\n$j")
-          case j @ Join(l, r, Inner | Cross, Some(cond), _)
-              if !hasCrossEquiConjunct(cond, l, r) &&
+          // Both shapes are size-gated: a nested loop with one bounded
+          // side (broadcast dim, filtered query set, small aggregate)
+          // is linear in the big side and legitimate — e.g. the 10-row
+          // centroid assign cross join. Only big-unbounded × big-
+          // unbounded is the cluster-killer.
+          case j @ Join(l, r, Inner | Cross, cond, _)
+              if !cond.exists(hasCrossEquiConjunct(_, l, r)) &&
                 unboundedAbove(l, maxBytes) &&
                 unboundedAbove(r, maxBytes) =>
+            val shape = if (cond.isEmpty) "condition-less cartesian"
+              else "inequality-only"
             throw new IllegalStateException(
-              s"[graft] inequality-only join over two large unbounded " +
-                s"inputs rejected ($FLAG=true, both sides > $maxBytes " +
-                s"bytes): no cross-input hash key means a nested-loop " +
-                s"O(n^2) scan. Add an equi conjunct (bucket/band key) " +
-                s"or bound one side. Plan:\n$j")
+              s"[graft] $shape join over two large unbounded inputs " +
+                s"rejected ($FLAG=true, both sides > $maxBytes bytes): " +
+                s"no cross-input hash key means a nested-loop O(n^2) " +
+                s"scan. Add an equi conjunct (bucket/band key) or bound " +
+                s"one side. Plan:\n$j")
           case _ =>
         }
       }

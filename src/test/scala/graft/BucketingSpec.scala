@@ -51,47 +51,39 @@ class BucketingSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle on the bucket key:\n${plan.take(1500)}")
   }
 
-  test("cartesian guard rejects condition-less joins when enabled") {
-    val a = spark.range(10).toDF("x")
-    val b = spark.range(10).toDF("y")
-    spark.conf.set(CartesianGuard.FLAG, "true")
-    try {
-      val e = intercept[Exception] { a.crossJoin(b).collect() }
-      assert(e.getMessage.contains("cartesian"), e.getMessage)
-      // bounded/conditioned joins still pass
-      assert(a.join(b, col("x") === col("y")).count() === 10)
-      assert(a.join(b, col("x") < col("y")).count() === 45)
-    } finally spark.conf.set(CartesianGuard.FLAG, "false")
-  }
-
-  test("cartesian guard rejects inequality-only joins over two large inputs") {
+  test("cartesian guard rejects unbounded cartesian and inequality-only joins") {
     val a = spark.range(10000).toDF("x")
     val b = spark.range(10000).toDF("y")
-    spark.conf.set(CartesianGuard.FLAG, "true")
+    // the engine sessions run with the guard ON; tighten the size
+    // threshold so the 10k-row test inputs count as "large"
     spark.conf.set(CartesianGuard.MAX_BYTES, "1024")
     try {
-      val e = intercept[Exception] {
+      // condition-less cross product over two large inputs
+      val e = intercept[Exception] { a.crossJoin(b).collect() }
+      assert(e.getMessage.contains("cartesian"), e.getMessage)
+      // inequality-only: no hash key → nested loop → rejected
+      val e1 = intercept[Exception] {
         a.join(b, col("x") < col("y")).count()
       }
-      assert(e.getMessage.contains("inequality-only"), e.getMessage)
+      assert(e1.getMessage.contains("inequality-only"), e1.getMessage)
+      // a same-side equality is NOT a hash key → still rejected
+      val e2 = intercept[Exception] {
+        a.join(b, col("y") === col("y") && col("x") < col("y")).count()
+      }
+      assert(e2.getMessage.contains("inequality-only"), e2.getMessage)
       // an equi conjunct gives a hash key → allowed even with a bound
       assert(a.join(b, col("x") === col("y") && col("x") < lit(5))
         .count() === 5)
       // a bounded (small) side keeps the nested loop linear → allowed
       val small = spark.range(3).toDF("y")
       assert(a.join(small, col("x") < col("y")).count() === 3)
-      // a same-side equality is NOT a hash key → still rejected
-      val e2 = intercept[Exception] {
-        a.join(b, col("y") === col("y") && col("x") < col("y")).count()
-      }
-      assert(e2.getMessage.contains("inequality-only"), e2.getMessage)
+      // a tiny cross join (broadcast-dim shape, e.g. the IVF centroid
+      // assign) is linear work → allowed
+      assert(small.crossJoin(spark.range(4).toDF("z")).count() === 12)
       // a filtered side is assumed bounded (basic stats don't shrink
       // through Filter, so the lint trusts the author's predicate)
       assert(a.filter(col("x") < 5).join(b, col("x") < col("y"))
         .count() > 0)
-    } finally {
-      spark.conf.set(CartesianGuard.FLAG, "false")
-      spark.conf.unset(CartesianGuard.MAX_BYTES)
-    }
+    } finally spark.conf.unset(CartesianGuard.MAX_BYTES)
   }
 }
