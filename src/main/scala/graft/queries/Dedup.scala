@@ -88,7 +88,11 @@ object Dedup extends QueryPack {
     * work only inside a bucket (LSH-bounded).
     */
   private def q28LshBandPairs(s: SparkSession, d: String): DataFrame = {
-    val bd = bandsDf(s, d)
+    // the band relation is narrow (doc_id, band, key) — cache and
+    // materialize it so the self-join's two concurrent scans don't
+    // each recompute (or race) the tokenize→shingle→md5→minhash chain
+    val bd = bandsDf(s, d).cache()
+    bd.count()
     val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
     val b = bd.select(col("doc_id").as("d2"), col("band").as("band2"),
       col("key").as("key2"))
@@ -138,6 +142,8 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
+    bnd.count() // see q28: don't recompute/race the signature chain
     val a = bnd.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
       col("band"), col("key"))
     val b = bnd.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
@@ -174,7 +180,8 @@ object Dedup extends QueryPack {
     * construction so |intersect| is the exact shared-gram count.
     */
   private def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sets = hashed(s, d).select(col("doc_id"), col("sh"))
+    val sets = hashed(s, d).select(col("doc_id"), col("sh")).cache()
+    sets.count() // fetched twice (both pair sides) — compute once
     val cands = q28LshBandPairs(s, d).select(col("d1"), col("d2"))
     cands
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
