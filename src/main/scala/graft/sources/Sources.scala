@@ -110,4 +110,47 @@ object Sources {
     val out = if (coalesce1) df.coalesce(1) else df
     out.write.mode("overwrite").text(path)
   }
+
+  /** Partitioned parquet sink — the standard 100 TB table layout:
+    * `path/col=value/part-*.parquet` directories so reads filtering on
+    * the partition column scan only matching directories (partition
+    * pruning, visible as `PartitionFilters` in the scan plan, prunes
+    * BEFORE any I/O — the single most important data-skipping
+    * mechanism at scale). Partition by low-cardinality columns only;
+    * a high-cardinality partition key produces a small-files explosion
+    * (see [[compact]]).
+    */
+  def writePartitionedParquet(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-files compaction — the maintenance pass every long-lived
+    * ingest table needs: streaming/append writers leave thousands of
+    * KB-sized files whose per-file open/footer cost dominates scans.
+    * Rewrites each partition directory into ~`bytes/targetFileBytes`
+    * files via a rebalancing repartition (a real shuffle, paid once,
+    * amortized over every later scan). Returns the compacted reader.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (bytes / BigInt(targetFileBytes)).toLong +
+        (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: rewrite target from the compacted copy, then
+    // drop the temp dir through the cluster filesystem (works on
+    // HDFS/S3A/local alike)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tmpPath, true)
+    spark.read.parquet(path)
+  }
 }

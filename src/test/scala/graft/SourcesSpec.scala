@@ -82,6 +82,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(col("s") === "a,b").count() === 1)
   }
 
+  test("partitioned parquet write prunes directories on partition filters") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Files.createTempDirectory("graft-part").toString + "/docs"
+    Sources.writePartitionedParquet(docs, out, Seq("lang"))
+    // layout: one directory per lang value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.length >= 2, s"expected lang= dirs, got ${dirs.toSeq}")
+    // read back with a partition filter: the scan must prune at the
+    // PLANNING level (PartitionFilters), before any file I/O
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("lang"), scan.take(1500))
+    val want = docs.filter(col("lang") === "en").count()
+    assert(back.count() === want)
+    assert(back.select(org.apache.spark.sql.functions.sum("doc_id")).head.getLong(0) ===
+      docs.filter(col("lang") === "en")
+        .select(org.apache.spark.sql.functions.sum("doc_id")).head.getLong(0))
+  }
+
+  test("compaction collapses a small-files table preserving every row") {
+    val sq = spark
+    import sq.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // simulate a streaming ingest: 40 tiny files
+    spark.range(4000).toDF("id").repartition(40)
+      .write.mode("overwrite").parquet(out)
+    val filesBefore = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 30, s"fixture should be fragmented: $filesBefore")
+    val compacted = Sources.compact(spark, out, targetFileBytes = 1L << 30)
+    val filesAfter = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore / 4,
+      s"compaction must collapse files: $filesBefore -> $filesAfter")
+    assert(compacted.count() === 4000)
+    assert(compacted.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === (0L until 4000L).sum)
+  }
+
   test("dirty-row policies: drop / sentinel / quarantine") {
     val sq = spark
     import sq.implicits._
