@@ -101,6 +101,33 @@ object StreamingOps {
       keys: Seq[String]): DataFrame =
     events.join(dim, keys)
 
+  /** Idempotent per-batch parquet write: each micro-batch lands in its
+    * own `batch_id=N` directory with overwrite semantics, so a RETRIED
+    * batch (at-least-once delivery after a failure) replaces its own
+    * prior output instead of appending duplicates — effectively
+    * exactly-once for a downstream reader of the whole directory tree.
+    */
+  def writeBatchIdempotent(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** Exactly-once file sink via foreachBatch + [[writeBatchIdempotent]]
+    * (checkpointed batch ids + idempotent per-batch dirs is the
+    * standard Structured Streaming exactly-once recipe for object
+    * stores without atomic rename).
+    */
+  def exactlyOnceParquetSink(
+      events: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), path, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Gap-based sessionization with typed per-user state
     * (flatMapGroupsWithState + event-time timeout): emits a
     * SessionSummary whenever a 30-min (default) inactivity gap closes a

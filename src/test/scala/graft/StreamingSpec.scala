@@ -131,6 +131,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("exactly-once sink: a retried batch replaces rather than duplicates") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.exactlyOnceParquetSink(
+      input.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(ev(1, 1, 100), ev(2, 1, 101))
+      query.processAllAvailable()
+      input.addData(ev(3, 2, 102))
+      query.processAllAvailable()
+      val all = spark.read.parquet(s"$dir/data")
+      assert(all.count() === 3)
+      // simulate an at-least-once REPLAY of batch 0 after a failure:
+      // the idempotent writer must overwrite its own directory, so the
+      // total is unchanged (an append sink would now show 5 rows)
+      val replay = Seq(ev(1, 1, 100), ev(2, 1, 101)).toDF()
+      StreamingOps.writeBatchIdempotent(replay, s"$dir/data", 0L)
+      assert(spark.read.parquet(s"$dir/data").count() === 3,
+        "retried batch must replace, not duplicate")
+      assert(spark.read.parquet(s"$dir/data")
+        .select("event_id").distinct().count() === 3)
+    } finally query.stop()
+  }
+
   test("sessionize folds late-but-within-watermark events without rewinding") {
     val sq = spark
     import sq.implicits._
