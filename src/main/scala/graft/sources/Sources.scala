@@ -129,28 +129,45 @@ object Sources {
   /** Small-files compaction — the maintenance pass every long-lived
     * ingest table needs: streaming/append writers leave thousands of
     * KB-sized files whose per-file open/footer cost dominates scans.
-    * Rewrites each partition directory into ~`bytes/targetFileBytes`
-    * files via a rebalancing repartition (a real shuffle, paid once,
-    * amortized over every later scan). Returns the compacted reader.
+    * Rewrites the table into ~`bytes/targetFileBytes` files via a
+    * rebalancing repartition (a real shuffle, paid once, amortized
+    * over every later scan), PRESERVING any `col=value` partition
+    * layout (auto-detected from the table), then swaps the compacted
+    * copy in with filesystem renames — metadata-only on HDFS/local,
+    * so the unavailability window is two namenode ops, not a second
+    * full rewrite. Returns the compacted reader.
     */
   def compact(
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val df = spark.read.parquet(path)
+    // preserve the partition layout: directory-derived columns come
+    // back from the relation's partitionSchema
+    val partCols = df.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          h: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        h.partitionSchema.fieldNames.toSeq
+    }.getOrElse(Nil)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1,
       (bytes / BigInt(targetFileBytes)).toLong +
         (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
     val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: rewrite target from the compacted copy, then
-    // drop the temp dir through the cluster filesystem (works on
-    // HDFS/S3A/local alike)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    val writer = df.repartition(nFiles).write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp)
+    // swap via rename, not a second rewrite: the tmp copy already has
+    // the target file sizing, and re-reading it would re-split by
+    // maxPartitionBytes and silently undo targetFileBytes
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tmpPath, true)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    require(fs.rename(tmpPath, target),
+      s"compaction swap failed: $tmp still holds the compacted table")
     spark.read.parquet(path)
   }
 }

@@ -104,8 +104,17 @@ object StreamingOps {
   /** Idempotent per-batch parquet write: each micro-batch lands in its
     * own `batch_id=N` directory with overwrite semantics, so a RETRIED
     * batch (at-least-once delivery after a failure) replaces its own
-    * prior output instead of appending duplicates — effectively
-    * exactly-once for a downstream reader of the whole directory tree.
+    * prior output instead of appending duplicates. Readers see the
+    * inferred `batch_id` partition column (useful provenance).
+    *
+    * Caveats a deployment must respect: the per-batch overwrite is not
+    * atomic for a reader scanning the tree DURING a (re)write of that
+    * batch — batch-level atomicity needs the built-in file sink's
+    * `_spark_metadata` manifest or a table format with commit
+    * protocol; this recipe trades that for replay-idempotence on
+    * object stores without atomic rename, where readers consume
+    * completed batches (e.g. downstream batch jobs), not in-flight
+    * ones.
     */
   def writeBatchIdempotent(batch: DataFrame, path: String,
       batchId: Long): Unit =

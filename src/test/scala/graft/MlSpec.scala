@@ -33,17 +33,18 @@ class MlSpec extends AnyFunSuite {
 
   test("als full fan-out emits ranked top-10 for every user AND every item") {
     val df = MlPacks.all("q56_als_all_recommend")(spark, sf).cache()
-    val sides = df.select(col("side")).distinct().collect()
-      .map(_.getString(0)).sorted
-    assert(sides.toSeq === Seq("item", "user"))
-    // every (side, id) group carries exactly ranks 1..10
-    val badGroups = df.groupBy(col("side"), col("id"))
-      .agg(count(lit(1)).as("n"), min(col("rank")).as("lo"),
-        max(col("rank")).as("hi"))
-      .filter(col("n") =!= 10 || col("lo") =!= 1 || col("hi") =!= 10)
-      .count()
-    assert(badGroups === 0L, "each user/item must get a dense top-10")
-    df.unpersist()
+    try {
+      val sides = df.select(col("side")).distinct().collect()
+        .map(_.getString(0)).sorted
+      assert(sides.toSeq === Seq("item", "user"))
+      // every (side, id) group carries exactly ranks 1..10
+      val badGroups = df.groupBy(col("side"), col("id"))
+        .agg(count(lit(1)).as("n"), min(col("rank")).as("lo"),
+          max(col("rank")).as("hi"))
+        .filter(col("n") =!= 10 || col("lo") =!= 1 || col("hi") =!= 10)
+        .count()
+      assert(badGroups === 0L, "each user/item must get a dense top-10")
+    } finally df.unpersist()
   }
 
   test("collectFeatures streams (features, label) rows for external DL") {

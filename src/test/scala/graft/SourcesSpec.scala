@@ -94,8 +94,10 @@ class SourcesSpec extends AnyFunSuite {
     // PLANNING level (PartitionFilters), before any file I/O
     val back = spark.read.parquet(out).filter(col("lang") === "en")
     val scan = back.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") &&
-      scan.contains("lang"), scan.take(1500))
+    // "PartitionFilters: [...]" prints even when empty — assert lang
+    // is INSIDE the brackets (actually pruned), not merely mentioned
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined,
+      scan.take(1500))
     val want = docs.filter(col("lang") === "en").count()
     assert(back.count() === want)
     assert(back.select(org.apache.spark.sql.functions.sum("doc_id")).head.getLong(0) ===
@@ -121,6 +123,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(compacted.count() === 4000)
     assert(compacted.agg(org.apache.spark.sql.functions.sum("id"))
       .head.getLong(0) === (0L until 4000L).sum)
+  }
+
+  test("compaction preserves a partitioned table's col=value layout") {
+    val sq = spark
+    import sq.implicits._
+    val out = Files.createTempDirectory("graft-compact-p").toString + "/t"
+    val src = spark.range(1000).toDF("id")
+      .withColumn("bucket", col("id") % 4)
+    Sources.writePartitionedParquet(
+      src.repartition(20), out, Seq("bucket"))
+    val compacted = Sources.compact(spark, out, targetFileBytes = 1L << 30)
+    // the bucket=N directories must survive compaction
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(dirs.length === 4, s"partition dirs lost: ${dirs.toSeq}")
+    assert(compacted.count() === 1000)
+    // and pruning still works on the compacted table
+    val scan = spark.read.parquet(out).filter(col("bucket") === 1)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(scan).isDefined,
+      scan.take(1500))
   }
 
   test("dirty-row policies: drop / sentinel / quarantine") {
