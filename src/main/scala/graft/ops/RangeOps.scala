@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe interval (range) joins.
+  *
+  * A naive `p BETWEEN lo AND hi` join condition has no equality for
+  * Spark to hash on, so the plan degenerates to a nested loop over
+  * |intervals|×|points| — the same O(n²) cliff CartesianGuard rejects.
+  * The standard fix (what a dedicated range-join optimizer does under
+  * the hood) is binning: replicate each interval into the fixed-width
+  * time bins it covers, put each point in its one bin, and equi-join
+  * on (keys…, bin) before applying the exact range predicate. Work
+  * becomes O(matches + intervals·bins-per-interval): linear, uniform
+  * shuffle keys, AQE-splittable.
+  */
+object RangeOps {
+
+  /** Inner interval join: rows of `intervals` (carrying `lo`/`hi`
+    * LONG bound columns) matched to rows of `points` (carrying point
+    * column `p`) with `lo <= p <= hi`, equi-keyed on `keys` +
+    * `binWidth`-sized bins. Each (interval, point) pair matches at
+    * most once — the point lives in exactly one bin — so no dedup
+    * step is needed. Pick `binWidth` ≈ the typical interval length:
+    * shorter bins replicate intervals more, longer bins grow the
+    * per-bin candidate set.
+    */
+  def intervalJoin(
+      intervals: DataFrame,
+      points: DataFrame,
+      keys: Seq[String],
+      lo: String,
+      hi: String,
+      p: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // exact integer DIV on the named columns (double division would
+    // round above 2^53 — ns-scale epochs live there). DIV truncates
+    // toward zero rather than flooring, which is still correct:
+    // trunc-div is monotone, so p ∈ [lo, hi] implies
+    // p DIV w ∈ [lo DIV w, hi DIV w] and the bin range covers it.
+    def bin(c: String): Column = expr(s"`$c` DIV $binWidth")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(bin(lo), bin(hi))))
+    val pointBinned = points.withColumn("__bin", bin(p))
+    binned
+      .join(pointBinned, keys :+ "__bin")
+      .filter(col(p) >= col(lo) && col(p) <= col(hi))
+      .drop("__bin")
+  }
+}

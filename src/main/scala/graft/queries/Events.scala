@@ -286,7 +286,49 @@ object Events extends QueryPack {
        WHERE event_type = 'purchase'
        ORDER BY event_id"""
 
+  /** q64: interval (range) join — for every purchase, how many views
+    * by the same user landed in the preceding 30 minutes. The naive
+    * `BETWEEN` condition is a nested loop; [[graft.ops.RangeOps
+    * .intervalJoin]] bins time at the interval width so the match is a
+    * (user, bin) equi-join with ≤2 replicas per interval — linear,
+    * AQE-splittable, and it passes the cartesian lint that rejects the
+    * naive form. The DuckDB mirror runs the plain theta join (tiny
+    * data), so the binned rewrite is hash-checked to be lossless.
+    */
+  private def q64IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val HALF_HOUR_US = 1800L * 1000000L
+    val purchases = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        tsUs.as("hi"))
+      .withColumn("lo", col("hi") - HALF_HOUR_US)
+    val views = ev(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), tsUs.as("v_us"))
+    val matched = graft.ops.RangeOps
+      .intervalJoin(purchases, views, Seq("user_id"),
+        lo = "lo", hi = "hi", p = "v_us", binWidth = HALF_HOUR_US)
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_views"))
+    purchases.select(col("p_id"))
+      .join(matched, Seq("p_id"), "left")
+      .select(col("p_id"), coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy(col("p_id"))
+  }
+
+  private val q64Sql =
+    s"""SELECT p.p_id, COUNT(v.user_id) AS n_views
+       FROM (SELECT user_id, event_id AS p_id, $tsUsSql AS p_us
+             FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN (SELECT user_id, $tsUsSql AS v_us
+                  FROM events WHERE event_type = 'view') v
+         ON v.user_id = p.user_id
+            AND v.v_us >= p.p_us - 1800 * 1000000
+            AND v.v_us <= p.p_us
+       GROUP BY p.p_id ORDER BY p.p_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_interval_join" -> q64IntervalJoin,
     "q40_hourly_windows" -> q40HourlyWindows,
     "q41_sessionization" -> q41Sessionization,
     "q42_json_props" -> q42JsonProps,
@@ -299,6 +341,7 @@ object Events extends QueryPack {
     "q62_asof_view_purchase" -> q62AsofViewPurchase)
 
   override val oracle: Map[String, String] = Map(
+    "q64_interval_join" -> q64Sql,
     "q40_hourly_windows" -> q40Sql,
     "q41_sessionization" -> q41Sql,
     "q42_json_props" -> q42Sql,

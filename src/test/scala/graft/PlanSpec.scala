@@ -102,6 +102,13 @@ class PlanSpec extends AnyFunSuite {
       s"the collected vocab is a plan literal, not a join:\n${p.take(1500)}")
   }
 
+  test("q64 interval join plans as a binned equi-join, not a nested loop") {
+    val p = planOf(Events.all("q64_interval_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range predicate must ride the (user, bin) hash key:\n${p.take(2000)}")
+  }
+
   test("scalar expression pipelines compile to whole-stage codegen") {
     val df = Relational.all("q9_order_size_class")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans are visible
