@@ -73,16 +73,37 @@ object DedupOps {
         list_transform($hsSql, h -> (h * ${as(i)} + ${bs(i)}) % $P),
         'min'), $P)"""
 
+  /** All K MinHash values in ONE traversal of the shingle array: an
+    * `aggregate` whose accumulator is the 8-long running-min array.
+    * Same integers as K separate [[minhash]] calls (min is
+    * order-independent), ~K× less per-row work — materialize the
+    * result once and `element_at` the components (the two-projection
+    * pattern CollapseProject preserves for multiply-referenced
+    * non-cheap expressions).
+    */
+  def minhashAll(hs: Column): Column =
+    aggregate(hs,
+      array_repeat(lit(P), as.size),
+      (acc, h) => array((0 until as.size).map(i =>
+        least(element_at(acc, i + 1),
+          pmod(h * lit(as(i)) + lit(bs(i)), lit(P)))): _*))
+
   /** 32-bit SimHash over pre-hashed shingles: bit j is set iff more than
-    * half the shingle hashes have bit j set.
+    * half the shingle hashes have bit j set. Computed as ONE traversal
+    * accumulating the 32 per-bit counts (the naive form — a
+    * filter+size per bit — walks and allocates the array 32 times per
+    * row), then a finish step folding counts into the bit mask; the
+    * accumulator and finish input are bound values, never recomputed.
     */
   def simhash(hs: Column): Column =
-    (0 until 32)
-      .map { j =>
-        val cnt = size(filter(hs, h => shiftright(h, j).bitwiseAND(lit(1L)) === 1L))
-        when(cnt * 2 > size(hs), lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    aggregate(hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) => array((0 until 32).map(j =>
+        element_at(acc, j + 1) +
+          shiftright(h, j).bitwiseAND(lit(1L))): _*),
+      counts => (0 until 32).map(j =>
+        when(element_at(counts, j + 1) * 2 > size(hs), lit(1L << j))
+          .otherwise(lit(0L))).reduce(_ + _))
 
   /** SQL mirror; `hs` must be a simple column/alias name (see CTE note
     * on [[shinglesSql]]).

@@ -39,9 +39,13 @@ object Dedup extends QueryPack {
                  ${DedupOps.shingleHashesSql("sh")} AS hs FROM s)"""
 
   private def sigs(s: SparkSession, d: String): DataFrame =
-    hashed(s, d).select(
-      col("doc_id") +:
-        (0 until 8).map(i => DedupOps.minhash(col("hs"), i).as(s"s$i")): _*)
+    hashed(s, d)
+      // one traversal for all 8 permutations; the extra projection is
+      // deliberate — `sig` is non-cheap and referenced 8×, so
+      // CollapseProject keeps it single-evaluation
+      .select(col("doc_id"), DedupOps.minhashAll(col("hs")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
 
   private val sigsCte = {
     val cols = (0 until 8)
