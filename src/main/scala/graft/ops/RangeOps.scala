@@ -35,14 +35,24 @@ object RangeOps {
       p: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!intervals.columns.contains("__bin") &&
+      !points.columns.contains("__bin"),
+      "__bin is reserved by intervalJoin")
+    val clash = (intervals.columns.toSet & points.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"non-key columns shared by both inputs would be ambiguous: $clash")
     // exact integer DIV on the named columns (double division would
     // round above 2^53 — ns-scale epochs live there). DIV truncates
     // toward zero rather than flooring, which is still correct:
     // trunc-div is monotone, so p ∈ [lo, hi] implies
     // p DIV w ∈ [lo DIV w, hi DIV w] and the bin range covers it.
     def bin(c: String): Column = expr(s"`$c` DIV $binWidth")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(lo), bin(hi))))
+    val binned = intervals
+      // a corrupt hi < lo row would explode into a huge DESCENDING
+      // bin sequence (sequence() steps -1 when start > stop); the
+      // theta semantics for such a row are "no match" — drop it first
+      .filter(col(lo) <= col(hi))
+      .withColumn("__bin", explode(sequence(bin(lo), bin(hi))))
     val pointBinned = points.withColumn("__bin", bin(p))
     binned
       .join(pointBinned, keys :+ "__bin")

@@ -297,11 +297,13 @@ object Events extends QueryPack {
     */
   private def q64IntervalJoin(s: SparkSession, d: String): DataFrame = {
     val HALF_HOUR_US = 1800L * 1000000L
+    // cached: feeds both the interval join and the zero-fill left join
     val purchases = ev(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"),
         tsUs.as("hi"))
       .withColumn("lo", col("hi") - HALF_HOUR_US)
+      .cache()
     val views = ev(s, d)
       .filter(col("event_type") === "view")
       .select(col("user_id"), tsUs.as("v_us"))

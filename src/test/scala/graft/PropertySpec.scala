@@ -83,6 +83,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhashAll equals the K independent minhash expressions") {
+    val sq = spark
+    import sq.implicits._
+    // the per-i form is the reference (it mirrors minhashSql); the
+    // one-pass accumulator must stay bit-identical to it
+    val hashes = Gen.listOf(Gen.chooseNum(0L, graft.ops.DedupOps.P - 1))
+    samples(hashes, 10).foreach { hs =>
+      val df = Seq(Tuple1(hs.toArray)).toDF("hs")
+      val sep = df.select((0 until 8)
+        .map(i => graft.ops.DedupOps.minhash(col("hs"), i)): _*)
+        .head().toSeq
+      val all = df.select(graft.ops.DedupOps.minhashAll(col("hs")))
+        .head().getSeq[Long](0)
+      assert(all.toSeq === sep, s"for $hs")
+    }
+  }
+
   test("removeOthers keeps only vocab tokens, preserving order and duplicates") {
     val sq = spark
     import sq.implicits._
