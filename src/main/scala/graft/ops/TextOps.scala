@@ -62,8 +62,20 @@ object TextOps {
   def tokensSql(x: String): String =
     s"list_filter(string_split(${cleanSql(x)}, ' '), w -> w <> '')"
 
-  /** Stable 60-bit token hash shared with the oracle: md5 hex prefix. */
+  /** Stable 60-bit token hash shared with the oracle: md5 prefix, as
+    * the native [[graft.plans.Md5PrefixLongExpr]] (digest bytes →
+    * long, no hex-string round-trip — it evaluates once per shingle
+    * per row inside interpreted lambdas, where the builtin chain's
+    * three allocations multiply).
+    */
   def tokenHash(c: Column): Column =
+    call_function("graft_md5_prefix64", c)
+
+  /** The builtin-composition reference form — bit-identical to
+    * [[tokenHash]] (property-tested), kept as the executable
+    * definition the DuckDB mirror is derived from.
+    */
+  def tokenHashReference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   def tokenHashSql(x: String): String =

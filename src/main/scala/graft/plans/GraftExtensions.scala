@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProductExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix64"),
+      new ExpressionInfo(classOf[Md5PrefixLongExpr].getName,
+        "graft_md5_prefix64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_md5_prefix64 takes exactly 1 argument")
+        Md5PrefixLongExpr(children.head)
+      }))
     ext.injectCheckRule(_ => CartesianGuard)
   }
 }

@@ -83,6 +83,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native md5-prefix hash is bit-identical to the conv-based reference") {
+    val sq = spark
+    import sq.implicits._
+    val strs = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("héllo wörld 你好"),
+      Gen.asciiPrintableStr))
+    val inputs = samples(strs, 6).flatten.distinct
+    val df = inputs.toDF("s")
+    val rows = df.select(
+      graft.ops.TextOps.tokenHash(col("s")).as("fast"),
+      graft.ops.TextOps.tokenHashReference(col("s")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows.nonEmpty)
+  }
+
   test("minhashAll equals the K independent minhash expressions") {
     val sq = spark
     import sq.implicits._
