@@ -33,18 +33,34 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune computed
     // columns, so projection-heavy queries would measure as ~free —
     // noop materializes every output row without write I/O.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            Some(e.getClass.getSimpleName)
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    def sweep(): Seq[(String, Double, Option[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              Some(e.getClass.getSimpleName)
+          }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
+    // Min-of-N repeats: one host-contention spike (GC pause, noisy
+    // neighbor stealing cores mid-fit) lands on whichever query was
+    // running and records a phantom 5x regression in the round artifact.
+    // The per-query MINIMUM over N full sweeps is the standard
+    // robust-timer answer — a query can't run faster than its true
+    // cost, so min converges on it. Errors are never masked: a query
+    // that fails in ANY sweep reports as failed (these are
+    // deterministic pipelines; intermittent failure is a real bug).
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+    val sweeps = (1 to repeats).map(_ => sweep())
+    val results = sweeps.transpose.map { runs =>
+      (runs.head._1, runs.map(_._2).min,
+        runs.collectFirst { case (_, _, Some(e)) => e })
     }
     // NOTE: caches are deliberately NOT cleared between queries here
     // (unlike Verify): plan-identical relations are legitimately shared

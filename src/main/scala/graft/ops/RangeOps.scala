@@ -24,7 +24,9 @@ object RangeOps {
     * most once — the point lives in exactly one bin — so no dedup
     * step is needed. Pick `binWidth` ≈ the typical interval length:
     * shorter bins replicate intervals more, longer bins grow the
-    * per-bin candidate set.
+    * per-bin candidate set. An interval spanning more than
+    * `maxBinsPerInterval` bins fails the job loudly (per-row check)
+    * rather than silently exploding the stage.
     */
   def intervalJoin(
       intervals: DataFrame,
@@ -33,8 +35,11 @@ object RangeOps {
       lo: String,
       hi: String,
       p: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     require(!intervals.columns.contains("__bin") &&
       !points.columns.contains("__bin"),
       "__bin is reserved by intervalJoin")
@@ -47,12 +52,26 @@ object RangeOps {
     // trunc-div is monotone, so p ∈ [lo, hi] implies
     // p DIV w ∈ [lo DIV w, hi DIV w] and the bin range covers it.
     def bin(c: String): Column = expr(s"`$c` DIV $binWidth")
+    // Replication cap: ONE corrupt million-bin interval row (a bad
+    // epoch unit, a sentinel hi) would fan out into (hi-lo)/binWidth
+    // replicas and silently dominate the stage — fail loudly instead.
+    // The guard lives INSIDE the sequence bound (not a separate
+    // assert_true column, which column pruning would drop as unused):
+    // rows within the cap evaluate only the cheap comparison.
+    val span = bin(hi) - bin(lo) + lit(1L)
+    val hiGuarded = when(span <= lit(maxBinsPerInterval), bin(hi))
+      .otherwise(raise_error(format_string(
+        s"[graft] intervalJoin: interval [%s, %s] spans %s bins " +
+          s"(> maxBinsPerInterval=$maxBinsPerInterval at " +
+          s"binWidth=$binWidth) — raise binWidth or the cap, or " +
+          "filter corrupt intervals upstream",
+        col(lo), col(hi), span)).cast("long"))
     val binned = intervals
       // a corrupt hi < lo row would explode into a huge DESCENDING
       // bin sequence (sequence() steps -1 when start > stop); the
       // theta semantics for such a row are "no match" — drop it first
       .filter(col(lo) <= col(hi))
-      .withColumn("__bin", explode(sequence(bin(lo), bin(hi))))
+      .withColumn("__bin", explode(sequence(bin(lo), hiGuarded)))
     val pointBinned = points.withColumn("__bin", bin(p))
     binned
       .join(pointBinned, keys :+ "__bin")

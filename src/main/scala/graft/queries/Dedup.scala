@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -202,32 +202,143 @@ object Dedup extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val q31Sql =
-    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte,
-       withsets AS (SELECT p.d1, p.d2,
+  private val withsetsCte =
+    """withsets AS (SELECT p.d1, p.d2,
            CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_shared,
            CAST(len(x.sh) AS BIGINT) AS n1,
            CAST(len(y.sh) AS BIGINT) AS n2
          FROM pairs p
          JOIN hsrc x ON x.doc_id = p.d1
-         JOIN hsrc y ON y.doc_id = p.d2)
+         JOIN hsrc y ON y.doc_id = p.d2)"""
+
+  private val q31Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte
        SELECT d1, d2, n_shared,
          n_shared / (n1 + n2 - n_shared) AS jaccard
        FROM withsets
        WHERE n_shared / (n1 + n2 - n_shared) >= 0.8
        ORDER BY d1, d2"""
 
+  /** q75: near-dup CLUSTER formation — the step after verified pairs
+    * that "dedup" actually means: group the q31-verified pairs into
+    * connected components (distributed large-star/small-star,
+    * [[GraphOps.connectedComponents]] — no driver-side union-find) and
+    * label every document with its component's minimum doc_id.
+    * Singletons (docs in no verified pair) keep their own id, so the
+    * output is a total assignment over the corpus.
+    */
+  private def q75NeardupClusters(s: SparkSession, d: String): DataFrame = {
+    val verified = q31NgramJaccard(s, d).select(col("d1"), col("d2"))
+    val labels = GraphOps.connectedComponents(verified, "d1", "d2")
+    docs(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of the component labels: transitive closure of the
+    * verified-pair edge set via a recursive CTE (min reachable id ==
+    * the component minimum the star-contraction converges to).
+    */
+  private val ccCtes =
+    """verified AS (SELECT d1, d2 FROM withsets
+          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8),
+       sym AS (SELECT d1 AS u, d2 AS v FROM verified
+               UNION SELECT d2, d1 FROM verified),
+       reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s
+           ON r.v = s.u WHERE s.v <> r.u),
+       cmp AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+       labels AS (SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(c.mn, d.doc_id)) AS comp
+         FROM documents d LEFT JOIN cmp c ON c.doc_id = d.doc_id)"""
+
+  private val q75Sql =
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes
+       SELECT doc_id, comp FROM labels ORDER BY doc_id"""
+
+  /** q76: canonical-document selection + purge summary — one survivor
+    * per cluster (the minimum doc_id, which is the component label by
+    * construction) with the cluster size it absorbed. The purged corpus
+    * is exactly these survivor ids; `cluster_size - 1` docs per row
+    * were removed as near-duplicates.
+    */
+  private def q76DedupSurvivors(s: SparkSession, d: String): DataFrame =
+    q75NeardupClusters(s, d)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("comp").as("doc_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+
+  private val q76Sql =
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes
+       SELECT comp AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM labels GROUP BY comp ORDER BY doc_id"""
+
+  /** q77: benchmark-contamination check — the fraction of each
+    * document's trigram-shingle hashes that appear in a "benchmark"
+    * set (here: the shingles of every 50th doc, a deterministic
+    * stand-in for a held-out eval suite). The benchmark set is a
+    * broadcast-sized aggregate (eval suites are tiny next to a 100 TB
+    * corpus), so the scan side stays shuffle-free: one pass, per-row
+    * `array_intersect` against the broadcast array.
+    */
+  private def q77Contamination(s: SparkSession, d: String): DataFrame = {
+    val h = hashed(s, d)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+    val bench = h.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(col("hs")).as("bh"))
+      .agg(collect_set(col("bh")).as("bench"))
+    h.crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(array_intersect(col("hs"), col("bench"))).cast("long")
+          .as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q77Sql =
+    s"""WITH $hashedCte,
+       hh AS (SELECT doc_id, list_distinct(hs) AS hs FROM hsrc),
+       bench AS (SELECT DISTINCT unnest(hs) AS bh FROM hh
+                 WHERE doc_id % 50 = 0),
+       bl AS (SELECT list(bh) AS bench FROM bench),
+       scored AS (SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_grams,
+           CAST(len(list_intersect(hs, bench)) AS BIGINT) AS n_hit
+         FROM hh CROSS JOIN bl)
+       SELECT doc_id, n_grams, n_hit,
+         CASE WHEN n_grams > 0
+           THEN CAST(n_hit AS DOUBLE) / n_grams ELSE 0.0 END
+           AS contamination
+       FROM scored ORDER BY doc_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
     "q29_simhash" -> q29Simhash,
     "q30_simhash_pairs" -> q30SimhashPairs,
-    "q31_ngram_jaccard" -> q31NgramJaccard)
+    "q31_ngram_jaccard" -> q31NgramJaccard,
+    "q75_neardup_clusters" -> q75NeardupClusters,
+    "q76_dedup_survivors" -> q76DedupSurvivors,
+    "q77_contamination" -> q77Contamination)
 
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
     "q28_lsh_band_pairs" -> q28Sql,
     "q29_simhash" -> q29Sql,
     "q30_simhash_pairs" -> q30Sql,
-    "q31_ngram_jaccard" -> q31Sql)
+    "q31_ngram_jaccard" -> q31Sql,
+    "q75_neardup_clusters" -> q75Sql,
+    "q76_dedup_survivors" -> q76Sql,
+    "q77_contamination" -> q77Sql)
 }

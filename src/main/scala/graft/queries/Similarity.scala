@@ -235,6 +235,34 @@ object Similarity extends QueryPack {
        FROM exact5 e LEFT JOIN ann a ON a.qid = e.qid
        GROUP BY e.qid ORDER BY e.qid"""
 
+  /** q78: the one-row deployment metric beside q38's per-query bits —
+    * recall@5 of the LSH index over the audited query set. Pure
+    * aggregation over the q38 plan; the avg is exact (integer sum /
+    * count) so the oracle comparison stays bit-stable.
+    */
+  private def q78AnnRecallSummary(s: SparkSession, d: String): DataFrame =
+    q38AnnRecall(s, d)
+      .agg(count(lit(1)).as("n_queries"), avg(col("hit")).as("recall_at_5"))
+
+  private val q78Sql =
+    s"""WITH $vecsCte, $scoredCte,
+       exact5 AS (SELECT qid, cid FROM (
+         SELECT qid, cid,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM scored) WHERE rnk <= 5),
+       $annCtes,
+       ann AS (SELECT qid, cid AS ann_cid FROM (
+         SELECT qid, cid,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+         FROM bscored) WHERE rnk = 1 AND qid < 20),
+       hits AS (SELECT e.qid,
+           CAST(MAX(CASE WHEN e.cid = a.ann_cid THEN 1 ELSE 0 END) AS BIGINT)
+             AS hit
+         FROM exact5 e LEFT JOIN ann a ON a.qid = e.qid
+         GROUP BY e.qid)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         AVG(hit) AS recall_at_5 FROM hits"""
+
   /** q35: 5-NN majority-vote label prediction for the query set. */
   private def q35KnnClassify(s: SparkSession, d: String): DataFrame = {
     val top5 = TopKOps.topKPerGroup(
@@ -377,6 +405,7 @@ object Similarity extends QueryPack {
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q34_lsh_ann" -> q34LshAnn,
     "q38_ann_recall" -> q38AnnRecall,
+    "q78_ann_recall_summary" -> q78AnnRecallSummary,
     "q35_knn_classify" -> q35KnnClassify,
     "q36_label_centroids" -> q36LabelCentroids,
     "q37_ivf_ann" -> q37IvfAnn)
@@ -387,6 +416,7 @@ object Similarity extends QueryPack {
     "q33_embedding_neardup" -> q33Sql,
     "q34_lsh_ann" -> q34Sql,
     "q38_ann_recall" -> q38Sql,
+    "q78_ann_recall_summary" -> q78Sql,
     "q35_knn_classify" -> q35Sql,
     "q36_label_centroids" -> q36Sql)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ops.GraphOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sq = spark
+    import sq.implicits._
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Test-only reference: sequential union-find (fine on a driver in a
+    * TEST; the production operator must not do this).
+    */
+  private def ufRef(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are already minima because unions always point max -> min
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain collapses to one component labeled by its minimum") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate minimum labels") {
+    assert(cc(Seq((10L, 20L), (2L, 7L), (7L, 5L))) ===
+      Map(10L -> 10L, 20L -> 10L, 2L -> 2L, 5L -> 2L, 7L -> 2L))
+  }
+
+  test("self-loops, duplicates and reversed edges are normalized away") {
+    assert(cc(Seq((3L, 3L), (1L, 2L), (2L, 1L), (1L, 2L))) ===
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge list yields empty labels") {
+    assert(cc(Seq.empty) === Map.empty[Long, Long])
+  }
+
+  test("matches a union-find reference on a randomized graph") {
+    // deterministic seed: the gate must not flake
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(edges) === ufRef(edges))
+  }
+
+  test("long path needs multiple star rounds but stays under maxIter") {
+    // a 64-node path is the worst diameter-per-node shape
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size === 64 && got.values.forall(_ == 0L))
+  }
+}

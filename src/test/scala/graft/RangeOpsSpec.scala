@@ -70,4 +70,22 @@ class RangeOpsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("ambiguous"))
   }
+
+  test("intervalJoin fails loudly on an interval exceeding the bin cap") {
+    // one corrupt interval spanning ~10^5 bins must kill the job with a
+    // diagnostic, not silently fan out the replicas
+    val intervals = mkIntervals(Seq(
+      (1L, 10L, 0L, 1000000L), (1L, 11L, 100L, 200L)))
+    val points = mkPoints(Seq((1L, 1L, 150L)))
+    val e = intercept[Exception] {
+      RangeOps.intervalJoin(intervals, points, Seq("k"),
+        "lo", "hi", "p", 10L).count()
+    }
+    assert(e.getMessage.contains("maxBinsPerInterval"))
+    // a raised cap lets the same call through (correct result: the
+    // point matches both the narrow and the wide interval)
+    val ok = RangeOps.intervalJoin(intervals, points, Seq("k"),
+      "lo", "hi", "p", 10L, maxBinsPerInterval = 200000L)
+    assert(ok.count() === 2L)
+  }
 }
