@@ -6,7 +6,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Opaque media asset: binary payload + typed metadata. Image/audio/
@@ -71,6 +71,50 @@ object MultimodalOps {
         (pmod(col("doc_id"), lit(7)) * 64 + 64).cast("int").as("width"),
         (pmod(col("doc_id"), lit(5)) * 64 + 64).cast("int").as("height"),
         encode(col("text"), "UTF-8").as("content"))
+      .as[MediaAsset]
+  }
+
+  /** Executor-side media-file writer: each asset's payload lands as a
+    * real `doc_<id>_<w>x<h>.<format>` file under `dir` through the
+    * Hadoop FileSystem API (local path, HDFS, or object store alike) —
+    * payload bytes never touch the driver. The inverse of
+    * [[readMediaAssets]]; together they close the loop between "codec
+    * plumbing" and a real on-disk media corpus.
+    */
+  def writeMediaFiles(assets: Dataset[MediaAsset], dir: String): Unit =
+    assets.foreachPartition { (it: Iterator[MediaAsset]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      fs.mkdirs(base)
+      it.foreach { a =>
+        val p = new org.apache.hadoop.fs.Path(base,
+          s"doc_${a.doc_id}_${a.width}x${a.height}.${a.format}")
+        val out = fs.create(p, true)
+        try out.write(a.content) finally out.close()
+      }
+    }
+
+  /** SURVEY §2.1 S5 at its real destination: ingest a media directory
+    * through Spark's `binaryFile` source (distributed file listing +
+    * content read, split across executors by
+    * `spark.sql.files.maxPartitionBytes` like any other scan) and
+    * recover the typed metadata from the file names written by
+    * [[writeMediaFiles]]. Non-matching files are skipped — a media
+    * drop-zone always carries strays — and the name-derived fields are
+    * parsed only after the pattern filter so ANSI casts can't throw.
+    */
+  def readMediaAssets(spark: SparkSession, path: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val re = "doc_(\\d+)_(\\d+)x(\\d+)\\.([a-z0-9]+)$"
+    spark.read.format("binaryFile").load(path)
+      .filter(col("path").rlike(re))
+      .select(
+        regexp_extract(col("path"), re, 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), re, 4).as("format"),
+        regexp_extract(col("path"), re, 2).cast("int").as("width"),
+        regexp_extract(col("path"), re, 3).cast("int").as("height"),
+        col("content"))
       .as[MediaAsset]
   }
 
@@ -242,9 +286,11 @@ object MultimodalOps {
 
   /** Chunk-walking decimation (same RIFF discipline as [[decodeWav]]):
     * non-data chunks are copied verbatim, the data chunk keeps every
-    * `everyN`-th 16-bit frame, and the fmt rates are divided so the
-    * duration is preserved. Works on any standards-compliant PCM WAV,
-    * not just the canonical 44-byte header [[encodeWav]] writes.
+    * `everyN`-th FRAME — a `blockAlign`-sized byte block, so stereo
+    * interleaving and 24/32-bit sample boundaries survive intact — and
+    * the fmt rates are divided so the duration is preserved. Works on
+    * any standards-compliant PCM WAV (fmt must precede data, as the
+    * spec requires: the frame size comes from the fmt chunk).
     */
   private def sampleWavOne(a: MediaAsset, everyN: Int): MediaAsset = {
     val in = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
@@ -259,6 +305,7 @@ object MultimodalOps {
     out.put("RIFF".getBytes("US-ASCII")).putInt(0) // size patched at end
     out.put("WAVE".getBytes("US-ASCII"))
     var fmtRatePos = -1
+    var blockAlign = 0
     while (in.remaining() >= 8) {
       val id = tag()
       val size = in.getInt
@@ -266,23 +313,40 @@ object MultimodalOps {
       id match {
         case "fmt " =>
           out.put(id.getBytes("US-ASCII")).putInt(size)
+          // parse the fields the decimation depends on (positions are
+          // fixed by the spec), then copy the chunk bytes verbatim
+          val fmtStart = in.position()
+          require(in.getShort == 1, s"only PCM wav supported (doc ${a.doc_id})")
+          val channels = in.getShort.toInt
+          in.getInt // sample rate (rewritten below)
+          in.getInt // byte rate
+          blockAlign = in.getShort.toInt
+          val bits = in.getShort.toInt
+          require(bits % 8 == 0 && blockAlign == channels * (bits / 8),
+            s"inconsistent fmt chunk: channels=$channels bits=$bits " +
+              s"blockAlign=$blockAlign (doc ${a.doc_id})")
           fmtRatePos = out.position() + 4 // after format+channels shorts
+          in.position(fmtStart)
           val body = new Array[Byte](padded)
           in.get(body)
           out.put(body)
         case "data" =>
-          require(size % 2 == 0, s"odd PCM data size (doc ${a.doc_id})")
-          val frames = size / 2
+          require(blockAlign > 0,
+            s"data chunk before fmt chunk (doc ${a.doc_id})")
+          require(size % blockAlign == 0,
+            s"PCM data not frame-aligned (doc ${a.doc_id})")
+          val frames = size / blockAlign
           val kept = (frames + everyN - 1) / everyN
-          out.put(id.getBytes("US-ASCII")).putInt(kept * 2)
+          out.put(id.getBytes("US-ASCII")).putInt(kept * blockAlign)
+          val frame = new Array[Byte](blockAlign)
           var i = 0
           while (i < frames) {
-            val s = in.getShort
-            if (i % everyN == 0) out.putShort(s)
+            in.get(frame)
+            if (i % everyN == 0) out.put(frame)
             i += 1
           }
           if ((size & 1) == 1) in.get()
-          if ((kept * 2 & 1) == 1) out.put(0.toByte)
+          if ((kept * blockAlign & 1) == 1) out.put(0.toByte)
         case _ =>
           out.put(id.getBytes("US-ASCII")).putInt(size)
           val body = new Array[Byte](padded)
@@ -292,7 +356,6 @@ object MultimodalOps {
     }
     require(fmtRatePos >= 0, s"no fmt chunk (doc ${a.doc_id})")
     val rate = math.max(1, out.getInt(fmtRatePos) / everyN)
-    val blockAlign = out.getShort(fmtRatePos + 8).toInt
     out.putInt(fmtRatePos, rate)              // sample rate ÷ N
     out.putInt(fmtRatePos + 4, rate * blockAlign) // byte rate
     val total = out.position()

@@ -39,13 +39,15 @@ object CartesianGuard extends (LogicalPlan => Unit) {
     * a NESTED equality inside a negation is not a key either, so only
     * cross-side top-level conjuncts count.
     */
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   private def hasCrossEquiConjunct(
       cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+    def conjuncts(e: Expression): Seq[Expression] = splitConjuncts(e)
     def crossSides(l: Expression, r: Expression): Boolean =
       l.references.nonEmpty && r.references.nonEmpty &&
         ((l.references.subsetOf(left.outputSet) &&
@@ -62,15 +64,23 @@ object CartesianGuard extends (LogicalPlan => Unit) {
   /** Conservative "is this side plausibly bounded" test for the lint:
     * basic (non-CBO) stats pass a child's sizeInBytes through Filter
     * unchanged, so a filtered query set (`vec_id < 20` over a big
-    * table) would read as large. Any Filter/Limit/Aggregate/Sample in
-    * the subtree is assumed reducing — the unbounded corpus-×-corpus
+    * table) would read as large. Any non-trivial Filter (at least one
+    * conjunct beyond IsNotNull) or Limit/Aggregate/Sample in the
+    * subtree is assumed reducing — the unbounded corpus-×-corpus
     * shape the lint targets has bare scans on both sides, so this
     * keeps the lint precise without CBO selectivity estimates.
     */
   private def unboundedAbove(side: LogicalPlan, maxBytes: Long): Boolean =
     side.stats.sizeInBytes > maxBytes &&
       !side.exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+        // an IsNotNull-only filter (Spark injects these under every
+        // inner join) reduces nothing — it must not disarm the lint
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          splitConjuncts(f.condition).exists {
+            case _: org.apache.spark.sql.catalyst.expressions.IsNotNull =>
+              false
+            case _ => true
+          }
         case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
         case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
         case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
@@ -107,7 +117,10 @@ object CartesianGuard extends (LogicalPlan => Unit) {
                 s"rejected ($FLAG=true, both sides > $maxBytes bytes): " +
                 s"no cross-input hash key means a nested-loop O(n^2) " +
                 s"scan. Add an equi conjunct (bucket/band key) or bound " +
-                s"one side. Plan:\n$j")
+                s"one side. (Note the lint's escape hatch: any " +
+                s"non-IsNotNull Filter on a side marks it bounded — " +
+                s"make sure such a filter is actually selective.) " +
+                s"Plan:\n$j")
           case _ =>
         }
       }

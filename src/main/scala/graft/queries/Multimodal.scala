@@ -71,10 +71,41 @@ object Multimodal extends QueryPack {
       .orderBy(col("format"))
   }
 
+  /** q65: the real `binaryFile` ingest path — synthesize actual
+    * PNG/JPEG/WAV payloads, land them as FILES on disk
+    * ([[MultimodalOps.writeMediaFiles]], executor-side), ingest the
+    * directory back through `spark.read.format("binaryFile")` with
+    * metadata recovered from the file names, and feature-extract the
+    * ingested corpus. This is how a production media pipeline actually
+    * starts — a drop-zone of files, not an in-flight synthesized
+    * column (rows-only: codec byte streams aren't SQL-expressible).
+    */
+  private def q65BinaryfileIngest(s: SparkSession, d: String): DataFrame = {
+    val sq = s
+    import sq.implicits._
+    val media = MultimodalOps.synthesizeMedia(
+      assets(s, d).filter($"doc_id" < 30))
+    // deterministic per-SF scratch dir: reruns overwrite in place
+    val dir = System.getProperty("java.io.tmpdir") +
+      s"/graft_media_${Integer.toHexString(d.hashCode)}"
+    MultimodalOps.writeMediaFiles(media, dir)
+    val ingested = MultimodalOps.readMediaAssets(s, dir)
+    MultimodalOps.extractFeatures(ingested).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("byte_len")).cast("long").as("sum_bytes"),
+        sum(col("dec_width").cast("long") * col("dec_height"))
+          .as("sum_dec_pixels"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+      .orderBy(col("format"))
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_stats" -> q60MediaStats,
     "q61_media_features" -> q61MediaFeatures,
-    "q63_media_pipeline" -> q63MediaPipeline)
+    "q63_media_pipeline" -> q63MediaPipeline,
+    "q65_binaryfile_ingest" -> q65BinaryfileIngest)
 
   override val oracle: Map[String, String] = Map(
     "q60_media_stats" -> q60Sql)

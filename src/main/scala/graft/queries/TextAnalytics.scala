@@ -310,14 +310,16 @@ object TextAnalytics extends QueryPack {
     ct.orderBy(col(ct.columns.head))
   }
 
+  /** The mirror must discover its column set from the data exactly like
+    * `stat.crosstab` does — a hardcoded lang list would silently
+    * narrow (or break) on any fixture whose languages differ. DuckDB's
+    * PIVOT does precisely that: one column per distinct `lang` value,
+    * zero-filled counts.
+    */
   private val q57Sql =
-    """SELECT source AS source_lang,
-         COUNT(*) FILTER (WHERE lang = 'de') AS de,
-         COUNT(*) FILTER (WHERE lang = 'en') AS en,
-         COUNT(*) FILTER (WHERE lang = 'es') AS es,
-         COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
-         COUNT(*) FILTER (WHERE lang = 'zh') AS zh
-       FROM documents GROUP BY source ORDER BY source_lang"""
+    """WITH t AS (SELECT source AS source_lang, lang FROM documents)
+       SELECT * FROM (PIVOT t ON lang USING count(*) GROUP BY source_lang)
+       ORDER BY source_lang"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dynamic_crosstab" -> q57DynamicCrosstab,

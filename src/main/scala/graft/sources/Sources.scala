@@ -155,19 +155,44 @@ object Sources {
       (bytes / BigInt(targetFileBytes)).toLong +
         (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
     val tmp = path.stripSuffix("/") + "__compacting"
-    val writer = df.repartition(nFiles).write.mode("overwrite")
+    // For a partitioned table, shuffle BY the partition columns (plus
+    // nFiles as the slot count): a plain round-robin repartition sends
+    // every task a slice of every col=value directory, writing up to
+    // nFiles × |values| files — the small-files problem reborn.
+    // Hash-partitioned, each value's rows land in one task → one
+    // ~target-sized file per directory (per-VALUE sizing; a single
+    // giant partition value needs a subsplit key, which is a schema
+    // decision, not a compaction one).
+    val balanced =
+      if (partCols.nonEmpty)
+        df.repartition(nFiles, partCols.map(df.col): _*)
+      else df.repartition(nFiles)
+    val writer = balanced.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(tmp)
-    // swap via rename, not a second rewrite: the tmp copy already has
+    // Swap via renames, not a second rewrite: the tmp copy already has
     // the target file sizing, and re-reading it would re-split by
-    // maxPartitionBytes and silently undo targetFileBytes
+    // maxPartitionBytes and silently undo targetFileBytes. Rename the
+    // live table ASIDE first (never delete-then-rename: a crash in
+    // that window would leave no table at the primary path) — on any
+    // failure the original is recoverable at `path__old`.
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__old")
     val fs = target.getFileSystem(conf)
-    fs.delete(target, true)
-    require(fs.rename(tmpPath, target),
-      s"compaction swap failed: $tmp still holds the compacted table")
+    fs.delete(oldPath, true) // stale leftover from a prior crash
+    require(fs.rename(target, oldPath),
+      s"compaction swap failed moving the live table aside: $path " +
+        s"-> $oldPath; table untouched, compacted copy at $tmp")
+    if (!fs.rename(tmpPath, target)) {
+      // restore the original before failing — readers keep a table
+      fs.rename(oldPath, target)
+      sys.error(s"compaction swap failed: restored original at $path, " +
+        s"compacted copy left at $tmp")
+    }
+    fs.delete(oldPath, true)
     spark.read.parquet(path)
   }
 }

@@ -84,6 +84,12 @@ class BucketingSpec extends AnyFunSuite {
       // through Filter, so the lint trusts the author's predicate)
       assert(a.filter(col("x") < 5).join(b, col("x") < col("y"))
         .count() > 0)
+      // ...but an IsNotNull-only filter reduces nothing and must NOT
+      // disarm the lint
+      val e3 = intercept[Exception] {
+        a.filter(col("x").isNotNull).join(b, col("x") < col("y")).count()
+      }
+      assert(e3.getMessage.contains("inequality-only"), e3.getMessage)
     } finally spark.conf.unset(CartesianGuard.MAX_BYTES)
   }
 }

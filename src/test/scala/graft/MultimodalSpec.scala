@@ -114,4 +114,56 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.dec_height === 1)
     }
   }
+
+  test("frame sampling keeps stereo frames intact (blockAlign-sized)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built stereo 16-bit WAV: frame i = (L=i, R=1000+i), 10 frames
+    val frames = 10
+    val dataLen = frames * 4
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(2)        // PCM, stereo
+    buf.putInt(8000).putInt(8000 * 4)  // sample rate, byte rate
+    buf.putShort(4).putShort(16)       // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until frames).foreach { i =>
+      buf.putShort(i.toShort).putShort((1000 + i).toShort)
+    }
+    val sq = spark
+    import sq.implicits._
+    val asset = graft.ops.MediaAsset(99L, "wav", 0, 0, buf.array())
+    val sampled = MultimodalOps
+      .sampleFrames(Seq(asset).toDS(), 2).collect().head
+    val out = ByteBuffer.wrap(sampled.content).order(ByteOrder.LITTLE_ENDIAN)
+    out.position(44) // canonical header layout is preserved verbatim
+    val kept = (0 until 5).map(_ => (out.getShort.toInt, out.getShort.toInt))
+    // every 2nd FRAME survives as an intact (L, R) pair — a sample-wise
+    // decimator would have scrambled channels into (0,2),(4,6),...
+    assert(kept === Seq((0, 1000), (2, 1002), (4, 1004), (6, 1006), (8, 1008)))
+    assert(out.getInt(40) === 5 * 4, "data chunk size must be 5 frames")
+  }
+
+  test("binaryFile ingest round-trips payloads and metadata bit-exactly") {
+    val sq = spark
+    import sq.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = MultimodalOps
+      .synthesizeMedia(MultimodalOps.assetsFromDocuments(docs)
+        .filter($"doc_id" < 20))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_binaryfile_spec").toString
+    MultimodalOps.writeMediaFiles(media, dir)
+    // a stray non-media file must be skipped by the name filter
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "README.txt"), "stray".getBytes)
+    val got = MultimodalOps.readMediaAssets(spark, dir).collect()
+      .map(a => a.doc_id ->
+        (a.format, a.width, a.height, a.content.toSeq)).toMap
+    val want = media.collect()
+      .map(a => a.doc_id ->
+        (a.format, a.width, a.height, a.content.toSeq)).toMap
+    assert(got === want, "ingested corpus differs from the written one")
+  }
 }

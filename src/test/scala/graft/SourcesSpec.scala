@@ -133,12 +133,21 @@ class SourcesSpec extends AnyFunSuite {
       .withColumn("bucket", col("id") % 4)
     Sources.writePartitionedParquet(
       src.repartition(20), out, Seq("bucket"))
-    val compacted = Sources.compact(spark, out, targetFileBytes = 1L << 30)
+    // small target → several write tasks; the partition-col shuffle
+    // must still produce ~one file per bucket=N directory, not
+    // nFiles × |values| round-robin slices
+    val compacted = Sources.compact(spark, out, targetFileBytes = 16L << 10)
     // the bucket=N directories must survive compaction
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("bucket=")).sorted
     assert(dirs.length === 4, s"partition dirs lost: ${dirs.toSeq}")
     assert(compacted.count() === 1000)
+    dirs.foreach { dn =>
+      val files = new java.io.File(s"$out/$dn").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"$dn holds ${files.length} files — compaction re-fragmented it")
+    }
     // and pruning still works on the compacted table
     val scan = spark.read.parquet(out).filter(col("bucket") === 1)
       .queryExecution.executedPlan.toString
