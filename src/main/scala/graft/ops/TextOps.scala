@@ -90,6 +90,36 @@ object TextOps {
     s"len(list_filter($toksSql, w -> w IN ($lits)))"
   }
 
+  /** Heuristic document-quality score from length / diversity /
+    * stopword-ratio signals (the q23 formula, shared so curation
+    * pipelines filter on the exact same number the audit query
+    * reports). Pure per-row FP in a fixed expression order →
+    * bit-identical across engines without fixed-point lifting.
+    */
+  def qualityScore(toks: Column): Column = {
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val stopHits = lexiconHits(toks, stopwords)
+    val uniqRatio =
+      when(nTok > 0, nUniq / nTok.cast("double")).otherwise(0.0)
+    val stopRatio =
+      when(nTok > 0, stopHits / nTok.cast("double")).otherwise(0.0)
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    lenScore * 0.4 + uniqRatio * 0.3 + stopRatio * 0.3
+  }
+
+  def qualityScoreSql(toksSql: String): String = {
+    val nTok = s"len($toksSql)"
+    val nUniq = s"len(list_distinct($toksSql))"
+    val stopHits = lexiconHitsSql(toksSql, stopwords)
+    val uniqRatio =
+      s"CASE WHEN $nTok > 0 THEN $nUniq / CAST($nTok AS DOUBLE) ELSE 0.0 END"
+    val stopRatio =
+      s"CASE WHEN $nTok > 0 THEN $stopHits / CAST($nTok AS DOUBLE) ELSE 0.0 END"
+    val lenScore = s"least($nTok / 100.0, 1.0)"
+    s"($lenScore * 0.4 + $uniqRatio * 0.3 + $stopRatio * 0.3)"
+  }
+
   /** Language-ID via marker-word counts, ties resolved by CASE order. */
   def langId(toks: Column): Column = {
     val scores = langMarkers.map { case (l, ws) => l -> lexiconHits(toks, ws) }

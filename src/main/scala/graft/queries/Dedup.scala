@@ -322,6 +322,69 @@ object Dedup extends QueryPack {
            AS contamination
        FROM scored ORDER BY doc_id"""
 
+  /** q79: end-to-end corpus curation — the flagship training-data
+    * pipeline shape, composed from audited parts: near-dup purge (keep
+    * each q75 cluster's canonical doc) ∘ quality filter (the exact
+    * q23 score via the shared [[TextOps.qualityScore]] builder, cut at
+    * 0.40). One corpus pass for scoring + the candidate-driven dedup
+    * chain; the output IS the training corpus a downstream tokenizer
+    * would consume.
+    */
+  private def q79CuratedCorpus(s: SparkSession, d: String): DataFrame = {
+    val canon = q75NeardupClusters(s, d)
+      .filter(col("doc_id") === col("comp"))
+      .select(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.qualityScore(TextOps.tokens(col("text"))).as("quality"))
+      .join(canon, Seq("doc_id"))
+      .filter(col("quality") >= 0.40)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql = {
+    val qual = TextOps.qualityScoreSql(TextOps.tokensSql("text"))
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       canon AS (SELECT doc_id FROM labels WHERE doc_id = comp),
+       scored AS (SELECT doc_id, lang, source, $qual AS quality
+                  FROM documents)
+       SELECT s.doc_id, s.lang, s.source, s.quality
+       FROM scored s JOIN canon USING (doc_id)
+       WHERE s.quality >= 0.40 ORDER BY s.doc_id"""
+  }
+
+  /** q82: dedup observability — per-source duplication rate: how many
+    * of each source's documents would the near-dup purge remove (docs
+    * whose cluster canonical is another doc). The report every corpus
+    * curation run ships next to its output: a source with an outlier
+    * dup_rate is a crawler bug or a content farm. Aggregation over the
+    * q75 labels — one uniform groupBy, no extra corpus pass.
+    */
+  private def q82SourceDupRates(s: SparkSession, d: String): DataFrame = {
+    val labels = q75NeardupClusters(s, d)
+    docs(s, d).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("comp"), 1L).otherwise(0L))
+          .as("n_purged"))
+      .select(col("source"), col("n_docs"), col("n_purged"),
+        (col("n_purged").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val q82Sql =
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes
+       SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN l.comp <> l.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purged,
+         CAST(SUM(CASE WHEN l.comp <> l.doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS dup_rate
+       FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+       GROUP BY d.source ORDER BY d.source"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
@@ -330,7 +393,9 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q75_neardup_clusters" -> q75NeardupClusters,
     "q76_dedup_survivors" -> q76DedupSurvivors,
-    "q77_contamination" -> q77Contamination)
+    "q77_contamination" -> q77Contamination,
+    "q79_curated_corpus" -> q79CuratedCorpus,
+    "q82_source_dup_rates" -> q82SourceDupRates)
 
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
@@ -340,5 +405,7 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q76_dedup_survivors" -> q76Sql,
-    "q77_contamination" -> q77Sql)
+    "q77_contamination" -> q77Sql,
+    "q79_curated_corpus" -> q79Sql,
+    "q82_source_dup_rates" -> q82Sql)
 }

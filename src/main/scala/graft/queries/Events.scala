@@ -191,6 +191,36 @@ object Events extends QueryPack {
        ORDER BY event_id"""
 
   /** q46: lag-based inter-event gap statistics per user. */
+  /** q80: distribution-position window functions — `percent_rank` +
+    * `cume_dist` of each user's activity within its event type (the
+    * "where does this user sit in the distribution" audit every
+    * engagement pipeline runs). Ordering is (count, user_id) — unique,
+    * integer-only — so the emitted ratios are exact int divisions and
+    * bit-identical across engines.
+    */
+  private def q80RankDistributions(s: SparkSession, d: String): DataFrame = {
+    val perUser = ev(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events"), col("user_id"))
+    perUser
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  private val q80Sql =
+    """WITH pu AS (SELECT event_type, user_id, COUNT(*) AS n_events
+                   FROM events GROUP BY 1, 2)
+       SELECT event_type, user_id, n_events,
+         percent_rank() OVER
+           (PARTITION BY event_type ORDER BY n_events, user_id) AS pr,
+         cume_dist() OVER
+           (PARTITION BY event_type ORDER BY n_events, user_id) AS cd
+       FROM pu ORDER BY event_type, user_id"""
+
   private def q46GapStats(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -340,10 +370,12 @@ object Events extends QueryPack {
     "q46_gap_stats" -> q46GapStats,
     "q47_value_quartiles" -> q47ValueQuartiles,
     "q48_hll_users" -> q48HllUsers,
-    "q62_asof_view_purchase" -> q62AsofViewPurchase)
+    "q62_asof_view_purchase" -> q62AsofViewPurchase,
+    "q80_rank_distributions" -> q80RankDistributions)
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
+    "q80_rank_distributions" -> q80Sql,
     "q40_hourly_windows" -> q40Sql,
     "q41_sessionization" -> q41Sql,
     "q42_json_props" -> q42Sql,

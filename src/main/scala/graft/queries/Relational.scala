@@ -285,6 +285,39 @@ object Relational extends QueryPack {
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        ORDER BY status, priority"""
 
+  /** q81: GROUPING SETS — the general form of the rollup/cube family
+    * (q13 covers ROLLUP): explicit set list with `grouping_id`
+    * disambiguating the aggregation level (both engines use the same
+    * first-arg-is-MSB bit convention). Expressed through `spark.sql`
+    * over a temp view — the SQL entry point is part of the engine's
+    * API surface, and GROUPING SETS has no DataFrame-side builder.
+    * One pass, partial-aggregated like any hash aggregate.
+    */
+  private def q81GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(1) AS n_orders
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))
+         ORDER BY status, priority, gid""")
+  }
+
+  private val q81Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                AS gid,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                               (o_orderstatus, o_orderpriority))
+       ORDER BY status, priority, gid"""
+
   /** TPC-H Q3-style shipping priority: selective dim filters pushed to
     * parquet, join, grouped exact revenue, global top-10 via
     * TakeOrderedAndProject.
@@ -502,6 +535,7 @@ object Relational extends QueryPack {
     "q11_union_branches" -> q11UnionBranches,
     "q12_minmax_normalize" -> q12MinmaxNormalize,
     "q13_rollup" -> q13Rollup,
+    "q81_grouping_sets" -> q81GroupingSets,
     "q14_shipping_priority" -> q14ShippingPriority,
     "q15_local_supplier_volume" -> q15LocalSupplierVolume,
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
@@ -526,6 +560,7 @@ object Relational extends QueryPack {
     "q11_union_branches" -> q11Sql,
     "q12_minmax_normalize" -> q12Sql,
     "q13_rollup" -> q13Sql,
+    "q81_grouping_sets" -> q81Sql,
     "q14_shipping_priority" -> q14Sql,
     "q15_local_supplier_volume" -> q15Sql,
     "q16_avg_price_by_brand" -> q16Sql,

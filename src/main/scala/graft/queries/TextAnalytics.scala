@@ -119,13 +119,14 @@ object TextAnalytics extends QueryPack {
     val stopHits = TextOps.lexiconHits(toks, TextOps.stopwords)
     val uniqRatio = when(nTok > 0, nUniq / nTok.cast("double")).otherwise(0.0)
     val stopRatio = when(nTok > 0, stopHits / nTok.cast("double")).otherwise(0.0)
-    val lenScore = least(nTok / lit(100.0), lit(1.0))
     docs(s, d).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       uniqRatio.as("uniq_ratio"),
       stopRatio.as("stop_ratio"),
-      (lenScore * 0.4 + uniqRatio * 0.3 + stopRatio * 0.3).as("quality"))
+      // the composite is the SHARED builder (TextOps.qualityScore) so
+      // curation filters (q79) cut on exactly the audited number
+      TextOps.qualityScore(toks).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -137,12 +138,11 @@ object TextAnalytics extends QueryPack {
       s"CASE WHEN $nTok > 0 THEN $nUniq / CAST($nTok AS DOUBLE) ELSE 0.0 END"
     val stopRatio =
       s"CASE WHEN $nTok > 0 THEN $stopHits / CAST($nTok AS DOUBLE) ELSE 0.0 END"
-    val lenScore = s"least($nTok / 100.0, 1.0)"
     s"""SELECT doc_id,
        CAST($nTok AS BIGINT) AS n_tokens,
        $uniqRatio AS uniq_ratio,
        $stopRatio AS stop_ratio,
-       ($lenScore * 0.4 + $uniqRatio * 0.3 + $stopRatio * 0.3) AS quality
+       ${TextOps.qualityScoreSql(toksSql)} AS quality
        FROM documents ORDER BY doc_id"""
   }
 

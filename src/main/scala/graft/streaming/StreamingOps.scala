@@ -137,6 +137,39 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Stream-stream interval join — the streaming twin of
+    * q64_interval_join: for each purchase, the views by the same user
+    * in the preceding `lookback` window, matched as the two streams
+    * flow. Both sides carry watermarks and the join condition bounds
+    * event-time in BOTH directions (equi key + time range), which is
+    * exactly what Structured Streaming needs to know when a buffered
+    * row can never match again: state per side is bounded by
+    * watermark + lookback, evicted continuously — not an unbounded
+    * buffer. (Batch twin: the binned equi-join in
+    * [[graft.ops.RangeOps.intervalJoin]]; here the micro-batch
+    * planner does the range-state bookkeeping instead of binning.)
+    */
+  def intervalJoinStream(
+      purchases: DataFrame,
+      views: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      lookback: String = "30 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val v = views
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"interval $lookback") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Gap-based sessionization with typed per-user state
     * (flatMapGroupsWithState + event-time timeout): emits a
     * SessionSummary whenever a 30-min (default) inactivity gap closes a

@@ -183,4 +183,33 @@ class StreamingSpec extends AnyFunSuite {
         "a late event must never rewind the session end")
     } finally query.stop()
   }
+
+  test("stream-stream interval join matches views in the purchase lookback") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val viewsIn = MemoryStream[StreamEvent]
+    val purchIn = MemoryStream[StreamEvent]
+    val joined = StreamingOps.intervalJoinStream(
+      purchIn.toDF(), viewsIn.toDF())
+    val query = joined.writeStream.format("memory").queryName("sij")
+      .outputMode("append").start()
+    try {
+      // user 1: views at t=40 (outside 30-min lookback), t=80, t=95;
+      // user 2: view at t=90 (other key) — purchase at t=100 by user 1
+      viewsIn.addData(ev(1, 1, 40), ev(2, 1, 80), ev(3, 1, 95),
+        ev(4, 2, 90))
+      purchIn.addData(ev(10, 1, 100, "purchase"))
+      query.processAllAvailable()
+      val got = spark.table("sij").collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("v_id"))).toSet
+      assert(got === Set((10L, 2L), (10L, 3L)),
+        "only same-user views inside [p_ts - 30 min, p_ts] may match")
+      // a view arriving in a LATER micro-batch but inside the window
+      // still joins (both sides buffer watermark-bounded state)
+      viewsIn.addData(ev(5, 1, 99))
+      query.processAllAvailable()
+      assert(spark.table("sij").count() === 3)
+    } finally query.stop()
+  }
 }
