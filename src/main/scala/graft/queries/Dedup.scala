@@ -289,16 +289,29 @@ object Dedup extends QueryPack {
     * `array_intersect` against the broadcast array.
     */
   private def q77Contamination(s: SparkSession, d: String): DataFrame = {
+    // NOT a broadcast-array + per-row array_intersect: that rescans
+    // the whole benchmark array once per document (|docs|×|bench|
+    // work — measured 17.5 s of a 79 s bench at sf0.1). Explode the
+    // doc shingles and hash-JOIN the broadcast benchmark TABLE
+    // instead: one linear pass, the join probes an executor-local
+    // hash map built once, and the per-doc hit count partial-
+    // aggregates map-side. Both sides are distinct so the count
+    // equals |hs ∩ bench| exactly.
     val h = hashed(s, d)
       .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+      .cache()
+    h.count() // three consumers below — materialize once, no races
     val bench = h.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(col("hs")).as("bh"))
-      .agg(collect_set(col("bh")).as("bench"))
-    h.crossJoin(broadcast(bench))
-      .select(col("doc_id"),
-        size(col("hs")).cast("long").as("n_grams"),
-        size(array_intersect(col("hs"), col("bench"))).cast("long")
-          .as("n_hit"))
+      .distinct()
+    val hits = h.select(col("doc_id"), explode(col("hs")).as("bh"))
+      .join(broadcast(bench), Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    h.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         when(col("n_grams") > 0,
           col("n_hit").cast("double") / col("n_grams"))

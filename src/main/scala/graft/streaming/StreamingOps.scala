@@ -89,6 +89,34 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dup ingest filter: drop an incoming document if a
+    * document with the same SimHash fingerprint was already admitted
+    * inside the watermark horizon. The fingerprint is the SAME
+    * per-row expression chain the batch dedup pack uses
+    * ([[graft.ops.DedupOps.simhash]] over trigram shingle hashes —
+    * pure Catalyst columns, so they run unchanged under the
+    * micro-batch planner), and the state is the watermark-bounded
+    * key set `dropDuplicatesWithinWatermark` maintains: a fingerprint
+    * is remembered only as long as the watermark can still admit a
+    * colliding late arrival. Exact-dup streaming filtering is
+    * [[dedupStream]]; this catches whitespace/reorder-level near-dups
+    * at signature granularity — the banded candidate-PAIR pipeline
+    * stays a batch job (it needs a self-join; see Dedup q28-q31).
+    */
+  def neardupDedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.ops.{DedupOps, TextOps}
+    docs
+      .withColumn("__simhash",
+        DedupOps.simhash(DedupOps.shingleHashes(
+          DedupOps.shingles(TextOps.tokens(col(textCol))))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension with the planner's normal join selection (a dim
     * under the broadcast threshold broadcasts automatically; a huge

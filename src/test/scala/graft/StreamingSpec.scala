@@ -184,6 +184,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup filter drops same-fingerprint docs across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    // event_type carries the document text for this test
+    def doc(id: Long, minute: Long, text: String) =
+      StreamEvent(id, new Timestamp(minute * 60000L), id, text, 1.0)
+    val query = StreamingOps
+      .neardupDedupStream(input.toDF(), textCol = "event_type")
+      .writeStream.format("memory").queryName("nds")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        doc(1, 10, "alpha beta gamma delta epsilon"),
+        doc(2, 11, "one two three four five"))
+      query.processAllAvailable()
+      // identical text in a LATER batch → same simhash → dropped;
+      // fresh text survives
+      input.addData(
+        doc(3, 12, "alpha beta gamma delta epsilon"),
+        doc(4, 13, "lorem ipsum dolor sit amet"))
+      query.processAllAvailable()
+      val ids = spark.table("nds").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(ids === Set(1L, 2L, 4L),
+        "the re-sent document must be dropped, fresh ones admitted")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches views in the purchase lookback") {
     val sq = spark
     import sq.implicits._
