@@ -73,15 +73,24 @@ object DedupOps {
         list_transform($hsSql, h -> (h * ${as(i)} + ${bs(i)}) % $P),
         'min'), $P)"""
 
-  /** All K MinHash values in ONE traversal of the shingle array: an
-    * `aggregate` whose accumulator is the 8-long running-min array.
-    * Same integers as K separate [[minhash]] calls (min is
-    * order-independent), ~K× less per-row work — materialize the
+  /** All K MinHash values in ONE traversal of the shingle array —
+    * the native codegen'd kernel
+    * ([[graft.plans.MinHashAllExpr]]; HOF lambdas evaluate interpreted
+    * and allocate an accumulator array per element). Same integers as
+    * K separate [[minhash]] calls (min is order-independent) and as
+    * [[minhashAllFold]], both property-pinned — materialize the
     * result once and `element_at` the components (the two-projection
     * pattern CollapseProject preserves for multiply-referenced
     * non-cheap expressions).
     */
   def minhashAll(hs: Column): Column =
+    call_function("graft_minhash_all", hs)
+
+  /** Builtin-composition reference form (no extensions needed): an
+    * `aggregate` whose accumulator is the 8-long running-min array.
+    * Bit-identical to [[minhashAll]] (PropertySpec).
+    */
+  def minhashAllFold(hs: Column): Column =
     aggregate(hs,
       array_repeat(lit(P), as.size),
       (acc, h) => array((0 until as.size).map(i =>
@@ -89,13 +98,19 @@ object DedupOps {
           pmod(h * lit(as(i)) + lit(bs(i)), lit(P)))): _*))
 
   /** 32-bit SimHash over pre-hashed shingles: bit j is set iff more than
-    * half the shingle hashes have bit j set. Computed as ONE traversal
-    * accumulating the 32 per-bit counts (the naive form — a
-    * filter+size per bit — walks and allocates the array 32 times per
-    * row), then a finish step folding counts into the bit mask; the
-    * accumulator and finish input are bound values, never recomputed.
+    * half the shingle hashes have bit j set — the native codegen'd
+    * kernel ([[graft.plans.SimHashExpr]]), bit-identical to
+    * [[simhashFold]] (PropertySpec).
     */
   def simhash(hs: Column): Column =
+    call_function("graft_simhash", hs)
+
+  /** Builtin-composition reference form: ONE traversal accumulating
+    * the 32 per-bit counts (the naive form — a filter+size per bit —
+    * walks and allocates the array 32 times per row), then a finish
+    * step folding counts into the bit mask.
+    */
+  def simhashFold(hs: Column): Column =
     aggregate(hs,
       array_repeat(lit(0L), 32),
       (acc, h) => array((0 until 32).map(j =>

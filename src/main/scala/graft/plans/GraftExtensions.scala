@@ -28,6 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_md5_prefix64 takes exactly 1 argument")
         Md5PrefixLongExpr(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_all"),
+      new ExpressionInfo(classOf[MinHashAllExpr].getName,
+        "graft_minhash_all"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_minhash_all takes exactly 1 argument")
+        MinHashAllExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash takes exactly 1 argument")
+        SimHashExpr(children.head)
+      }))
     ext.injectCheckRule(_ => CartesianGuard)
   }
 }

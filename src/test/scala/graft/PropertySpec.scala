@@ -102,7 +102,8 @@ class PropertySpec extends AnyFunSuite {
     val sq = spark
     import sq.implicits._
     // the per-i form is the reference (it mirrors minhashSql); the
-    // one-pass accumulator must stay bit-identical to it
+    // native kernel AND the one-pass HOF accumulator must both stay
+    // bit-identical to it
     val hashes = Gen.listOf(Gen.chooseNum(0L, graft.ops.DedupOps.P - 1))
     samples(hashes, 10).foreach { hs =>
       val df = Seq(Tuple1(hs.toArray)).toDF("hs")
@@ -111,8 +112,45 @@ class PropertySpec extends AnyFunSuite {
         .head().toSeq
       val all = df.select(graft.ops.DedupOps.minhashAll(col("hs")))
         .head().getSeq[Long](0)
+      val fold = df.select(graft.ops.DedupOps.minhashAllFold(col("hs")))
+        .head().getSeq[Long](0)
       assert(all.toSeq === sep, s"for $hs")
+      assert(fold.toSeq === sep, s"for $hs")
     }
+  }
+
+  test("native simhash equals the HOF fold reference") {
+    val sq = spark
+    import sq.implicits._
+    val hashes = Gen.listOf(Gen.chooseNum(0L, graft.ops.DedupOps.P - 1))
+    samples(hashes, 12).foreach { hs =>
+      val df = Seq(Tuple1(hs.toArray)).toDF("hs")
+      val native = df.select(graft.ops.DedupOps.simhash(col("hs")))
+        .head().getLong(0)
+      val fold = df.select(graft.ops.DedupOps.simhashFold(col("hs")))
+        .head().getLong(0)
+      assert(native === fold, s"for $hs")
+    }
+  }
+
+  test("signature kernels: codegen and interpreted paths agree") {
+    val sq = spark
+    import sq.implicits._
+    // single-row eval through head() exercises one path; a filter over
+    // many rows goes through whole-stage codegen — compare a digest of
+    // both expressions computed over a wider frame for good measure
+    val rows = (0 until 200).map { i =>
+      Tuple1((0 until i % 17).map(j => (i * 31L + j * 7L) % graft.ops.DedupOps.P).toArray)
+    }
+    val df = rows.toDF("hs")
+    val agg = df.select(
+      sum(graft.ops.DedupOps.simhash(col("hs"))).as("s1"),
+      sum(graft.ops.DedupOps.simhashFold(col("hs"))).as("s2"),
+      sum(element_at(graft.ops.DedupOps.minhashAll(col("hs")), 1)).as("m1"),
+      sum(element_at(graft.ops.DedupOps.minhashAllFold(col("hs")), 1)).as("m2"))
+      .head()
+    assert(agg.getLong(0) === agg.getLong(1))
+    assert(agg.getLong(2) === agg.getLong(3))
   }
 
   test("removeOthers keeps only vocab tokens, preserving order and duplicates") {
