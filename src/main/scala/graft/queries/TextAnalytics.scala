@@ -299,6 +299,77 @@ object TextAnalytics extends QueryPack {
        ORDER BY d.doc_id"""
   }
 
+  /** q83: deterministic hash-based train/valid/test split — the
+    * reproducible alternative to seeded `randomSplit` (M9): a doc's
+    * assignment is a pure function of its id (md5-prefix hash mod 100
+    * → 80/10/10), so it's stable across runs, engines, partitionings,
+    * and corpus growth (a new doc never moves an old one between
+    * splits — the property that keeps eval sets uncontaminated as a
+    * 100 TB corpus is re-ingested). Shuffle-free per-row expression.
+    */
+  private def q83HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(TextOps.tokenHash(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    docs(s, d).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q83Sql = {
+    val hash = TextOps.tokenHashSql("('split:' || CAST(doc_id AS VARCHAR))")
+    s"""SELECT doc_id, $hash % 100 AS bucket,
+         CASE WHEN $hash % 100 < 80 THEN 'train'
+              WHEN $hash % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id"""
+  }
+
+  /** q84: length-bucketed batch packing — group docs of similar token
+    * count into fixed-size training batches (length bucketing is what
+    * keeps padding waste down when batching variable-length
+    * sequences). Buckets are STATIC length ranges (not a global ntile,
+    * whose single-partition window would serialize at 100 TB), so the
+    * per-bucket row_number windows distribute across buckets; batch id
+    * = position DIV batch-size within the (length, id)-ordered bucket.
+    */
+  private def q84LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(toks).cast("long")
+    // Column `/` on longs is DOUBLE division — cast back to long
+    // (truncation == floor for non-negatives) to mirror DuckDB's `//`
+    val bucketed = docs(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        least((nTok / 16L).cast("long"), lit(7L)).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    bucketed
+      .select(col("bucket"), col("n_tokens"),
+        ((row_number().over(w) - 1) / 8).cast("long").as("batch_id"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  private val q84Sql =
+    s"""WITH b AS (SELECT doc_id,
+           CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           least(CAST(len($toksSql) AS BIGINT) // 16, 7) AS bucket
+         FROM documents),
+       packed AS (SELECT bucket, n_tokens,
+           CAST((row_number() OVER
+             (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) // 8
+             AS BIGINT) AS batch_id
+         FROM b)
+       SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+       FROM packed GROUP BY bucket, batch_id
+       ORDER BY bucket, batch_id"""
+
   /** q57: dynamic crosstab (hw2/BDM_hw2_final.py:248 `df.stat.crosstab`
     * over a DISCOVERED column set — unlike q8's static pivot list, the
     * output schema here comes from the data). Distinct-value discovery
@@ -324,6 +395,8 @@ object TextAnalytics extends QueryPack {
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_dynamic_crosstab" -> q57DynamicCrosstab,
     "q74_remove_others" -> q74RemoveOthers,
+    "q83_hash_split" -> q83HashSplit,
+    "q84_length_buckets" -> q84LengthBuckets,
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q71_cooccurrence" -> q71Cooccurrence,
     "q20_word_counts" -> q20WordCounts,
@@ -338,6 +411,8 @@ object TextAnalytics extends QueryPack {
   override val oracle: Map[String, String] = Map(
     "q57_dynamic_crosstab" -> q57Sql,
     "q74_remove_others" -> q74Sql,
+    "q83_hash_split" -> q83Sql,
+    "q84_length_buckets" -> q84Sql,
     "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
     "q21_top_words_per_lang" -> q21Sql,

@@ -115,4 +115,28 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(df)
     assert(p.contains("codegen id"), p.take(2000))
   }
+
+  test("q77 contamination probes the benchmark via a hash join, not a " +
+      "per-row array scan") {
+    val p = planOf(Dedup.all("q77_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark lookup must be a broadcast hash join:\n${p.take(2000)}")
+    assert(!p.contains("array_intersect"),
+      "the per-row array_intersect form rescans the benchmark " +
+        "array per document")
+  }
+
+  test("dedup signatures use the native codegen kernels") {
+    val p = planOf(Dedup.all("q27_minhash_signatures")(spark, sf))
+    assert(p.contains("graft_minhash_all"), p.take(2000))
+    val p2 = planOf(Dedup.all("q29_simhash")(spark, sf))
+    assert(p2.contains("graft_simhash"), p2.take(2000))
+  }
+
+  test("q83 hash split is a shuffle-free per-row projection") {
+    val p = planOf(TextAnalytics.all("q83_hash_split")(spark, sf))
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"split assignment must not shuffle (only the final sort may):\n" +
+        p.take(2000))
+  }
 }
