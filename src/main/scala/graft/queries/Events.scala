@@ -207,7 +207,8 @@ object Events extends QueryPack {
     perUser
       .select(col("event_type"), col("user_id"), col("n_events"),
         percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+        cume_dist().over(w).as("cd"),
+        dense_rank().over(w).cast("long").as("drnk"))
       .orderBy(col("event_type"), col("user_id"))
   }
 
@@ -218,7 +219,10 @@ object Events extends QueryPack {
          percent_rank() OVER
            (PARTITION BY event_type ORDER BY n_events, user_id) AS pr,
          cume_dist() OVER
-           (PARTITION BY event_type ORDER BY n_events, user_id) AS cd
+           (PARTITION BY event_type ORDER BY n_events, user_id) AS cd,
+         CAST(dense_rank() OVER
+           (PARTITION BY event_type ORDER BY n_events, user_id) AS BIGINT)
+           AS drnk
        FROM pu ORDER BY event_type, user_id"""
 
   private def q46GapStats(s: SparkSession, d: String): DataFrame = {

@@ -330,9 +330,13 @@ object Similarity extends QueryPack {
     * At 100 TB the cells are the partition key — each probe touches
     * 1/k of the corpus.
     */
-  private def q37IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    // (1) centroid arrays: 64 exact fixed-point means per label
+  /** IVF parts shared by q37 (nprobe=1) and q85 (nprobe=2):
+    * centroid build, query set, and the per-query `nprobe`
+    * nearest-centroid assignment.
+    */
+  private def ivfAssigned(
+      s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    // centroid arrays: 64 exact fixed-point means per label
     val centroids = emb(s, d)
       .select(col("label"), VectorOps.toDouble(col("embedding")).as("v"))
       .groupBy(col("label"))
@@ -340,23 +344,28 @@ object Similarity extends QueryPack {
         Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
       .select(col("label").as("clabel"), col("cv"),
         VectorOps.norm(col("cv")).as("cn"))
-    // (2) assign queries (vec_id < 20) to the nearest centroid
-    val q = v.filter(col("vec_id") < 20).select(col("vec_id").as("qid"),
-      col("v").as("qv"), col("nrm").as("qn"))
-    val assigned = TopKOps
+    val q = vecs(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    TopKOps
       .topKPerGroup(
         q.crossJoin(broadcast(centroids))
           .select(col("qid"), col("qv"), col("qn"), col("clabel"),
             round(VectorOps.dot(col("qv"), col("cv")) /
               (col("qn") * col("cn")), 6).as("ccos")),
-        Seq(col("qid")), Seq(col("ccos").desc, col("clabel").asc), 1,
+        Seq(col("qid")), Seq(col("ccos").desc, col("clabel").asc), nprobe,
         rankCol = "crnk")
       .select(col("qid"), col("qv"), col("qn"), col("clabel"))
-    // (3) exact search within the assigned cell only
-    val cell = v.select(col("vec_id").as("cid"), col("label").as("clabel"),
+  }
+
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id").as("cid"), col("label").as("clabel"),
       col("v").as("cv2"), col("nrm").as("cn2"))
-    val scored = assigned
-      .join(cell, Seq("clabel"))
+
+  private def q37IvfAnn(s: SparkSession, d: String): DataFrame = {
+    // exact search within the single assigned cell
+    val scored = ivfAssigned(s, d, nprobe = 1)
+      .join(ivfCells(s, d), Seq("clabel"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("clabel").cast("long").as("cell"), col("cid"),
         round(VectorOps.dot(col("qv"), col("cv2")) /
@@ -365,6 +374,28 @@ object Similarity extends QueryPack {
       .topKPerGroup(scored, Seq(col("qid")),
         Seq(col("cos").desc, col("cid").asc), 3)
       .select(col("qid"), col("cell"), col("cid"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("qid"), col("rnk"), col("cid"))
+  }
+
+  /** q85: IVF with nprobe=2 — the standard recall knob a deployed IVF
+    * index turns: probe the TWO nearest cells per query and take the
+    * global top-3 over their union. Cells are disjoint label
+    * partitions, so the probe fan-out is exactly nprobe× the q37 scan
+    * with no dedup step, and at 100 TB each probe still touches only
+    * its cell's partition.
+    */
+  private def q85IvfNprobe(s: SparkSession, d: String): DataFrame = {
+    val scored = ivfAssigned(s, d, nprobe = 2)
+      .join(ivfCells(s, d), Seq("clabel"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.dot(col("qv"), col("cv2")) /
+          (col("qn") * col("cn2")), 6).as("cos"))
+    TopKOps
+      .topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cid"), col("cos"),
         col("rnk").cast("long").as("rnk"))
       .orderBy(col("qid"), col("rnk"), col("cid"))
   }
@@ -400,6 +431,36 @@ object Similarity extends QueryPack {
        WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
   }
 
+  private val q85Sql = {
+    val centroidCols = (0 until DIM)
+      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+                 FROM vecs GROUP BY label),
+       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
+                  FROM cents),
+       q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+             WHERE vec_id < 20),
+       assigned AS (SELECT qid, qv, qn, clabel FROM (
+         SELECT q.qid, q.qv, q.qn, c.clabel,
+           RANK() OVER (PARTITION BY q.qid ORDER BY
+             round(${VectorOps.dotSql("qv", "cv")} / (qn * cn), 6) DESC,
+             c.clabel ASC) AS crnk
+         FROM q CROSS JOIN cents2 c) WHERE crnk <= 2),
+       cscored AS (SELECT a.qid, m.vec_id AS cid,
+           round(${VectorOps.dotSql("qv", "mv")} / (a.qn * m.nrm), 6) AS cos
+         FROM assigned a
+         JOIN (SELECT vec_id, label, v AS mv, nrm FROM n) m
+           ON m.label = a.clabel AND m.vec_id <> a.qid)
+       SELECT qid, cid, cos, rnk FROM (
+         SELECT qid, cid, cos,
+           RANK() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) AS rnk
+         FROM cscored)
+       WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_cosine_topk" -> q32CosineTopk,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
@@ -408,10 +469,12 @@ object Similarity extends QueryPack {
     "q78_ann_recall_summary" -> q78AnnRecallSummary,
     "q35_knn_classify" -> q35KnnClassify,
     "q36_label_centroids" -> q36LabelCentroids,
-    "q37_ivf_ann" -> q37IvfAnn)
+    "q37_ivf_ann" -> q37IvfAnn,
+    "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
     "q37_ivf_ann" -> q37Sql,
+    "q85_ivf_nprobe" -> q85Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
     "q34_lsh_ann" -> q34Sql,
