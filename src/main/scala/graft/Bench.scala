@@ -52,12 +52,21 @@ object Bench {
     // running and records a phantom 5x regression in the round artifact.
     // The per-query MINIMUM over N full sweeps is the standard
     // robust-timer answer — a query can't run faster than its true
-    // cost, so min converges on it. Errors are never masked: a query
-    // that fails in ANY sweep reports as failed (these are
-    // deterministic pipelines; intermittent failure is a real bug).
+    // cost, so min converges on it. Caches are cleared BETWEEN sweeps
+    // so every sweep measures the same thing (within a sweep the
+    // session-style cross-query reuse below still applies): without
+    // the clear, sweep 2 runs against sweep 1's populated caches and
+    // min() systematically reports warm-cache numbers that conflate
+    // cache warmth with the contention robustness this exists for.
+    // Errors are never masked: a query that fails in ANY sweep reports
+    // as failed (these are deterministic pipelines; intermittent
+    // failure is a real bug).
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
-    val sweeps = (1 to repeats).map(_ => sweep())
+    val sweeps = (1 to repeats).map { i =>
+      if (i > 1) spark.catalog.clearCache()
+      sweep()
+    }
     val results = sweeps.transpose.map { runs =>
       (runs.head._1, runs.map(_._2).min,
         runs.collectFirst { case (_, _, Some(e)) => e })

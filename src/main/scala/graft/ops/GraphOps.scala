@@ -70,9 +70,10 @@ object GraphOps {
       val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
       val nextSig = sig(next)
       // checksum gate first (one aggregate), exact set equality to
-      // confirm — stopping early on a collision would emit wrong labels
-      converged = nextSig == curSig &&
-        next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // confirm — stopping early on a collision would emit wrong
+      // labels. One-sided except suffices: the checksum gate already
+      // pinned equal cardinalities, and both sides are distinct.
+      converged = nextSig == curSig && next.exceptAll(cur).isEmpty
       cur = next
       curSig = nextSig
       it += 1

@@ -81,9 +81,20 @@ object MultimodalOps {
     * [[readMediaAssets]]; together they close the loop between "codec
     * plumbing" and a real on-disk media corpus.
     */
-  def writeMediaFiles(assets: Dataset[MediaAsset], dir: String): Unit =
+  def writeMediaFiles(assets: Dataset[MediaAsset], dir: String): Unit = {
+    // ship the SESSION's hadoop conf to executors (as a plain Map —
+    // Configuration isn't serializable): a bare new Configuration()
+    // would drop spark.hadoop.* settings like object-store credentials
+    val confMap = {
+      val c = assets.sparkSession.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     assets.foreachPartition { (it: Iterator[MediaAsset]) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.foreach { case (k, v) => conf.set(k, v) }
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(conf)
       fs.mkdirs(base)
@@ -94,6 +105,7 @@ object MultimodalOps {
         try out.write(a.content) finally out.close()
       }
     }
+  }
 
   /** SURVEY §2.1 S5 at its real destination: ingest a media directory
     * through Spark's `binaryFile` source (distributed file listing +

@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * forms (PropertySpec), which in turn mirror the DuckDB oracle SQL —
   * the chain of custody for hash-exactness.
   *
-  * Null contract (matches the HOF forms on the engine's domain: arrays
-  * of non-null 31-bit hashes): null array → null; null ELEMENTS are
-  * skipped (the HOF `least(acc, null)` also leaves the accumulator
-  * unchanged).
+  * Null contract — matches the HOF forms on ALL inputs, not just the
+  * engine's non-null domain: null array → null for both; a null
+  * ELEMENT is skipped by MinHash (the HOF `least(acc, null)` leaves
+  * the accumulator unchanged) but zeroes the whole SimHash signature
+  * (the HOF accumulator turns null at the first null element and the
+  * finish lambda's `when` then emits all-zero bits) — both pinned by
+  * PropertySpec including null-element cases.
   */
 object SignatureExprs {
   /** Arithmetic note: inputs are `pmod`-reduced to [0, P), coefficients
@@ -133,13 +136,12 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < 32) {
-          counts(j) += ((h >> j) & 1L).toInt
-          j += 1
-        }
+      if (arr.isNullAt(i)) return 0L // fold contract: null poisons → 0
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >> j) & 1L).toInt
+        j += 1
       }
       i += 1
     }
@@ -165,11 +167,15 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
+      val sawNull = ctx.freshName("sawNull")
       s"""
         int $n = $a.numElements();
         java.util.Arrays.fill($counts, 0);
-        for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i)) {
+        boolean $sawNull = false;
+        for (int $i = 0; $i < $n && !$sawNull; $i++) {
+          if ($a.isNullAt($i)) {
+            $sawNull = true; // fold contract: null poisons -> 0
+          } else {
             long $h = $a.getLong($i);
             for (int $j = 0; $j < 32; $j++) {
               $counts[$j] += (int) (($h >> $j) & 1L);
@@ -177,8 +183,10 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
           }
         }
         long $sig = 0L;
-        for (int $j = 0; $j < 32; $j++) {
-          if (2L * $counts[$j] > $n) $sig |= 1L << $j;
+        if (!$sawNull) {
+          for (int $j = 0; $j < 32; $j++) {
+            if (2L * $counts[$j] > $n) $sig |= 1L << $j;
+          }
         }
         ${ev.value} = $sig;
       """

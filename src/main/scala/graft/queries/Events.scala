@@ -190,7 +190,6 @@ object Events extends QueryPack {
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
 
-  /** q46: lag-based inter-event gap statistics per user. */
   /** q80: distribution-position window functions — `percent_rank` +
     * `cume_dist` of each user's activity within its event type (the
     * "where does this user sit in the distribution" audit every
@@ -225,6 +224,7 @@ object Events extends QueryPack {
            AS drnk
        FROM pu ORDER BY event_type, user_id"""
 
+  /** q46: lag-based inter-event gap statistics per user. */
   private def q46GapStats(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -85,9 +85,15 @@ object Multimodal extends QueryPack {
     import sq.implicits._
     val media = MultimodalOps.synthesizeMedia(
       assets(s, d).filter($"doc_id" < 30))
-    // deterministic per-SF scratch dir: reruns overwrite in place
+    // deterministic per-SF scratch dir, CLEARED before the write: a
+    // per-file overwrite alone would leave stale differently-named
+    // files from a prior fixture behind, and the ingest would silently
+    // count them
     val dir = System.getProperty("java.io.tmpdir") +
       s"/graft_media_${Integer.toHexString(d.hashCode)}"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(dirPath, true)
     MultimodalOps.writeMediaFiles(media, dir)
     val ingested = MultimodalOps.readMediaAssets(s, dir)
     MultimodalOps.extractFeatures(ingested).toDF()

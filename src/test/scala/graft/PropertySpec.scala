@@ -133,6 +133,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("signature kernels honor the fold null contract on null elements") {
+    val sq = spark
+    import sq.implicits._
+    // a null ELEMENT: minhash skips it (least(acc, null) == acc);
+    // simhash zeroes the whole signature (poisoned fold accumulator)
+    val withNull = Seq(Tuple1(Array[java.lang.Long](3L, null, 5L))).toDF("hs")
+    val nat = withNull.select(
+      graft.ops.DedupOps.simhash(col("hs")),
+      graft.ops.DedupOps.minhashAll(col("hs"))).head()
+    val ref = withNull.select(
+      graft.ops.DedupOps.simhashFold(col("hs")),
+      graft.ops.DedupOps.minhashAllFold(col("hs"))).head()
+    assert(nat.getLong(0) === ref.getLong(0))
+    assert(nat.getLong(0) === 0L)
+    assert(nat.getSeq[Long](1) === ref.getSeq[Long](1))
+    // null ARRAY → null for every form
+    val nullArr = Seq(Tuple1(null: Array[java.lang.Long])).toDF("hs")
+    val r = nullArr.select(
+      graft.ops.DedupOps.simhash(col("hs")),
+      graft.ops.DedupOps.minhashAll(col("hs"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("signature kernels: codegen and interpreted paths agree") {
     val sq = spark
     import sq.implicits._
