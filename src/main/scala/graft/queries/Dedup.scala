@@ -398,6 +398,46 @@ object Dedup extends QueryPack {
        FROM documents d JOIN labels l ON l.doc_id = d.doc_id
        GROUP BY d.source ORDER BY d.source"""
 
+  /** q86: INCREMENTAL dedup — the daily-ingest fast path: admit a new
+    * batch of documents (the top 20% of doc_ids, scale-relative cut)
+    * only if they near-dup no EARLIER document (corpus or
+    * earlier-in-batch). This is an index lookup against the banded
+    * signatures — the same uniform (band, key) equi-join, no
+    * recomputation of corpus-internal pairs — not the transitive
+    * cluster pass (q75/q76 remain the periodic compaction that handles
+    * chains). Greedy-by-id admission is deterministic and mirrors
+    * exactly.
+    */
+  private def q86IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    // scale-relative corpus/batch split: cut = (max_id+1)*4/5 — exact
+    // integer math, same number at every SF on both engines
+    val cut = docs(s, d)
+      .agg((((max(col("doc_id")) + 1) * 4) / 5).cast("long").as("cut"))
+    val verified = q31NgramJaccard(s, d).select(col("d1"), col("d2"))
+    docs(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut"))
+      .join(verified, col("doc_id") === col("d2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("d1")).as("n_dup_matches"))
+      .select(col("doc_id"), col("n_dup_matches"),
+        (col("n_dup_matches") === 0).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q86Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       verified AS (SELECT d1, d2 FROM withsets
+          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8),
+       cutoff AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS cut
+                  FROM documents)
+       SELECT d.doc_id,
+         CAST(COUNT(v.d1) AS BIGINT) AS n_dup_matches,
+         COUNT(v.d1) = 0 AS admitted
+       FROM documents d LEFT JOIN verified v ON v.d2 = d.doc_id
+       WHERE d.doc_id >= (SELECT cut FROM cutoff)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
@@ -408,7 +448,8 @@ object Dedup extends QueryPack {
     "q76_dedup_survivors" -> q76DedupSurvivors,
     "q77_contamination" -> q77Contamination,
     "q79_curated_corpus" -> q79CuratedCorpus,
-    "q82_source_dup_rates" -> q82SourceDupRates)
+    "q82_source_dup_rates" -> q82SourceDupRates,
+    "q86_incremental_dedup" -> q86IncrementalDedup)
 
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
@@ -420,5 +461,6 @@ object Dedup extends QueryPack {
     "q76_dedup_survivors" -> q76Sql,
     "q77_contamination" -> q77Sql,
     "q79_curated_corpus" -> q79Sql,
-    "q82_source_dup_rates" -> q82Sql)
+    "q82_source_dup_rates" -> q82Sql,
+    "q86_incremental_dedup" -> q86Sql)
 }

@@ -285,6 +285,42 @@ object Relational extends QueryPack {
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        ORDER BY status, priority"""
 
+  /** q87: PII-style masking — the scrub step a training-data pipeline
+    * runs over identifier-bearing columns before anything leaves the
+    * trust boundary: flag values matching the ID pattern, count the
+    * digit payload, and emit a structure-preserving mask (all digits
+    * starred except the last 3, so joins on masked data still
+    * distinguish records without exposing the full identifier).
+    * Pure per-row regex/substring expressions — shuffle-free,
+    * codegen'd, linear at any scale.
+    */
+  private def q87PiiMask(s: SparkSession, d: String): DataFrame = {
+    val name = col("c_name")
+    val len = length(name)
+    val masked = concat(
+      regexp_replace(substring(name, lit(1), len - 3), "[0-9]", "*"),
+      substring(name, len - 2, lit(3)))
+    Tables(s, d, "customer").select(
+      col("c_custkey"),
+      name.rlike("^Customer#[0-9]+$").as("is_id_format"),
+      length(regexp_replace(name, "[^0-9]", "")).cast("long")
+        .as("n_digits"),
+      when(len >= 3, masked).otherwise(name).as("masked"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q87Sql =
+    """SELECT c_custkey,
+         regexp_matches(c_name, '^Customer#[0-9]+$') AS is_id_format,
+         CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+           AS n_digits,
+         CASE WHEN length(c_name) >= 3 THEN
+           regexp_replace(substr(c_name, 1, length(c_name) - 3),
+             '[0-9]', '*', 'g') ||
+           substr(c_name, length(c_name) - 2, 3)
+         ELSE c_name END AS masked
+       FROM customer ORDER BY c_custkey"""
+
   /** q81: GROUPING SETS — the general form of the rollup/cube family
     * (q13 covers ROLLUP): explicit set list with `grouping_id`
     * disambiguating the aggregation level (both engines use the same
@@ -536,6 +572,7 @@ object Relational extends QueryPack {
     "q12_minmax_normalize" -> q12MinmaxNormalize,
     "q13_rollup" -> q13Rollup,
     "q81_grouping_sets" -> q81GroupingSets,
+    "q87_pii_mask" -> q87PiiMask,
     "q14_shipping_priority" -> q14ShippingPriority,
     "q15_local_supplier_volume" -> q15LocalSupplierVolume,
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
@@ -561,6 +598,7 @@ object Relational extends QueryPack {
     "q12_minmax_normalize" -> q12Sql,
     "q13_rollup" -> q13Sql,
     "q81_grouping_sets" -> q81Sql,
+    "q87_pii_mask" -> q87Sql,
     "q14_shipping_priority" -> q14Sql,
     "q15_local_supplier_volume" -> q15Sql,
     "q16_avg_price_by_brand" -> q16Sql,
