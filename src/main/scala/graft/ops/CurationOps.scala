@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The corpus-curation pipeline as a PUBLIC library API — the same
+  * operators the gate queries (Dedup pack q27-q31, q75-q79, q86)
+  * exercise, callable on any `(doc_id LONG, text STRING, …)` frame so
+  * an embedding application doesn't have to reach into the query pack.
+  * (Reference analogue: hw3/hw3.py's MinHash-LSH ends at candidate
+  * pairs, hw3/hw3.py:165-169; this carries the pipeline through
+  * verification, cluster formation, canonical selection, and the
+  * quality cut — what "dedup a 100 TB corpus" actually requires.)
+  *
+  * Scale contract (same invariants ENGINE.md documents):
+  *   - signatures are per-row expressions — shuffle-free, scan-fused;
+  *   - every pairwise step is candidate-driven through a uniform
+  *     (band, key) equi-join — no all-pairs join anywhere;
+  *   - narrow relations that feed both sides of a self-join are
+  *     cached AND materialized first (two concurrent stage scans race
+  *     an unmaterialized cache and both recompute);
+  *   - cluster formation is the iterative star-contraction
+  *     ([[GraphOps.connectedComponents]]), not a driver union-find.
+  */
+object CurationOps {
+
+  /** doc_id + shingles + 31-bit shingle-hash array, as chained
+    * projections (each array column materialized once per row;
+    * CollapseProject keeps the md5 work single-evaluation because the
+    * arrays are non-cheap and multiply referenced downstream).
+    */
+  def shingleHashed(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), DedupOps.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        DedupOps.shingleHashes(col("sh")).as("hs"))
+
+  /** doc_id + the 8 MinHash signature components (native one-pass
+    * kernel; the extra projection is deliberate — `sig` is non-cheap
+    * and referenced 8×, so CollapseProject keeps it
+    * single-evaluation).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleHashed(docs)
+      .select(col("doc_id"), DedupOps.minhashAll(col("hs")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+
+  /** Banded signature keys: 4 bands × 2 signature rows, one pass over
+    * the signatures with an `explode` of band structs — a union of 4
+    * selects would recompute the whole tokenize→shingle→md5→minhash
+    * pipeline once per band (measured 4× the scan cost).
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val bandStructs = array((0 until DedupOps.bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+    }: _*)
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs (d1 < d2, n_shared_bands): docs agreeing on
+    * ≥1 full band. The join key (band, key) is a uniform hash →
+    * balanced shuffle; quadratic work only inside a bucket
+    * (LSH-bounded).
+    */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    // the band relation is narrow (doc_id, band, key) — cache and
+    // materialize it so the self-join's two concurrent scans don't
+    // each recompute (or race) the tokenize→shingle→md5→minhash chain
+    val bd = bandKeys(docs).cache()
+    bd.count()
+    val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
+    val b = bd.select(col("doc_id").as("d2"), col("band").as("band2"),
+      col("key").as("key2"))
+    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
+        col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Verified near-dup pairs: exact n-gram Jaccard ≥ `threshold`,
+    * computed ONLY for LSH candidates. Candidates (small) equi-join
+    * the shingle-set table twice to fetch both arrays, then a per-row
+    * `array_intersect` — no shingle explode, no wide shuffle. Shingle
+    * sets are distinct by construction so |intersect| is exact.
+    */
+  def verifiedPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleHashed(docs).select(col("doc_id"), col("sh")).cache()
+    sets.count() // fetched twice (both pair sides) — compute once
+    val cands = lshCandidatePairs(docs).select(col("d1"), col("d2"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+        Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("n_shared"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"))
+      .select(col("d1"), col("d2"), col("n_shared"),
+        (col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Total cluster assignment (doc_id, comp): connected components
+    * over the verified pairs, singletons labeled with their own id.
+    */
+  def clusterLabels(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val verified = verifiedPairs(docs, threshold)
+      .select(col("d1"), col("d2"))
+    val labels = GraphOps.connectedComponents(verified, "d1", "d2")
+    docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+  }
+
+  /** One survivor per cluster (the minimum doc_id — the component
+    * label by construction) with the cluster size it absorbed.
+    */
+  def survivors(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    clusterLabels(docs, threshold)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("comp").as("doc_id"), col("cluster_size"))
+
+  /** End-to-end curation: keep each cluster's canonical doc, then cut
+    * on the shared quality score ([[TextOps.qualityScore]]). Returns
+    * the input columns minus `textCol`, plus `quality` — the rows ARE
+    * the purged training corpus.
+    */
+  def curate(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      minQuality: Double = 0.40,
+      textCol: String = "text"): DataFrame = {
+    val canon = clusterLabels(docs, threshold)
+      .filter(col("doc_id") === col("comp"))
+      .select(col("doc_id"))
+    val kept = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    docs
+      .select(kept :+
+        TextOps.qualityScore(TextOps.tokens(col(textCol))).as("quality"): _*)
+      .join(canon, Seq("doc_id"))
+      .filter(col("quality") >= minQuality)
+  }
+}

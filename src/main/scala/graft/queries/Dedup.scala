@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{DedupOps, GraphOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,17 +18,12 @@ object Dedup extends QueryPack {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
-  /** doc_id + 31-bit shingle-hash array, as chained projections (each
-    * array column materialized once per row; CollapseProject keeps the
-    * md5 work single-evaluation because the arrays are non-cheap and
-    * multiply referenced downstream).
+  /** The pipeline builders live in the PUBLIC [[CurationOps]] API —
+    * this pack wires them to the gate tables and owns the DuckDB
+    * mirrors.
     */
   private def hashed(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), DedupOps.shingles(col("toks")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        DedupOps.shingleHashes(col("sh")).as("hs"))
+    CurationOps.shingleHashed(docs(s, d))
 
   /** Shared oracle CTE prelude: tokens → shingles → hashes. */
   private val hashedCte =
@@ -39,13 +34,7 @@ object Dedup extends QueryPack {
                  ${DedupOps.shingleHashesSql("sh")} AS hs FROM s)"""
 
   private def sigs(s: SparkSession, d: String): DataFrame =
-    hashed(s, d)
-      // one traversal for all 8 permutations; the extra projection is
-      // deliberate — `sig` is non-cheap and referenced 8×, so
-      // CollapseProject keeps it single-evaluation
-      .select(col("doc_id"), DedupOps.minhashAll(col("hs")).as("sig"))
-      .select(col("doc_id") +:
-        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+    CurationOps.minhashSignatures(docs(s, d))
 
   private val sigsCte = {
     val cols = (0 until 8)
@@ -61,21 +50,6 @@ object Dedup extends QueryPack {
   private val q27Sql =
     s"WITH $hashedCte, $sigsCte SELECT * FROM sigs ORDER BY doc_id"
 
-  /** Banded signature keys: 4 bands × 2 signature rows. One pass over
-    * the signatures with an `explode` of band structs — a union of 4
-    * selects would recompute the whole tokenize→shingle→md5→minhash
-    * pipeline once per band (measured 4× the scan cost).
-    */
-  private def bandsDf(s: SparkSession, d: String): DataFrame = {
-    val bandStructs = array((0 until DedupOps.bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
-    }: _*)
-    sigs(s, d)
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
-
   private val bandsCte = {
     val selects = (0 until DedupOps.bands)
       .map { b =>
@@ -87,25 +61,12 @@ object Dedup extends QueryPack {
     s"bands AS ($selects)"
   }
 
-  /** q28: LSH candidate pairs — docs agreeing on ≥1 full band. The join
-    * key (band, key) is a uniform hash → balanced shuffle; quadratic
-    * work only inside a bucket (LSH-bounded).
+  /** q28: LSH candidate pairs — docs agreeing on ≥1 full band
+    * ([[CurationOps.lshCandidatePairs]]).
     */
-  private def q28LshBandPairs(s: SparkSession, d: String): DataFrame = {
-    // the band relation is narrow (doc_id, band, key) — cache and
-    // materialize it so the self-join's two concurrent scans don't
-    // each recompute (or race) the tokenize→shingle→md5→minhash chain
-    val bd = bandsDf(s, d).cache()
-    bd.count()
-    val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
-    val b = bd.select(col("doc_id").as("d2"), col("band").as("band2"),
-      col("key").as("key2"))
-    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
-        col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+  private def q28LshBandPairs(s: SparkSession, d: String): DataFrame =
+    CurationOps.lshCandidatePairs(docs(s, d))
       .orderBy(col("d1"), col("d2"))
-  }
 
   private val pairsCte =
     s"""pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -175,32 +136,12 @@ object Dedup extends QueryPack {
        ORDER BY d1, d2"""
   }
 
-  /** q31: exact n-gram Jaccard, computed ONLY for LSH candidates
-    * (candidate-driven verification — the full dedup pipeline).
-    *
-    * Shape: candidates (small) equi-join the shingle-set table twice to
-    * fetch both arrays, then a per-row `array_intersect` — no shingle
-    * explode, no wide shuffle. The shingle sets are distinct by
-    * construction so |intersect| is the exact shared-gram count.
+  /** q31: exact n-gram Jaccard, computed ONLY for LSH candidates —
+    * candidate-driven verification ([[CurationOps.verifiedPairs]]).
     */
-  private def q31NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sets = hashed(s, d).select(col("doc_id"), col("sh")).cache()
-    sets.count() // fetched twice (both pair sides) — compute once
-    val cands = q28LshBandPairs(s, d).select(col("d1"), col("d2"))
-    cands
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
-          .as("n_shared"),
-        size(col("sh1")).cast("long").as("n1"),
-        size(col("sh2")).cast("long").as("n2"))
-      .select(col("d1"), col("d2"), col("n_shared"),
-        (col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+  private def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
+    CurationOps.verifiedPairs(docs(s, d))
       .orderBy(col("d1"), col("d2"))
-  }
 
   private val withsetsCte =
     """withsets AS (SELECT p.d1, p.d2,
@@ -220,22 +161,14 @@ object Dedup extends QueryPack {
        ORDER BY d1, d2"""
 
   /** q75: near-dup CLUSTER formation — the step after verified pairs
-    * that "dedup" actually means: group the q31-verified pairs into
-    * connected components (distributed large-star/small-star,
-    * [[GraphOps.connectedComponents]] — no driver-side union-find) and
-    * label every document with its component's minimum doc_id.
-    * Singletons (docs in no verified pair) keep their own id, so the
-    * output is a total assignment over the corpus.
+    * that "dedup" actually means: distributed large-star/small-star
+    * connected components over the q31-verified pairs, total
+    * assignment with singletons labeled by their own id
+    * ([[CurationOps.clusterLabels]] — no driver-side union-find).
     */
-  private def q75NeardupClusters(s: SparkSession, d: String): DataFrame = {
-    val verified = q31NgramJaccard(s, d).select(col("d1"), col("d2"))
-    val labels = GraphOps.connectedComponents(verified, "d1", "d2")
-    docs(s, d).select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("doc_id")).as("comp"))
+  private def q75NeardupClusters(s: SparkSession, d: String): DataFrame =
+    CurationOps.clusterLabels(docs(s, d))
       .orderBy(col("doc_id"))
-  }
 
   /** Oracle mirror of the component labels: transitive closure of the
     * verified-pair edge set via a recursive CTE (min reachable id ==
@@ -268,10 +201,7 @@ object Dedup extends QueryPack {
     * were removed as near-duplicates.
     */
   private def q76DedupSurvivors(s: SparkSession, d: String): DataFrame =
-    q75NeardupClusters(s, d)
-      .groupBy(col("comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .select(col("comp").as("doc_id"), col("cluster_size"))
+    CurationOps.survivors(docs(s, d))
       .orderBy(col("doc_id"))
 
   private val q76Sql =
@@ -343,17 +273,10 @@ object Dedup extends QueryPack {
     * chain; the output IS the training corpus a downstream tokenizer
     * would consume.
     */
-  private def q79CuratedCorpus(s: SparkSession, d: String): DataFrame = {
-    val canon = q75NeardupClusters(s, d)
-      .filter(col("doc_id") === col("comp"))
-      .select(col("doc_id"))
-    docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        TextOps.qualityScore(TextOps.tokens(col("text"))).as("quality"))
-      .join(canon, Seq("doc_id"))
-      .filter(col("quality") >= 0.40)
+  private def q79CuratedCorpus(s: SparkSession, d: String): DataFrame =
+    CurationOps.curate(docs(s, d))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   private val q79Sql = {
     val qual = TextOps.qualityScoreSql(TextOps.tokensSql("text"))
@@ -375,7 +298,7 @@ object Dedup extends QueryPack {
     * q75 labels — one uniform groupBy, no extra corpus pass.
     */
   private def q82SourceDupRates(s: SparkSession, d: String): DataFrame = {
-    val labels = q75NeardupClusters(s, d)
+    val labels = CurationOps.clusterLabels(docs(s, d))
     docs(s, d).select(col("doc_id"), col("source"))
       .join(labels, Seq("doc_id"))
       .groupBy(col("source"))
@@ -413,7 +336,8 @@ object Dedup extends QueryPack {
     // integer math, same number at every SF on both engines
     val cut = docs(s, d)
       .agg((((max(col("doc_id")) + 1) * 4) / 5).cast("long").as("cut"))
-    val verified = q31NgramJaccard(s, d).select(col("d1"), col("d2"))
+    val verified = CurationOps.verifiedPairs(docs(s, d))
+      .select(col("d1"), col("d2"))
     docs(s, d).select(col("doc_id"))
       .crossJoin(broadcast(cut))
       .filter(col("doc_id") >= col("cut"))

@@ -64,4 +64,17 @@ class GraphOpsSpec extends AnyFunSuite {
     val got = cc(edges)
     assert(got.size === 64 && got.values.forall(_ == 0L))
   }
+
+  test("hub-heavy graph (boilerplate duplicated widely) converges fast") {
+    // the shape a viral near-dup produces: one hub connected to 100
+    // docs, chained to a second hub's star — a high-degree node must
+    // not break the groupBy-min contraction (combiner handles it)
+    val star1 = (1L to 100L).map(i => (500L, 500L + i))
+    val star2 = (1L to 100L).map(i => (700L, 700L + i))
+    val bridge = Seq((600L, 700L), (500L, 600L))
+    val got = cc(star1 ++ star2 ++ bridge)
+    // distinct nodes: hub 500, leaves 501-600 (100, incl. bridge node
+    // 600), hub 700, leaves 701-800 (100) = 202
+    assert(got.size === 202 && got.values.forall(_ == 500L))
+  }
 }
