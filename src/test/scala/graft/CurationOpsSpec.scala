@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ops.CurationOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  // a corpus with a known near-dup pair (1 ≈ 2), a chained third copy
+  // (3 ≈ 2, transitively ≈ 1), and two singletons — long enough texts
+  // that trigram shingles discriminate
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat watches from the tall fence near the old barn"
+  private def docsDf = {
+    val sq = spark
+    import sq.implicits._
+    Seq(
+      (1L, base),
+      (2L, base + " today"),
+      (3L, base + " today again"),
+      (4L, "completely different text about spark engines and " +
+        "distributed query processing at large scale with many words"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("verifiedPairs finds exactly the near-dup pairs above threshold") {
+    val pairs = CurationOps.verifiedPairs(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"1-2 must verify: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "the unrelated doc must not pair")
+  }
+
+  test("clusterLabels groups the chain into one cluster, others alone") {
+    val labels = CurationOps.clusterLabels(docsDf, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L,
+      s"1 and 2 must share cluster 1: $labels")
+    assert(labels(4L) === 4L && labels(5L) === 5L,
+      "singletons keep their own id")
+  }
+
+  test("survivors keeps one canonical doc per cluster with its size") {
+    val surv = CurationOps.survivors(docsDf, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!surv.contains(2L), "a non-canonical member must be purged")
+    assert(surv(1L) >= 2L, "the canonical row carries the cluster size")
+    assert(surv(4L) === 1L && surv(5L) === 1L)
+  }
+
+  test("curate drops non-canonical dups AND low-quality docs, keeps schema") {
+    val out = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.1)
+    assert(out.columns.toSet === Set("doc_id", "quality"),
+      "output = input columns minus text, plus quality")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "near-dup of a canonical doc must be gone")
+    assert(ids.contains(4L), "unique doc above the cut survives")
+    // a harsh quality cut also removes the short doc (its score is
+    // ~0.31: all-unique tokens but a tiny length component)
+    val strict = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.35)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!strict.contains(5L), "short low-quality doc must be cut")
+  }
+}
