@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *     an unmaterialized cache and both recompute);
   *   - cluster formation is the iterative star-contraction
   *     ([[GraphOps.connectedComponents]]), not a driver union-find.
+  *
+  * Caching side effect: [[lshCandidatePairs]] / [[verifiedPairs]] (and
+  * everything built on them) `cache()` + materialize two narrow
+  * relations per distinct input frame and do not unpersist — correct
+  * for a session working one corpus, but a long-lived application
+  * cycling many corpora should `spark.catalog.clearCache()` between
+  * them (Spark's cache manager dedups only plan-identical frames).
   */
 object CurationOps {
 
@@ -41,8 +48,9 @@ object CurationOps {
     * and referenced 8×, so CollapseProject keeps it
     * single-evaluation).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleHashed(docs)
+  def minhashSignatures(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    shingleHashed(docs, textCol)
       .select(col("doc_id"), DedupOps.minhashAll(col("hs")).as("sig"))
       .select(col("doc_id") +:
         (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
@@ -52,12 +60,12 @@ object CurationOps {
     * selects would recompute the whole tokenize→shingle→md5→minhash
     * pipeline once per band (measured 4× the scan cost).
     */
-  def bandKeys(docs: DataFrame): DataFrame = {
+  def bandKeys(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val bandStructs = array((0 until DedupOps.bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
     }: _*)
-    minhashSignatures(docs)
+    minhashSignatures(docs, textCol)
       .select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
@@ -68,14 +76,24 @@ object CurationOps {
     * balanced shuffle; quadratic work only inside a bucket
     * (LSH-bounded).
     */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+  def lshCandidatePairs(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    bandPairs(docs, textCol, newSide = None)
+
+  /** Shared band self-join: `newSide` (a predicate over `doc_id`)
+    * restricts the d2 side BEFORE pairing — the incremental path —
+    * while None pairs the whole corpus.
+    */
+  private def bandPairs(docs: DataFrame, textCol: String,
+      newSide: Option[org.apache.spark.sql.Column]): DataFrame = {
     // the band relation is narrow (doc_id, band, key) — cache and
     // materialize it so the self-join's two concurrent scans don't
     // each recompute (or race) the tokenize→shingle→md5→minhash chain
-    val bd = bandKeys(docs).cache()
+    val bd = bandKeys(docs, textCol).cache()
     bd.count()
     val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
-    val b = bd.select(col("doc_id").as("d2"), col("band").as("band2"),
+    val bBase = newSide.map(bd.filter).getOrElse(bd)
+    val b = bBase.select(col("doc_id").as("d2"), col("band").as("band2"),
       col("key").as("key2"))
     a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
         col("d1") < col("d2"))
@@ -89,10 +107,30 @@ object CurationOps {
     * `array_intersect` — no shingle explode, no wide shuffle. Shingle
     * sets are distinct by construction so |intersect| is exact.
     */
-  def verifiedPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleHashed(docs).select(col("doc_id"), col("sh")).cache()
+  def verifiedPairs(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame =
+    exactVerify(docs, lshCandidatePairs(docs, textCol), threshold, textCol)
+
+  /** Incremental form — the daily-ingest fast path: candidate pairs
+    * are restricted to `isNew` docs on the d2 side BEFORE exact
+    * verification, so corpus-internal (old-old) pairs never form and
+    * cost is batch-proportional, not corpus-quadratic. Output rows are
+    * exactly the [[verifiedPairs]] rows whose d2 satisfies `isNew`.
+    */
+  def verifiedPairsIncremental(
+      docs: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame =
+    exactVerify(docs, bandPairs(docs, textCol, Some(isNew)), threshold,
+      textCol)
+
+  private def exactVerify(docs: DataFrame, cands0: DataFrame,
+      threshold: Double, textCol: String): DataFrame = {
+    val sets = shingleHashed(docs, textCol)
+      .select(col("doc_id"), col("sh")).cache()
     sets.count() // fetched twice (both pair sides) — compute once
-    val cands = lshCandidatePairs(docs).select(col("d1"), col("d2"))
+    val cands = cands0.select(col("d1"), col("d2"))
     cands
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")),
         Seq("d1"))
@@ -112,8 +150,9 @@ object CurationOps {
   /** Total cluster assignment (doc_id, comp): connected components
     * over the verified pairs, singletons labeled with their own id.
     */
-  def clusterLabels(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val verified = verifiedPairs(docs, threshold)
+  def clusterLabels(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val verified = verifiedPairs(docs, threshold, textCol)
       .select(col("d1"), col("d2"))
     val labels = GraphOps.connectedComponents(verified, "d1", "d2")
     docs.select(col("doc_id"))
@@ -125,8 +164,9 @@ object CurationOps {
   /** One survivor per cluster (the minimum doc_id — the component
     * label by construction) with the cluster size it absorbed.
     */
-  def survivors(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    clusterLabels(docs, threshold)
+  def survivors(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame =
+    clusterLabels(docs, threshold, textCol)
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as("doc_id"), col("cluster_size"))
@@ -141,7 +181,7 @@ object CurationOps {
       threshold: Double = 0.8,
       minQuality: Double = 0.40,
       textCol: String = "text"): DataFrame = {
-    val canon = clusterLabels(docs, threshold)
+    val canon = clusterLabels(docs, threshold, textCol)
       .filter(col("doc_id") === col("comp"))
       .select(col("doc_id"))
     val kept = docs.columns.filterNot(_ == textCol).map(col).toSeq

@@ -174,9 +174,12 @@ object Dedup extends QueryPack {
     * verified-pair edge set via a recursive CTE (min reachable id ==
     * the component minimum the star-contraction converges to).
     */
-  private val ccCtes =
+  private val verifiedCte =
     """verified AS (SELECT d1, d2 FROM withsets
-          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8),
+          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8)"""
+
+  private val ccCtes =
+    s"""$verifiedCte,
        sym AS (SELECT d1 AS u, d2 AS v FROM verified
                UNION SELECT d2, d1 FROM verified),
        reach(u, v) AS (
@@ -332,15 +335,22 @@ object Dedup extends QueryPack {
     * exactly.
     */
   private def q86IncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    // scale-relative corpus/batch split: cut = (max_id+1)*4/5 — exact
-    // integer math, same number at every SF on both engines
-    val cut = docs(s, d)
-      .agg((((max(col("doc_id")) + 1) * 4) / 5).cast("long").as("cut"))
-    val verified = CurationOps.verifiedPairs(docs(s, d))
+    // scale-relative corpus/batch split: cut = (max_id+1)*4 div 5 —
+    // Spark's `div` is TRUE integer division like DuckDB's `//`
+    // (Column `/` is double division, which rounds across integer
+    // boundaries near 2^51+). The one-value collect is the sanctioned
+    // broadcast-scalar driver edge (same class as q74's vocabulary).
+    val cutV = docs(s, d)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("cut"))
+      .head().getLong(0)
+    // candidate pairs are restricted to the NEW side BEFORE exact
+    // verification — corpus-internal pairs never form, so the probe
+    // is batch-proportional (see CurationOps.verifiedPairsIncremental)
+    val verified = CurationOps
+      .verifiedPairsIncremental(docs(s, d), col("doc_id") >= cutV)
       .select(col("d1"), col("d2"))
     docs(s, d).select(col("doc_id"))
-      .crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut"))
+      .filter(col("doc_id") >= cutV)
       .join(verified, col("doc_id") === col("d2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("d1")).as("n_dup_matches"))
@@ -351,8 +361,7 @@ object Dedup extends QueryPack {
 
   private val q86Sql =
     s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
-       verified AS (SELECT d1, d2 FROM withsets
-          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8),
+       $verifiedCte,
        cutoff AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS cut
                   FROM documents)
        SELECT d.doc_id,

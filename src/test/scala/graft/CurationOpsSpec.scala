@@ -39,8 +39,26 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(1L) === 1L && labels(2L) === 1L,
       s"1 and 2 must share cluster 1: $labels")
+    assert(labels(3L) === 1L,
+      s"the chained third copy must land in cluster 1: $labels")
     assert(labels(4L) === 4L && labels(5L) === 5L,
       "singletons keep their own id")
+  }
+
+  test("verifiedPairsIncremental equals the full pairs filtered to new d2") {
+    val sq = spark
+    import sq.implicits._
+    val full = CurationOps.verifiedPairs(docsDf, threshold = 0.5)
+      .filter($"d2" >= 3L)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = CurationOps
+      .verifiedPairsIncremental(docsDf, $"doc_id" >= 3L, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full,
+      "restricting candidates before verification must not change rows")
+    assert(inc.nonEmpty, "the fixture must exercise a cross-batch pair")
   }
 
   test("survivors keeps one canonical doc per cluster with its size") {
