@@ -371,6 +371,63 @@ object Dedup extends QueryPack {
        WHERE d.doc_id >= (SELECT cut FROM cutoff)
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** q89: LSH RECALL audit — the measurement you run before trusting
+    * banded MinHash at 100 TB: on a BOUNDED audit subset (doc_id <
+    * 250, so the exact all-pairs ground truth is a filtered
+    * nested-loop the cartesian lint's bounded-side rule sanctions),
+    * compare the true Jaccard-≥0.8 pairs against the LSH candidate
+    * set and emit one row: true pairs, caught pairs, recall. The
+    * dedup-side twin of q38's ANN recall audit; run it on a sampled
+    * subset in production to monitor the banding curve.
+    */
+  private def q89DedupRecall(s: SparkSession, d: String): DataFrame = {
+    val sub = docs(s, d).filter(col("doc_id") < 250)
+    val sets = CurationOps.shingleHashed(sub)
+      .select(col("doc_id"), col("sh")).cache()
+    sets.count()
+    val a = sets.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val truePairs = a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2")) -
+            size(array_intersect(col("sh1"), col("sh2")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("d1"), col("d2"))
+    val cands = CurationOps.lshCandidatePairs(sub)
+      .select(col("d1"), col("d2"), lit(1L).as("caught"))
+    truePairs.join(cands, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("caught")), lit(0L)).as("n_caught"))
+      .select(col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          col("n_caught").cast("double") / col("n_true_pairs"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
+  private val q89Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte,
+       hsub AS (SELECT doc_id, sh FROM hsrc WHERE doc_id < 250),
+       tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM hsub a JOIN hsub b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.8),
+       sbands AS (SELECT * FROM bands WHERE doc_id < 250),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM sbands a JOIN sbands b
+                  ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         CAST(COALESCE(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 END), 0)
+           AS BIGINT) AS n_caught,
+         CASE WHEN COUNT(*) > 0 THEN
+           CAST(COALESCE(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 END), 0)
+             AS DOUBLE) / COUNT(*)
+         ELSE 1.0 END AS recall
+       FROM tp LEFT JOIN cand c ON c.d1 = tp.d1 AND c.d2 = tp.d2"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
@@ -382,7 +439,8 @@ object Dedup extends QueryPack {
     "q77_contamination" -> q77Contamination,
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
-    "q86_incremental_dedup" -> q86IncrementalDedup)
+    "q86_incremental_dedup" -> q86IncrementalDedup,
+    "q89_dedup_recall" -> q89DedupRecall)
 
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
@@ -395,5 +453,6 @@ object Dedup extends QueryPack {
     "q77_contamination" -> q77Sql,
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,
-    "q86_incremental_dedup" -> q86Sql)
+    "q86_incremental_dedup" -> q86Sql,
+    "q89_dedup_recall" -> q89Sql)
 }

@@ -370,6 +370,34 @@ object TextAnalytics extends QueryPack {
        FROM packed GROUP BY bucket, batch_id
        ORDER BY bucket, batch_id"""
 
+  /** q88: deterministic stratified sampling — EXACT every-5th-doc per
+    * language stratum (systematic sampling over the (lang, doc_id)
+    * order), the class-balancing step before training when strata are
+    * skewed. Unlike seeded `sampleBy` (RNG, partitioning-dependent)
+    * this is reproducible and oracle-exact. Scale note: the
+    * per-stratum `row_number` sorts within each stratum — fine for
+    * many small strata; for FEW HUGE strata (5 langs × 20 TB) prefer
+    * the shuffle-free hash-mod form (q83's shape, applied per
+    * stratum) and correct counts in a second pass.
+    */
+  private def q88StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(pmod(col("rn"), lit(5)) === 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q88Sql =
+    """SELECT doc_id, lang, rn FROM (
+         SELECT doc_id, lang,
+           CAST(row_number() OVER
+             (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+         FROM documents)
+       WHERE rn % 5 = 1 ORDER BY doc_id"""
+
   /** q57: dynamic crosstab (hw2/BDM_hw2_final.py:248 `df.stat.crosstab`
     * over a DISCOVERED column set — unlike q8's static pivot list, the
     * output schema here comes from the data). Distinct-value discovery
@@ -397,6 +425,7 @@ object TextAnalytics extends QueryPack {
     "q74_remove_others" -> q74RemoveOthers,
     "q83_hash_split" -> q83HashSplit,
     "q84_length_buckets" -> q84LengthBuckets,
+    "q88_stratified_sample" -> q88StratifiedSample,
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q71_cooccurrence" -> q71Cooccurrence,
     "q20_word_counts" -> q20WordCounts,
@@ -413,6 +442,7 @@ object TextAnalytics extends QueryPack {
     "q74_remove_others" -> q74Sql,
     "q83_hash_split" -> q83Sql,
     "q84_length_buckets" -> q84Sql,
+    "q88_stratified_sample" -> q88Sql,
     "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
     "q21_top_words_per_lang" -> q21Sql,
