@@ -34,23 +34,31 @@ object DedupOps {
   val bands: Int = 4
   val rowsPerBand: Int = 2
 
+  /** Word n-gram shingles of a token array, duplicates KEPT (the raw
+    * sequence — what repetition metrics need).
+    */
+  def shinglesRaw(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+
+  def shinglesRawSql(tok: String, n: Int = 3): String = {
+    val parts = (1 to n).map(j => s"$tok[i+$j]").mkString(" || ' ' || ")
+    s"""list_transform(
+        range(0, greatest(len($tok) - ${n - 1}, 0)),
+        i -> $parts)"""
+  }
+
   /** Word n-gram shingles of a token array (distinct). */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array()))
+    array_distinct(shinglesRaw(toks, n))
 
   /** SQL mirror; `tok` must be a *simple column/alias name* (it is
     * indexed inside the lambda — use a CTE to alias the token list).
     */
-  def shinglesSql(tok: String, n: Int = 3): String = {
-    val parts = (1 to n).map(j => s"$tok[i+$j]").mkString(" || ' ' || ")
-    s"""list_distinct(list_transform(
-        range(0, greatest(len($tok) - ${n - 1}, 0)),
-        i -> $parts))"""
-  }
+  def shinglesSql(tok: String, n: Int = 3): String =
+    s"list_distinct(${shinglesRawSql(tok, n)})"
 
   /** 31-bit shingle hashes (md5-prefix mod P — portable, uniform). */
   def shingleHashes(sh: Column): Column =

@@ -370,6 +370,41 @@ object TextAnalytics extends QueryPack {
        FROM packed GROUP BY bucket, batch_id
        ORDER BY bucket, batch_id"""
 
+  /** q90: intra-document repetition ratios — the Gopher-family quality
+    * signal the inter-document dedup can't see: a doc stuffed with its
+    * own repeated phrases has a high duplicate-n-gram fraction
+    * (1 - distinct/total) even when it duplicates no OTHER doc.
+    * Computed for unigrams and trigrams as per-row expressions —
+    * shuffle-free, scan-fused, linear at any scale.
+    */
+  private def q90Repetition(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.DedupOps
+    def ratio(raw: org.apache.spark.sql.Column) =
+      when(size(raw) > 0,
+        lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw))
+        .otherwise(lit(0.0))
+    docs(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      ratio(toks).as("rep1"),
+      ratio(DedupOps.shinglesRaw(toks)).as("rep3"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q90Sql = {
+    val raw3 = graft.ops.DedupOps.shinglesRawSql("toks")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       g AS (SELECT doc_id, toks, $raw3 AS sh3 FROM t)
+       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS rep1,
+         CASE WHEN len(sh3) > 0 THEN
+           1.0 - CAST(len(list_distinct(sh3)) AS DOUBLE) / len(sh3)
+         ELSE 0.0 END AS rep3
+       FROM g ORDER BY doc_id"""
+  }
+
   /** q88: deterministic stratified sampling — EXACT every-5th-doc per
     * language stratum (systematic sampling over the (lang, doc_id)
     * order), the class-balancing step before training when strata are
@@ -426,6 +461,7 @@ object TextAnalytics extends QueryPack {
     "q83_hash_split" -> q83HashSplit,
     "q84_length_buckets" -> q84LengthBuckets,
     "q88_stratified_sample" -> q88StratifiedSample,
+    "q90_repetition" -> q90Repetition,
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q71_cooccurrence" -> q71Cooccurrence,
     "q20_word_counts" -> q20WordCounts,
@@ -443,6 +479,7 @@ object TextAnalytics extends QueryPack {
     "q83_hash_split" -> q83Sql,
     "q84_length_buckets" -> q84Sql,
     "q88_stratified_sample" -> q88Sql,
+    "q90_repetition" -> q90Sql,
     "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
     "q21_top_words_per_lang" -> q21Sql,
