@@ -141,9 +141,41 @@ object CurationOps {
           .as("n_shared"),
         size(col("sh1")).cast("long").as("n1"),
         size(col("sh2")).cast("long").as("n2"))
+      // two sub-n-token docs have EMPTY shingle sets yet identical
+      // sentinel signatures, so they DO become candidates — the 0/0
+      // division must yield null (pair dropped, matching the SQL
+      // mirror's NULL), not an ANSI DIVIDE_BY_ZERO crash
       .select(col("d1"), col("d2"), col("n_shared"),
-        (col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
+        when(col("n1") + col("n2") - col("n_shared") > 0,
+          col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
           .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT all-pairs Jaccard ≥ `threshold` — the ground truth a recall
+    * audit compares the LSH candidates against. O(|docs|²): call ONLY
+    * on a bounded audit subset (in engine sessions the cartesian lint
+    * rejects unbounded inputs). Same Jaccard definition and threshold
+    * default as [[verifiedPairs]], so the audit measures the deployed
+    * configuration.
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    // cache the full shingleHashed base (not a projection of it): the
+    // cache manager matches canonicalized SUBTREES, so a subsequent
+    // lshCandidatePairs over the same frame reuses this scan instead
+    // of re-running tokenize→shingle→md5
+    val base = shingleHashed(docs, textCol).cache()
+    base.count()
+    val sets = base.select(col("doc_id"), col("sh"))
+    val a = sets.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+    val denom = size(col("sh1")).cast("long") +
+      size(col("sh2")).cast("long") - inter
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        when(denom > 0, inter.cast("double") / denom).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

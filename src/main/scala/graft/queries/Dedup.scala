@@ -382,18 +382,10 @@ object Dedup extends QueryPack {
     */
   private def q89DedupRecall(s: SparkSession, d: String): DataFrame = {
     val sub = docs(s, d).filter(col("doc_id") < 250)
-    val sets = CurationOps.shingleHashed(sub)
-      .select(col("doc_id"), col("sh")).cache()
-    sets.count()
-    val a = sets.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-    val b = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-    val truePairs = a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          (size(col("sh1")) + size(col("sh2")) -
-            size(array_intersect(col("sh1"), col("sh2")))))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    // ground truth through the SAME Jaccard definition + threshold the
+    // pipeline deploys (CurationOps default) — an inline copy would
+    // silently diverge if the pipeline's definition ever moved
+    val truePairs = CurationOps.exactJaccardPairs(sub)
       .select(col("d1"), col("d2"))
     val cands = CurationOps.lshCandidatePairs(sub)
       .select(col("d1"), col("d2"), lit(1L).as("caught"))

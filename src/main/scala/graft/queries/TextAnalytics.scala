@@ -383,11 +383,19 @@ object TextAnalytics extends QueryPack {
       when(size(raw) > 0,
         lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw))
         .otherwise(lit(0.0))
-    docs(s, d).select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      ratio(toks).as("rep1"),
-      ratio(DedupOps.shinglesRaw(toks)).as("rep3"))
+    // chained projections so the tokenization runs ONCE per row:
+    // shinglesRaw's lambda indexes its input per element, and HOF
+    // lambdas get no CSE — feeding the raw tokenizer expression in
+    // would re-run the regex pipeline ~3n times per doc (O(n²))
+    docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        DedupOps.shinglesRaw(col("toks")).as("sh3"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        ratio(col("toks")).as("rep1"),
+        ratio(col("sh3")).as("rep3"))
       .orderBy(col("doc_id"))
   }
 

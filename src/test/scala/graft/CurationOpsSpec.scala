@@ -45,6 +45,25 @@ class CurationOpsSpec extends AnyFunSuite {
       "singletons keep their own id")
   }
 
+  test("empty-shingle docs pair as candidates but never crash or verify") {
+    val sq = spark
+    import sq.implicits._
+    // two sub-3-token docs: empty shingle sets BUT identical sentinel
+    // minhash signatures → they DO meet in an LSH bucket, and the
+    // exact verification's 0/0 must yield a dropped pair (null), not
+    // an ANSI DIVIDE_BY_ZERO crash
+    val tiny = Seq((1L, "hello world"), (2L, "tiny doc"), (3L, base))
+      .toDF("doc_id", "text")
+    val cands = CurationOps.lshCandidatePairs(tiny)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)),
+      "sentinel signatures must collide into a candidate pair")
+    assert(CurationOps.verifiedPairs(tiny).count() === 0L,
+      "an empty-vs-empty candidate must verify to no pair")
+    assert(CurationOps.exactJaccardPairs(tiny).count() === 0L)
+  }
+
   test("verifiedPairsIncremental equals the full pairs filtered to new d2") {
     val sq = spark
     import sq.implicits._
