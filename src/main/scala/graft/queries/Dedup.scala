@@ -420,6 +420,43 @@ object Dedup extends QueryPack {
          ELSE 1.0 END AS recall
        FROM tp LEFT JOIN cand c ON c.d1 = tp.d1 AND c.d2 = tp.d2"""
 
+  /** q91: the one-row curation REPORT a production run logs beside its
+    * output — corpus size, cluster count, docs purged as near-dups,
+    * canonicals cut for quality, and the final corpus size (which the
+    * gate implicitly cross-checks against q79's row count, since both
+    * derive from the same labels + quality cut).
+    */
+  private def q91CurationReport(s: SparkSession, d: String): DataFrame = {
+    val labels = CurationOps.clusterLabels(docs(s, d))
+    val quality = docs(s, d).select(col("doc_id"),
+      TextOps.qualityScore(TextOps.tokens(col("text"))).as("qv"))
+    val isCanon = col("doc_id") === col("comp")
+    labels.join(quality, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp")).as("n_clusters"),
+        sum(when(!isCanon, 1L).otherwise(0L)).as("n_purged_dups"),
+        sum(when(isCanon && col("qv") < 0.40, 1L).otherwise(0L))
+          .as("n_quality_cut"),
+        sum(when(isCanon && col("qv") >= 0.40, 1L).otherwise(0L))
+          .as("n_final"))
+  }
+
+  private val q91Sql = {
+    val qual = TextOps.qualityScoreSql(TextOps.tokensSql("text"))
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       qv AS (SELECT doc_id, $qual AS qv FROM documents)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT l.comp) AS BIGINT) AS n_clusters,
+         CAST(SUM(CASE WHEN l.doc_id <> l.comp THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purged_dups,
+         CAST(SUM(CASE WHEN l.doc_id = l.comp AND q.qv < 0.40
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_cut,
+         CAST(SUM(CASE WHEN l.doc_id = l.comp AND q.qv >= 0.40
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       FROM labels l JOIN qv q ON q.doc_id = l.doc_id"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
@@ -432,7 +469,8 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
     "q86_incremental_dedup" -> q86IncrementalDedup,
-    "q89_dedup_recall" -> q89DedupRecall)
+    "q89_dedup_recall" -> q89DedupRecall,
+    "q91_curation_report" -> q91CurationReport)
 
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
@@ -446,5 +484,6 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,
     "q86_incremental_dedup" -> q86Sql,
-    "q89_dedup_recall" -> q89Sql)
+    "q89_dedup_recall" -> q89Sql,
+    "q91_curation_report" -> q91Sql)
 }
