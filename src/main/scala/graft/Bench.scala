@@ -60,15 +60,18 @@ object Bench {
     // cache warmth with the contention robustness this exists for.
     // Errors are never masked: a query that fails in ANY sweep reports
     // as failed (these are deterministic pipelines; intermittent
-    // failure is a real bug).
+    // failure is a real bug). A failed sweep's duration is excluded
+    // from the min — a fast failure must not undercut a real timing.
     val repeats = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     val sweeps = (1 to repeats).map { i =>
       if (i > 1) spark.catalog.clearCache()
       sweep()
     }
     val results = sweeps.transpose.map { runs =>
-      (runs.head._1, runs.map(_._2).min,
+      val ok = runs.collect { case (_, t, None) => t }
+      (runs.head._1,
+        if (ok.nonEmpty) ok.min else -1.0,
         runs.collectFirst { case (_, _, Some(e)) => e })
     }
     // NOTE: caches are deliberately NOT cleared between queries here
