@@ -24,12 +24,43 @@ import org.apache.spark.sql.functions._
   *
   * Caching side effect: [[lshCandidatePairs]] / [[verifiedPairs]] (and
   * everything built on them) `cache()` + materialize two narrow
-  * relations per distinct input frame and do not unpersist — correct
-  * for a session working one corpus, but a long-lived application
-  * cycling many corpora should `spark.catalog.clearCache()` between
-  * them (Spark's cache manager dedups only plan-identical frames).
+  * relations per distinct input frame. Every cached frame is tracked;
+  * a long-lived application cycling many corpora calls [[release]]
+  * after finishing a corpus to unpersist exactly what this API pinned
+  * (scoped — unlike `spark.catalog.clearCache()` it leaves the
+  * application's own cached frames alone).
   */
 object CurationOps {
+
+  /** Frames this API has cached and not yet released. Tracked so the
+    * cache lifecycle is scoped to the library: [[release]] unpersists
+    * these and nothing else.
+    */
+  private val retained =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** cache() + count() under tracking: materialize BEFORE any
+    * self-join (two concurrent stage scans race an unmaterialized
+    * cache and both recompute), and remember the frame for [[release]].
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    synchronized { retained += c }
+    c
+  }
+
+  /** Number of frames currently pinned by this API (spec hook). */
+  def retainedCount: Int = synchronized { retained.size }
+
+  /** Unpersist every frame this API cached since the last release —
+    * the between-corpora hygiene step for long-lived sessions. Safe to
+    * call at any point: downstream frames recompute from parquet.
+    */
+  def release(): Unit = synchronized {
+    retained.foreach(_.unpersist(blocking = false))
+    retained.clear()
+  }
 
   /** doc_id + shingles + 31-bit shingle-hash array, as chained
     * projections (each array column materialized once per row;
@@ -80,25 +111,47 @@ object CurationOps {
       textCol: String = "text"): DataFrame =
     bandPairs(docs, textCol, newSide = None)
 
-  /** Shared band self-join: `newSide` (a predicate over `doc_id`)
-    * restricts the d2 side BEFORE pairing — the incremental path —
-    * while None pairs the whole corpus.
+  /** Shared band self-join. `newSide = None` pairs the whole corpus
+    * (d1 < d2). `Some(pred)` is the incremental path: one side of the
+    * band join is restricted to the new docs BEFORE pairing, so
+    * old-old (corpus-internal) pairs never form and cost stays
+    * batch-proportional — but the OTHER side stays unrestricted and
+    * pairs are normalized to (least, greatest), so a new doc is
+    * flagged against an existing near-duplicate regardless of id
+    * order (ingest need not be id-monotone).
     */
   private def bandPairs(docs: DataFrame, textCol: String,
       newSide: Option[org.apache.spark.sql.Column]): DataFrame = {
     // the band relation is narrow (doc_id, band, key) — cache and
     // materialize it so the self-join's two concurrent scans don't
     // each recompute (or race) the tokenize→shingle→md5→minhash chain
-    val bd = bandKeys(docs, textCol).cache()
-    bd.count()
-    val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
-    val bBase = newSide.map(bd.filter).getOrElse(bd)
-    val b = bBase.select(col("doc_id").as("d2"), col("band").as("band2"),
-      col("key").as("key2"))
-    a.join(b, col("band") === col("band2") && col("key") === col("key2") &&
-        col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    val bd = materialize(bandKeys(docs, textCol))
+    newSide match {
+      case None =>
+        val a = bd.select(col("doc_id").as("d1"), col("band"), col("key"))
+        val b = bd.select(col("doc_id").as("d2"),
+          col("band").as("band2"), col("key").as("key2"))
+        a.join(b, col("band") === col("band2") &&
+            col("key") === col("key2") && col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+      case Some(pred) =>
+        // probe: new docs vs ALL docs. A new-new pair matches from
+        // both orientations, so normalize then de-dup per band before
+        // counting shared bands (a band holds one key per doc, so
+        // (d1, d2, band) identifies the match).
+        val nw = bd.filter(pred)
+          .select(col("doc_id").as("dn"), col("band"), col("key"))
+        val all = bd.select(col("doc_id").as("da"),
+          col("band").as("band2"), col("key").as("key2"))
+        nw.join(all, col("band") === col("band2") &&
+            col("key") === col("key2") && col("dn") =!= col("da"))
+          .select(least(col("dn"), col("da")).as("d1"),
+            greatest(col("dn"), col("da")).as("d2"), col("band"))
+          .distinct()
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+    }
   }
 
   /** Verified near-dup pairs: exact n-gram Jaccard ≥ `threshold`,
@@ -111,11 +164,13 @@ object CurationOps {
       textCol: String = "text"): DataFrame =
     exactVerify(docs, lshCandidatePairs(docs, textCol), threshold, textCol)
 
-  /** Incremental form — the daily-ingest fast path: candidate pairs
-    * are restricted to `isNew` docs on the d2 side BEFORE exact
-    * verification, so corpus-internal (old-old) pairs never form and
-    * cost is batch-proportional, not corpus-quadratic. Output rows are
-    * exactly the [[verifiedPairs]] rows whose d2 satisfies `isNew`.
+  /** Incremental form — the daily-ingest fast path: one band-join
+    * side is restricted to `isNew` docs BEFORE exact verification, so
+    * corpus-internal (old-old) pairs never form and cost is
+    * batch-proportional, not corpus-quadratic. Output rows are exactly
+    * the [[verifiedPairs]] rows with `isNew` true on AT LEAST one side
+    * (normalized d1 < d2) — admission checks both orientations, so
+    * ingest order need not be id-monotone.
     */
   def verifiedPairsIncremental(
       docs: DataFrame,
@@ -127,9 +182,9 @@ object CurationOps {
 
   private def exactVerify(docs: DataFrame, cands0: DataFrame,
       threshold: Double, textCol: String): DataFrame = {
-    val sets = shingleHashed(docs, textCol)
-      .select(col("doc_id"), col("sh")).cache()
-    sets.count() // fetched twice (both pair sides) — compute once
+    // fetched twice (both pair sides) — compute once
+    val sets = materialize(
+      shingleHashed(docs, textCol).select(col("doc_id"), col("sh")))
     val cands = cands0.select(col("d1"), col("d2"))
     cands
       .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")),
@@ -165,8 +220,7 @@ object CurationOps {
     // cache manager matches canonicalized SUBTREES, so a subsequent
     // lshCandidatePairs over the same frame reuses this scan instead
     // of re-running tokenize→shingle→md5
-    val base = shingleHashed(docs, textCol).cache()
-    base.count()
+    val base = materialize(shingleHashed(docs, textCol))
     val sets = base.select(col("doc_id"), col("sh"))
     val a = sets.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val b = sets.select(col("doc_id").as("d2"), col("sh").as("sh2"))
@@ -177,6 +231,29 @@ object CurationOps {
       .select(col("d1"), col("d2"),
         when(denom > 0, inter.cast("double") / denom).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** One-row LSH recall audit over `docs`: true Jaccard-≥threshold
+    * pairs ([[exactJaccardPairs]] — O(|docs|²), so pass a BOUNDED
+    * audit subset, e.g. a hash-sampled slice of a production corpus)
+    * vs the deployed LSH candidate set → (n_true_pairs, n_caught,
+    * recall). Both sides use the SAME shingle/Jaccard definition the
+    * pipeline deploys, so the number justifies (or indicts) the
+    * banding configuration before a 100 TB run.
+    */
+  def recallAudit(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val truePairs = exactJaccardPairs(docs, threshold, textCol)
+      .select(col("d1"), col("d2"))
+    val cands = lshCandidatePairs(docs, textCol)
+      .select(col("d1"), col("d2"), lit(1L).as("caught"))
+    truePairs.join(cands, Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("caught")), lit(0L)).as("n_caught"))
+      .select(col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") > 0,
+          col("n_caught").cast("double") / col("n_true_pairs"))
+          .otherwise(lit(1.0)).as("recall"))
   }
 
   /** Total cluster assignment (doc_id, comp): connected components

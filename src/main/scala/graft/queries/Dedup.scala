@@ -380,23 +380,12 @@ object Dedup extends QueryPack {
     * dedup-side twin of q38's ANN recall audit; run it on a sampled
     * subset in production to monitor the banding curve.
     */
-  private def q89DedupRecall(s: SparkSession, d: String): DataFrame = {
-    val sub = docs(s, d).filter(col("doc_id") < 250)
-    // ground truth through the SAME Jaccard definition + threshold the
-    // pipeline deploys (CurationOps default) — an inline copy would
-    // silently diverge if the pipeline's definition ever moved
-    val truePairs = CurationOps.exactJaccardPairs(sub)
-      .select(col("d1"), col("d2"))
-    val cands = CurationOps.lshCandidatePairs(sub)
-      .select(col("d1"), col("d2"), lit(1L).as("caught"))
-    truePairs.join(cands, Seq("d1", "d2"), "left")
-      .agg(count(lit(1)).as("n_true_pairs"),
-        coalesce(sum(col("caught")), lit(0L)).as("n_caught"))
-      .select(col("n_true_pairs"), col("n_caught"),
-        when(col("n_true_pairs") > 0,
-          col("n_caught").cast("double") / col("n_true_pairs"))
-          .otherwise(lit(1.0)).as("recall"))
-  }
+  private def q89DedupRecall(s: SparkSession, d: String): DataFrame =
+    // delegates to the public audit API — the caller picks the bounded
+    // subset (here the first 250 ids; production uses a hash-sampled
+    // slice), the audit runs the SAME Jaccard definition + threshold
+    // the pipeline deploys (CurationOps defaults)
+    CurationOps.recallAudit(docs(s, d).filter(col("doc_id") < 250))
 
   private val q89Sql =
     s"""WITH $hashedCte, $sigsCte, $bandsCte,

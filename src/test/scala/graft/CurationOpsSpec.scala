@@ -64,11 +64,11 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CurationOps.exactJaccardPairs(tiny).count() === 0L)
   }
 
-  test("verifiedPairsIncremental equals the full pairs filtered to new d2") {
+  test("verifiedPairsIncremental equals full pairs with >=1 new side") {
     val sq = spark
     import sq.implicits._
     val full = CurationOps.verifiedPairs(docsDf, threshold = 0.5)
-      .filter($"d2" >= 3L)
+      .filter($"d1" >= 3L || $"d2" >= 3L)
       .select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val inc = CurationOps
@@ -78,6 +78,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(inc === full,
       "restricting candidates before verification must not change rows")
     assert(inc.nonEmpty, "the fixture must exercise a cross-batch pair")
+  }
+
+  test("incremental admission is orientation-safe (non-monotone ingest)") {
+    val sq = spark
+    import sq.implicits._
+    // the NEW doc (id 1) has a SMALLER id than its existing near-dups —
+    // a d2-only restriction would silently admit it; the both-sides
+    // probe must flag it against docs 2 and 3
+    val inc = CurationOps
+      .verifiedPairsIncremental(docsDf, $"doc_id" === 1L, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.contains((1L, 2L)),
+      s"new doc must pair against a larger-id existing near-dup: $inc")
+    assert(inc.forall(p => p._1 == 1L || p._2 == 1L),
+      s"old-old pairs must never form on the incremental path: $inc")
+  }
+
+  test("release unpersists exactly the frames this API pinned") {
+    CurationOps.release()
+    assert(CurationOps.retainedCount === 0)
+    CurationOps.verifiedPairs(docsDf, threshold = 0.5).count()
+    assert(CurationOps.retainedCount > 0,
+      "the pipeline must register its cached frames")
+    // the band relation is one of the pinned frames — visible through
+    // the cache manager via a plan-identical probe
+    assert(CurationOps.bandKeys(docsDf).storageLevel.useMemory,
+      "band keys must be cached while retained")
+    CurationOps.release()
+    assert(CurationOps.retainedCount === 0)
+    assert(!CurationOps.bandKeys(docsDf).storageLevel.useMemory,
+      "release must unpersist the band relation")
   }
 
   test("survivors keeps one canonical doc per cluster with its size") {
