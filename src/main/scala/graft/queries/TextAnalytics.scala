@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{TextOps, TopKOps}
+import graft.ops.{SubwordOps, TextOps, TopKOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -452,6 +452,88 @@ object TextAnalytics extends QueryPack {
     ct.orderBy(col(ct.columns.head))
   }
 
+  /** q93: SUBWORD token stats — the token counts an LLM pipeline
+    * actually budgets with (words over-count CJK-free prose, chars
+    * over-count English; subwords are the pricing unit). Encoding is
+    * the static pretrained merge list ([[SubwordOps.staticMerges]])
+    * replayed as per-row `replace` chains — shuffle-free, codegen'd,
+    * and the oracle SQL is GENERATED from the same merge list so the
+    * two sides cannot drift. Chained projections keep the non-cheap
+    * token arrays single-evaluation (HOF lambdas get no CSE).
+    */
+  private def q93SubwordTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), toks.as("wtoks"))
+      .select(col("doc_id"), col("wtoks"),
+        SubwordOps.encodeAll(col("wtoks"), SubwordOps.staticMerges)
+          .as("sw"))
+      .select(col("doc_id"),
+        size(col("wtoks")).cast("long").as("n_words"),
+        size(col("sw")).cast("long").as("n_subwords"),
+        when(size(col("wtoks")) > 0,
+          size(col("sw")).cast("double") / size(col("wtoks")))
+          .as("subwords_per_word"),
+        concat_ws(" ", slice(col("sw"), 1, 12)).as("sample"))
+      .orderBy(col("doc_id"))
+
+  private val q93Sql = {
+    val enc = SubwordOps.encodeAllSql("wtoks", SubwordOps.staticMerges)
+    s"""WITH b AS (SELECT doc_id, $toksSql AS wtoks FROM documents),
+       e AS (SELECT doc_id, wtoks, $enc AS sw FROM b)
+       SELECT doc_id, CAST(len(wtoks) AS BIGINT) AS n_words,
+         CAST(len(sw) AS BIGINT) AS n_subwords,
+         CASE WHEN len(wtoks) > 0
+           THEN CAST(len(sw) AS DOUBLE) / len(wtoks) END
+           AS subwords_per_word,
+         array_to_string(sw[1:12], ' ') AS sample
+       FROM e ORDER BY doc_id"""
+  }
+
+  /** q94: batch packing budgeted in SUBWORD tokens — q84's twin with
+    * the unit swapped to the one that actually drives padding waste
+    * and step cost in training. Same scale shape: static length
+    * buckets (no global window), per-bucket row_number windows
+    * distribute across buckets.
+    */
+  private def q94SubwordPacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nSub = size(
+      SubwordOps.subwordTokens(col("text"), SubwordOps.staticMerges))
+      .cast("long")
+    val bucketed = docs(s, d)
+      .select(col("doc_id"), nSub.as("n_subwords"))
+      .select(col("doc_id"), col("n_subwords"),
+        least((col("n_subwords") / 32L).cast("long"), lit(7L)).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_subwords"), col("doc_id"))
+    bucketed
+      .select(col("bucket"), col("n_subwords"),
+        ((row_number().over(w) - 1) / 8).cast("long").as("batch_id"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_subwords")).as("min_subwords"),
+        max(col("n_subwords")).as("max_subwords"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  private val q94Sql = {
+    val enc = SubwordOps.encodeAllSql(toksSql, SubwordOps.staticMerges)
+    s"""WITH b AS (SELECT doc_id,
+           CAST(len($enc) AS BIGINT) AS n_subwords
+         FROM documents),
+       k AS (SELECT doc_id, n_subwords,
+           least(n_subwords // 32, 7) AS bucket FROM b),
+       packed AS (SELECT bucket, n_subwords,
+           CAST((row_number() OVER
+             (PARTITION BY bucket ORDER BY n_subwords, doc_id) - 1) // 8
+             AS BIGINT) AS batch_id
+         FROM k)
+       SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(n_subwords) AS min_subwords, MAX(n_subwords) AS max_subwords
+       FROM packed GROUP BY bucket, batch_id
+       ORDER BY bucket, batch_id"""
+  }
+
   /** The mirror must discover its column set from the data exactly like
     * `stat.crosstab` does — a hardcoded lang list would silently
     * narrow (or break) on any fixture whose languages differ. DuckDB's
@@ -470,6 +552,8 @@ object TextAnalytics extends QueryPack {
     "q84_length_buckets" -> q84LengthBuckets,
     "q88_stratified_sample" -> q88StratifiedSample,
     "q90_repetition" -> q90Repetition,
+    "q93_subword_tokens" -> q93SubwordTokens,
+    "q94_subword_packing" -> q94SubwordPacking,
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q71_cooccurrence" -> q71Cooccurrence,
     "q20_word_counts" -> q20WordCounts,
@@ -488,6 +572,8 @@ object TextAnalytics extends QueryPack {
     "q84_length_buckets" -> q84Sql,
     "q88_stratified_sample" -> q88Sql,
     "q90_repetition" -> q90Sql,
+    "q93_subword_tokens" -> q93Sql,
+    "q94_subword_packing" -> q94Sql,
     "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
     "q21_top_words_per_lang" -> q21Sql,
