@@ -151,6 +151,42 @@ object TextOps {
     s"CASE ${whens.mkString(" ")} ELSE '${langMarkers.last._1}' END"
   }
 
+  /** PII patterns a training-data scrub must hit, in application
+    * order (emails before URLs is safe — the URL pattern has no `@`;
+    * phones before IPs keeps dash-digit runs from partially matching;
+    * URLs before IPs so a host-embedded address masks as part of its
+    * URL). Each regex is RE2-safe (no backrefs/lookaround), so the
+    * SAME pattern string runs in Spark (Java regex) and DuckDB (RE2)
+    * with identical matches.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("url", "https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"))
+
+  /** Mask every PII pattern, preserving surrounding structure (the
+    * q87 sibling that covers the shapes real scrubs hit most). Pure
+    * per-row regex chain — shuffle-free, codegen'd, linear at 100 TB.
+    */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, p, r)
+    }
+
+  def scrubPiiSql(x: String): String =
+    piiPatterns.foldLeft(x) { case (acc, (_, p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+
+  /** Match count for one PII pattern (counted BEFORE masking). */
+  def piiHits(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast(LongType)
+
+  def piiHitsSql(x: String, pattern: String): String =
+    s"CAST(len(regexp_extract_all($x, '$pattern')) AS BIGINT)"
+
   /** Rolling polynomial fingerprint over the token-hash sequence:
     * acc' = (acc*1000003 + h(w)) mod 2^31. Order-sensitive (a permuted
     * document fingerprints differently), overflow-free (acc < 2^31,

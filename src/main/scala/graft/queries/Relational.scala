@@ -321,6 +321,74 @@ object Relational extends QueryPack {
          ELSE c_name END AS masked
        FROM customer ORDER BY c_custkey"""
 
+  /** q92: PII scrub BREADTH — q87's sibling covering the identifier
+    * shapes real scrubs hit most: emails, phone numbers, URLs, IPv4
+    * addresses ([[graft.ops.TextOps.piiPatterns]], one shared pattern
+    * table driving both the masking chain and the per-type hit
+    * counts). The contact text is synthesized deterministically from
+    * row fields — with per-row VARYING pii mix (phone only for
+    * custkey%3==0, ip for %2==0, a second email for %5==0) so the hit
+    * counts actually exercise the counters. Counting happens BEFORE
+    * masking; everything is per-row regex — shuffle-free, codegen'd,
+    * linear at 100 TB.
+    */
+  private def q92PiiScrub(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    val key = col("c_custkey")
+    val keyS = key.cast("string")
+    val raw = concat(
+      lit("contact "), col("c_name"),
+      lit(" email user"), keyS, lit("@mail.example.com"),
+      when(key % 5 === 0,
+        concat(lit(" cc admin"), keyS, lit("@example.org")))
+        .otherwise(lit("")),
+      lit(" site https://example.com/u/"), keyS,
+      when(key % 3 === 0,
+        concat(lit(" phone +1-555-010-"),
+          lpad((key % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(key % 2 === 0,
+        concat(lit(" ip 10.0."),
+          // `div` = true integer division, mirroring DuckDB `//`
+          expr("(CAST(c_custkey AS BIGINT) div 256) % 256").cast("string"),
+          lit("."), (key % 256).cast("string")))
+        .otherwise(lit("")))
+    val hitCols = TextOps.piiPatterns.map { case (n, p, _) =>
+      TextOps.piiHits(col("raw"), p).as(s"n_${n}s")
+    }
+    Tables(s, d, "customer")
+      .select(key.as("c_custkey"), raw.as("raw"))
+      .select(Seq(col("c_custkey")) ++ hitCols :+
+        TextOps.scrubPii(col("raw")).as("scrubbed"): _*)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q92Sql = {
+    import graft.ops.TextOps
+    val raw =
+      """'contact ' || c_name ||
+         ' email user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com' ||
+         CASE WHEN c_custkey % 5 = 0
+           THEN ' cc admin' || CAST(c_custkey AS VARCHAR) || '@example.org'
+           ELSE '' END ||
+         ' site https://example.com/u/' || CAST(c_custkey AS VARCHAR) ||
+         CASE WHEN c_custkey % 3 = 0
+           THEN ' phone +1-555-010-' ||
+                lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END ||
+         CASE WHEN c_custkey % 2 = 0
+           THEN ' ip 10.0.' ||
+                CAST((CAST(c_custkey AS BIGINT) // 256) % 256 AS VARCHAR) ||
+                '.' || CAST(c_custkey % 256 AS VARCHAR)
+           ELSE '' END"""
+    val hits = TextOps.piiPatterns.map { case (n, p, _) =>
+      s"${TextOps.piiHitsSql("raw", p)} AS n_${n}s"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT c_custkey, $raw AS raw FROM customer)
+       SELECT c_custkey, $hits, ${TextOps.scrubPiiSql("raw")} AS scrubbed
+       FROM b ORDER BY c_custkey"""
+  }
+
   /** q81: GROUPING SETS — the general form of the rollup/cube family
     * (q13 covers ROLLUP): explicit set list with `grouping_id`
     * disambiguating the aggregation level (both engines use the same
@@ -573,6 +641,7 @@ object Relational extends QueryPack {
     "q13_rollup" -> q13Rollup,
     "q81_grouping_sets" -> q81GroupingSets,
     "q87_pii_mask" -> q87PiiMask,
+    "q92_pii_scrub" -> q92PiiScrub,
     "q14_shipping_priority" -> q14ShippingPriority,
     "q15_local_supplier_volume" -> q15LocalSupplierVolume,
     "q16_avg_price_by_brand" -> q16AvgPriceByBrand,
@@ -599,6 +668,7 @@ object Relational extends QueryPack {
     "q13_rollup" -> q13Sql,
     "q81_grouping_sets" -> q81Sql,
     "q87_pii_mask" -> q87Sql,
+    "q92_pii_scrub" -> q92Sql,
     "q14_shipping_priority" -> q14Sql,
     "q15_local_supplier_volume" -> q15Sql,
     "q16_avg_price_by_brand" -> q16Sql,
