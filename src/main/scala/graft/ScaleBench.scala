@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve benchmark: run every SparkEntry query at each scale
+  * factor and emit per-query wall-time ratios, machine-flagging any
+  * query whose sf0.01 → sf0.1 ratio exceeds SUPERLINEAR_RATIO — a 10×
+  * data step should cost ≤ ~10× for a linear pipeline, so a ~100×
+  * ratio is the fingerprint of an accidental all-pairs/quadratic plan
+  * that plan-reading missed. (The 0.001 → 0.01 ratio is reported but
+  * not flagged: at that size fixed per-query overhead ~0.3 s dominates
+  * and ratios are noise.)
+  *
+  * One JSON line to stdout:
+  *   {"sfs":[...], "queries": {"q1": {"sec": [a,b,c],
+  *    "ratio_01_to_1": r}, ...}, "superlinear": [names]}
+  * Same timing discipline as [[Bench]]: noop sink, min-of-N sweeps,
+  * caches cleared between sweeps and between scale factors.
+  */
+object ScaleBench {
+  val SUPERLINEAR_RATIO = 10.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.failOnCartesian", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def sweep(sfDir: String): Map[String, Double] =
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[scale] $name@$sfDir FAILED: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+
+    val perSf = sfDirs.map { dir =>
+      val mins = (1 to repeats).map { _ =>
+        spark.catalog.clearCache()
+        sweep(dir)
+      }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      System.err.println(s"[scale] done $dir")
+      mins
+    }
+
+    val rows = names.map { n =>
+      val secs = perSf.map(_(n))
+      val ratio = if (secs.init.last > 0) secs.last / secs.init.last else -1
+      (n, secs, ratio)
+    }
+    val superlinear = rows.collect {
+      case (n, _, r) if r > SUPERLINEAR_RATIO => n
+    }
+    def f(d: Double) = f"$d%.3f"
+    val qs = rows.map { case (n, secs, r) =>
+      s""""$n":{"sec":[${secs.map(f).mkString(",")}],"ratio_01_to_1":${f(r)}}"""
+    }.mkString("{", ",", "}")
+    val sfs = sfDirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
+    val sl = superlinear.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    println(s"""{"sfs":$sfs,"repeats":$repeats,"queries":$qs,"superlinear":$sl}""")
+    spark.stop()
+  }
+}

@@ -88,9 +88,13 @@ object Multimodal extends QueryPack {
     // deterministic per-SF scratch dir, CLEARED before the write: a
     // per-file overwrite alone would leave stale differently-named
     // files from a prior fixture behind, and the ingest would silently
-    // count them
-    val dir = System.getProperty("java.io.tmpdir") +
-      s"/graft_media_${Integer.toHexString(d.hashCode)}"
+    // count them. The scratch ROOT must be a filesystem every executor
+    // AND the driver-side listing can see — local /tmp only works in
+    // local mode; a cluster sets spark.graft.scratchDir to a shared
+    // path (HDFS/S3/NFS), which the Hadoop FS API here handles as-is.
+    val root = s.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir"))
+    val dir = root + s"/graft_media_${Integer.toHexString(d.hashCode)}"
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(dirPath, true)
