@@ -234,7 +234,50 @@ object MlPacks extends QueryPack {
     rows.toDF("k", "inertia_2dp")
   }
 
+  /** q95: LEARNED quality filter — closes the heuristic→classifier
+    * curation loop at zero new infrastructure: weak labels come from
+    * the DEPLOYED heuristic cut ([[graft.ops.TextOps.qualityScore]] ≥
+    * 0.40, the same threshold [[graft.ops.CurationOps.curate]]
+    * defaults to), a LogisticRegression learns them from raw per-doc
+    * signals (token count uncapped, diversity/stopword ratios, mean
+    * token length), and the output is the held-out confusion matrix
+    * of classifier vs heuristic — the agreement evidence you want
+    * before swapping a learned filter into the pipeline. Feature
+    * extraction is per-row expressions; the fit is the bounded
+    * iterative solve; rows-only (model internals).
+    */
+  private def q95QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    val toks = TextOps.tokens(col("text"))
+    val data = Tables(s, d, "documents")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("double").as("n_tokens"),
+        when(size(col("t")) > 0, size(array_distinct(col("t")))
+          .cast("double") / size(col("t"))).otherwise(0.0).as("uniq_ratio"),
+        when(size(col("t")) > 0,
+          TextOps.lexiconHits(col("t"), TextOps.stopwords).cast("double")
+            / size(col("t"))).otherwise(0.0).as("stop_ratio"),
+        when(size(col("t")) > 0, length(concat_ws("", col("t")))
+          .cast("double") / size(col("t"))).otherwise(0.0).as("mean_len"),
+        (TextOps.qualityScore(col("t")) >= 0.40).cast("double").as("label"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("n_tokens", "uniq_ratio", "stop_ratio", "mean_len"))
+      .setOutputCol("features")
+      .transform(data)
+    val Array(train, test) = assembled.randomSplit(Array(0.7, 0.3), 42L)
+    val model = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features").setMaxIter(25)
+      .fit(train)
+    model.transform(test)
+      .groupBy(col("label").cast("long").as("heuristic_label"),
+        col("prediction").cast("long").as("learned_label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("heuristic_label"), col("learned_label"))
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_quality_classifier" -> q95QualityClassifier,
     "q50_kmeans_clusters" -> q50Kmeans,
     "q55_kmeans_elbow" -> q55KmeansElbow,
     "q51_pca_projection" -> q51Pca,

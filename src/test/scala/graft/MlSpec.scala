@@ -72,4 +72,16 @@ class MlSpec extends AnyFunSuite {
     assert(df.filter(col("jaccard_dist_4dp") > 0.3).count() === 0)
     assert(df.count() > 0)
   }
+
+  test("learned quality filter largely agrees with the heuristic cut") {
+    val rows = MlPacks.all("q95_quality_classifier")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = rows.values.sum
+    val agree = rows.getOrElse((0L, 0L), 0L) + rows.getOrElse((1L, 1L), 0L)
+    assert(rows.keys.map(_._1).toSet === Set(0L, 1L),
+      s"held-out split must carry both heuristic classes: $rows")
+    assert(agree.toDouble / total >= 0.8,
+      s"classifier must track the heuristic it was weakly trained on: $rows")
+  }
 }
