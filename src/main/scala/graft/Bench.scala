@@ -28,6 +28,11 @@ object Bench {
       .format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/nation.parquet").write
       .format("noop").mode("overwrite").save()
+    // documents is the first table the alphabetically-first query now
+    // touches (q100 sorts before q1) — warm its footer/scan path too so
+    // the first text query doesn't absorb the one-time read setup.
+    spark.read.parquet(s"$sfDir/documents.parquet").write
+      .format("noop").mode("overwrite").save()
     // Ordered run: deterministic output layout, warm JIT/classloading is
     // amortized across queries exactly like the driver's invocation.
     // noop sink, not count(): count() lets Catalyst prune computed

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators an LLM training-data pipeline runs between
+  * dedup and batching: boilerplate-segment removal (the C4/CCNet
+  * "line-level dedup" — drop lines shared across many documents:
+  * headers, footers, navigation chrome), per-source document caps
+  * (content-farm throttling), and source mixture weighting (the
+  * "epochs per source" knob that turns a raw crawl into a training
+  * mix). The reference corpus has no newline structure, so the segment
+  * splitter here is fixed-width token windows; `lineDedup` takes the
+  * splitter output as a column, so a real corpus plugs in
+  * `split(text, '\n')` unchanged.
+  *
+  * Scale notes (100 TB): segmentation is per-row (HOF over the token
+  * array — no shuffle); the boilerplate table is a distinct-count
+  * aggregation over segments whose result is tiny (only segments
+  * crossing the doc-frequency threshold) and joins back as a build
+  * side; caps and mixtures are per-source windows / per-row explodes —
+  * nothing global, nothing quadratic.
+  */
+object CorpusOps {
+
+  /** Fixed-width token windows of `textCol`, as an array column —
+    * per-row, shuffle-free. Segment i = tokens [i*width, (i+1)*width).
+    */
+  def segmentArray(textToks: Column, width: Int): Column = {
+    val nSegs = ceil(size(textToks) / lit(width.toDouble)).cast("int")
+    // sequence(0, -1) would DESCEND (Spark defaults step to -1 when
+    // start > stop) — an empty doc must map to zero segments instead.
+    when(nSegs > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(textToks, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB mirror of [[segmentArray]] over a token-list SQL expr. */
+  def segmentArraySql(toksSql: String, width: Int): String =
+    s"""list_transform(
+          range(0, CAST(ceil(len($toksSql) / $width.0) AS INT)),
+          i -> array_to_string(list_slice($toksSql, i * $width + 1, (i + 1) * $width), ' '))"""
+
+  /** C4/CCNet-style boilerplate removal: drop every segment that occurs
+    * in at least `minDocs` DISTINCT documents, rebuild each document
+    * from its surviving segments in order. Input: one row per document
+    * with `idCol` and an array column `segsCol` (from [[segmentArray]]
+    * or any real line splitter). Output per document: `doc_id,
+    * n_segments, n_kept, cleaned_text` (NULL text when nothing
+    * survives, matching SQL string_agg-over-NULLs semantics).
+    *
+    * Shape: posexplode (per-row) → distinct-doc-count per segment (one
+    * uniform-key shuffle; the surviving boilerplate set is tiny — only
+    * segments repeated across ≥ minDocs docs) → equi join back → one
+    * grouped reassembly. No self-join, no all-pairs.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, segsCol: String,
+                minDocs: Int): DataFrame = {
+    val segs = docs
+      .select(col(idCol), posexplode(col(segsCol)).as(Seq("ord", "seg")))
+    val boiler = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= minDocs)
+      .select(col("seg"), lit(true).as("is_boiler"))
+    val joined = segs.join(boiler, Seq("seg"), "left")
+    val keptSeg = when(col("is_boiler").isNull, col("seg"))
+    joined
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // sort_array on (ord, seg?) structs restores document order;
+        // dropped segments carry NULL and are filtered after the sort
+        // so ordering never depends on collect_list's arrival order.
+        array_join(
+          filter(
+            transform(
+              sort_array(collect_list(struct(col("ord"), keptSeg.as("seg")))),
+              s => s.getField("seg")),
+            s => s.isNotNull),
+          " ").as("joined"))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).otherwise(lit(null))
+          .as("cleaned_text"))
+  }
+
+  /** Per-source document cap: keep at most `cap` documents per source,
+    * chosen by a deterministic hash order (so the kept subset is
+    * run/scale-stable, not ingest-order-dependent). The window is
+    * partitioned by source — distributed across sources, never global.
+    */
+  def sourceCap(docs: DataFrame, idCol: String, sourceCol: String,
+                cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = TextOps.tokenHash(
+      concat(lit("cap:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(rank.asc, col(idCol).asc)
+    docs.select(col(sourceCol), col(idCol), rank.as("rank_hash"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
+
+  /** Source mixture weighting: per-source sampling weight w ∈ {1.0,
+    * 1.5, 2.0} (derived here from the source id; production passes a
+    * weight table) realized as deterministic per-document repeat
+    * counts — the integer part replays every document, the fractional
+    * part replays the stable-hash half of them. One per-row explode;
+    * no RNG, so the mix is reproducible across runs and engines.
+    */
+  def mixtureEpochs(docs: DataFrame, idCol: String, sourceCol: String)
+      : DataFrame = {
+    // twice the weight, an exact integer: 2 + (source number mod 3)
+    val w2 = lit(2) + substring(col(sourceCol), 4, 10).cast("int") % 3
+    val extra = when(w2 % 2 === 1,
+      when(pmod(TextOps.tokenHash(
+        concat(lit("mix:"), col(idCol).cast("string"))), lit(2L)) === 0L,
+        1).otherwise(0)).otherwise(0)
+    val reps = (w2.cast("long") / 2L).cast("long") + extra.cast("long")
+    docs
+      .select(col(sourceCol), col(idCol), reps.as("reps"))
+      .select(col(sourceCol), col(idCol),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"))
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{CorpusOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping pack — the training-data operations that sit between
+  * near-dup dedup ([[Dedup]]/`ops.CurationOps`) and model consumption:
+  * boilerplate line removal, per-source caps, source mixture weighting,
+  * context-window chunking, and TF-IDF keyword extraction. All are
+  * oracle-exact (integer/string outputs or safe integer-division
+  * fixed-point — no order-dependent FP anywhere).
+  */
+object Corpus extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private val toks = TextOps.tokens(col("text"))
+  private val toksSql = TextOps.tokensSql("text")
+
+  /** q96: C4/CCNet-style boilerplate removal. Segments here are
+    * fixed-width 4-token windows (the synthetic corpus has no newline
+    * structure; a real corpus passes `split(text, '\n')` into the same
+    * [[CorpusOps.lineDedup]]); a segment occurring in ≥3 distinct
+    * documents is chrome (header/footer/nav) and is dropped from every
+    * document, which then gets reassembled from its surviving segments
+    * in order. Per-row segmentation → one distinct-count shuffle whose
+    * survivors (the boilerplate set) are tiny → equi join back → one
+    * grouped ordered reassembly. Nothing quadratic at any scale.
+    */
+  private def q96LineDedup(s: SparkSession, d: String): DataFrame = {
+    val segd = docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), CorpusOps.segmentArray(col("toks"), 4).as("segs"))
+    CorpusOps.lineDedup(segd, "doc_id", "segs", 3).orderBy(col("doc_id"))
+  }
+
+  private val q96Sql = {
+    val segsSql = CorpusOps.segmentArraySql(toksSql, 4)
+    s"""WITH segd AS (SELECT doc_id, $segsSql AS segs FROM documents),
+       segs AS (SELECT doc_id, unnest(segs) AS seg,
+                       unnest(range(1, len(segs) + 1)) AS ord FROM segd),
+       boiler AS (SELECT seg FROM segs GROUP BY seg
+                  HAVING count(DISTINCT doc_id) >= 3)
+       SELECT s.doc_id,
+              count(*) AS n_segments,
+              CAST(sum(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                         ' ' ORDER BY s.ord) AS cleaned_text
+       FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+       GROUP BY s.doc_id ORDER BY s.doc_id"""
+  }
+
+  /** q97: per-source document cap (content-farm / crawler-bug
+    * throttling): keep at most 15 documents per source, selected by
+    * deterministic hash rank so the kept subset is stable across runs,
+    * engines, and ingest order. Per-source windows distribute; no
+    * global sort.
+    */
+  private def q97SourceCaps(s: SparkSession, d: String): DataFrame =
+    CorpusOps.sourceCap(docs(s, d), "doc_id", "source", 15)
+      .select(col("source"), col("doc_id"), col("rank_hash"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  private val q97Sql = {
+    val hash = TextOps.tokenHashSql("('cap:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH r AS (SELECT source, doc_id, $hash AS rank_hash,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY $hash ASC, doc_id ASC) AS rk
+            FROM documents)
+       SELECT source, doc_id, rank_hash, rk FROM r
+       WHERE rk <= 15 ORDER BY source, rk"""
+  }
+
+  /** q98: source mixture weighting — the "epochs per source" knob that
+    * turns a raw crawl into a training mix. Weights w ∈ {1.0, 1.5,
+    * 2.0} per source realized as deterministic per-document repeat
+    * counts (integer part replays all docs, fractional part the
+    * stable-hash half); output is the per-source doc vs sample ledger.
+    * One per-row explode + one grouped count — reproducible, RNG-free.
+    */
+  private def q98MixtureEpochs(s: SparkSession, d: String): DataFrame =
+    CorpusOps.mixtureEpochs(docs(s, d), "doc_id", "source")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_samples"))
+      .orderBy(col("source"))
+
+  private val q98Sql = {
+    val hash = TextOps.tokenHashSql("('mix:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH x AS (SELECT source, doc_id,
+              2 + CAST(substr(source, 4) AS INT) % 3 AS w2, $hash AS h
+            FROM documents),
+       r AS (SELECT source, doc_id,
+              CAST(w2 // 2 AS BIGINT)
+                + CASE WHEN w2 % 2 = 1 AND h % 2 = 0 THEN 1 ELSE 0 END AS reps
+            FROM x),
+       e AS (SELECT source, doc_id, unnest(range(1, reps + 1)) AS epoch FROM r)
+       SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              count(*) AS n_samples
+       FROM e GROUP BY source ORDER BY source"""
+  }
+
+  /** q99: context-window chunking — split every document into
+    * max-32-token training sequences with stride 24 (8-token overlap),
+    * the standard long-document → fixed-context preprocessing step.
+    * Start count is closed-form integer math; chunk extraction is a
+    * per-row explode + slice, shuffle-free until the final order.
+    */
+  private def q99ContextChunks(s: SparkSession, d: String): DataFrame = {
+    val (win, stride) = (32L, 24L)
+    val base = docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+    // long `/` is double division; cast back truncates == floor for
+    // non-negatives, and quotients here are ≥ 1/stride from integers,
+    // far outside double rounding error — mirrors DuckDB `//`.
+    val nStarts = lit(1L) +
+      ((greatest(lit(0L), col("n") - win) + (stride - 1L)) / stride)
+        .cast("long")
+    base
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), nStarts - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(win), col("n") - col("chunk_idx") * stride).as("n_tokens"),
+        array_join(
+          slice(col("toks"), (col("chunk_idx") * stride + 1L).cast("int"),
+            lit(win.toInt)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val q99Sql =
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       b2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM base),
+       st AS (SELECT doc_id, toks, n,
+                unnest(range(0, 1 + (greatest(0, n - 32) + 23) // 24))
+                  AS chunk_idx
+              FROM b2)
+       SELECT doc_id, chunk_idx,
+              CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens,
+              array_to_string(
+                list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                ' ') AS chunk_text
+       FROM st ORDER BY doc_id, chunk_idx"""
+
+  /** q100: TF-IDF keyword extraction, top-3 terms per document. The
+    * idf is exact integer fixed-point — `(1e6 · N) div df` — so the
+    * score is order-independent integer math that hash-matches across
+    * engines (no transcendental log whose last bit could differ). The
+    * document-frequency table is vocabulary-sized → broadcast; the
+    * per-doc rank is a doc-partitioned window (WindowGroupLimit), never
+    * global.
+    */
+  private def q100TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tf feeds BOTH join sides (probe + the df aggregate) — cache AND
+    // materialize before the join, or the two concurrent stage scans
+    // race the cache population and each recomputes the explode+agg.
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    tf.count()
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nTotal = docs(s, d).agg(count(lit(1)).as("n_total"))
+    val idfE6 = ((lit(1000000L) * col("n_total")) / col("df")).cast("long")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("word").asc)
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        (col("tf") * idfE6).as("score_e6"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val q100Sql =
+    s"""WITH tf AS (SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+            GROUP BY doc_id, word),
+       df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       n AS (SELECT count(*) AS n_total FROM documents),
+       sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                CAST(tf.tf * ((1000000 * n.n_total) // df.df) AS BIGINT)
+                  AS score_e6
+              FROM tf JOIN df USING (word) CROSS JOIN n),
+       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_e6 DESC, word ASC) AS rk FROM sc)
+       SELECT doc_id, word, tf, df, score_e6, rk FROM r
+       WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_line_dedup" -> q96LineDedup,
+    "q97_source_caps" -> q97SourceCaps,
+    "q98_mixture_epochs" -> q98MixtureEpochs,
+    "q99_context_chunks" -> q99ContextChunks,
+    "q100_tfidf_keywords" -> q100TfidfKeywords)
+
+  override val oracle: Map[String, String] = Map(
+    "q96_line_dedup" -> q96Sql,
+    "q97_source_caps" -> q97Sql,
+    "q98_mixture_epochs" -> q98Sql,
+    "q99_context_chunks" -> q99Sql,
+    "q100_tfidf_keywords" -> q100Sql)
+}

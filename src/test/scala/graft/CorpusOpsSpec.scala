@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ops.CorpusOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-level contracts for [[graft.ops.CorpusOps]] on hand-computed
+  * fixtures (the q96-q98 gate queries delegate here; these pin the
+  * semantics independent of the synthetic corpus).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  test("segmentArray splits into fixed-width windows incl. short tail") {
+    val sq = spark
+    import sq.implicits._
+    val out = Seq("a b c d e f g", "a b", "")
+      .toDF("text")
+      .select(CorpusOps.segmentArray(
+        filter(split(col("text"), " "), w => w =!= ""), 3).as("segs"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "d e f", "g"))
+    assert(out(1) === Seq("a b"))
+    assert(out(2) === Seq.empty)
+  }
+
+  test("lineDedup drops exactly the segments shared by >= minDocs docs") {
+    val sq = spark
+    import sq.implicits._
+    // "x y" is chrome in docs 1,2,3; "k l" only in 1,2 (< minDocs=3)
+    val docs = Seq(
+      (1L, Seq("x y", "a b", "k l")),
+      (2L, Seq("c d", "x y", "k l")),
+      (3L, Seq("x y", "e f")),
+      (4L, Seq("g h"))
+    ).toDF("doc_id", "segs")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "segs", 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 3L, 2L, "a b k l")))
+    assert(out(1) === ((2L, 3L, 2L, "c d k l")))
+    assert(out(2) === ((3L, 2L, 1L, "e f")))
+    assert(out(3) === ((4L, 1L, 1L, "g h")))
+  }
+
+  test("lineDedup yields NULL text when every segment is boilerplate") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq(
+      (1L, Seq("x y")), (2L, Seq("x y")), (3L, Seq("x y"))
+    ).toDF("doc_id", "segs")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "segs", 3).collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
+  test("sourceCap keeps at most cap docs per source, deterministically") {
+    val sq = spark
+    import sq.implicits._
+    val docs = (1L to 20L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val once = CorpusOps.sourceCap(docs, "doc_id", "source", 3)
+    assert(once.groupBy("source").count().collect()
+      .forall(_.getLong(1) == 3L))
+    // deterministic: same subset under a shuffled input order
+    val again = CorpusOps
+      .sourceCap(docs.orderBy(col("doc_id").desc), "doc_id", "source", 3)
+    assert(once.select("doc_id").collect().map(_.getLong(0)).sorted
+      === again.select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("mixtureEpochs repeat counts follow the per-source weight") {
+    val sq = spark
+    import sq.implicits._
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val reps = CorpusOps.mixtureEpochs(docs, "doc_id", "source")
+      .groupBy("source", "doc_id").count()
+    // src0 → w2=2 → exactly 1 epoch; src2 → w2=4 → exactly 2
+    assert(reps.filter(col("source") === "src0").collect()
+      .forall(_.getLong(2) == 1L))
+    assert(reps.filter(col("source") === "src2").collect()
+      .forall(_.getLong(2) == 2L))
+    // src1 → w2=3 → 1 or 2 by stable hash; average strictly between
+    val s1 = reps.filter(col("source") === "src1")
+      .collect().map(_.getLong(2))
+    assert(s1.forall(n => n == 1L || n == 2L))
+  }
+}
