@@ -111,6 +111,50 @@ object Sources {
     out.write.mode("overwrite").text(path)
   }
 
+  /** JSONL (newline-delimited JSON) source — the interchange format
+    * LLM corpora actually ship in: one document object per line,
+    * splittable (a 100 TB corpus parallelizes by line ranges without
+    * coordination), appendable, streamable. Schema is EXPLICIT, never
+    * inferred — inference is a full extra pass over the data before
+    * the real read. PERMISSIVE parse: a malformed line becomes a row
+    * whose `_corrupt_record` carries the raw text (and data fields are
+    * NULL) instead of failing the job — callers route those to the
+    * same quarantine policies as [[DirtyRows]].
+    */
+  def readJsonl(
+      spark: SparkSession,
+      schema: StructType,
+      paths: String*): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+
+  /** JSONL sink, optionally compressed. gzip'd JSONL is the common
+    * corpus publishing shape; note gzip files are NOT splittable — one
+    * reader task per file — so writers must keep individual files at
+    * a task-sized granularity (the partitioning of `df` decides file
+    * count; [[compact]] fixes it after the fact for parquet tables).
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .json(path)
+
+  /** Schema-evolution read: a long-lived table accumulates file
+    * generations with added columns; `mergeSchema` unions the parquet
+    * footers' schemas and backfills NULL for columns a generation
+    * predates — the read-side half of additive schema evolution
+    * (rename/retype still needs a migration rewrite). Off by default
+    * in Spark because footer-merging lists every file's footer; cost
+    * it per-table, not globally.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Partitioned parquet sink — the standard 100 TB table layout:
     * `path/col=value/part-*.parquet` directories so reads filtering on
     * the partition column scan only matching directories (partition
