@@ -100,6 +100,57 @@ object GraphOps {
     (r.getLong(0), r.getDecimal(1))
   }
 
+  /** Weighted PageRank over an undirected edge list, in EXACT integer
+    * fixed-point — scores are e9-scaled longs and every division is
+    * integer `div`, so a run is bit-identical across partitionings,
+    * engines, and scales (no FP summation order to drift; the mass the
+    * truncating division sheds is deterministic too). Damping 0.85 as
+    * the rational 85/100; initial score 1e9 per node.
+    *
+    * Each iteration is one equi-join (scores onto the degree-annotated
+    * edge list) plus one groupBy-sum — uniform keys, map-side
+    * combinable, the standard distributed PageRank shape. The edge
+    * list is cached AND materialized once up front (it feeds every
+    * iteration, and a cold cache racing two stage scans would
+    * recompute it); a small fixed `iters` keeps plan depth bounded, so
+    * no per-round checkpoint is needed (contrast
+    * [[connectedComponents]], whose data-dependent loop must truncate
+    * lineage).
+    *
+    * @param edges undirected weighted edges (each pair listed once);
+    *              integral node ids or strings, positive long weights
+    * @return (u, score LONG) — e9-scaled PageRank after `iters` rounds
+    */
+  def weightedPageRank(
+      edges: DataFrame, src: String, dst: String, weight: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges
+      .select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
+      .union(edges
+        .select(col(dst).as("u"), col(src).as("v"), col(weight).as("w")))
+    val wdeg = dir.groupBy(col("u"))
+      .agg(sum(col("w")).as("wdeg"))
+    val e = dir.join(wdeg, "u").cache()
+    e.count()
+    var scores = e.select(col("u")).distinct()
+      .select(col("u"), lit(1000000000L).as("score"))
+    for (_ <- 1 to iters) {
+      scores = e.join(scores, "u")
+        .select(col("v"), expr("(score * w) div wdeg").as("contrib"))
+        .groupBy(col("v"))
+        .agg(sum(col("contrib")).as("m"))
+        .select(col("v").as("u"),
+          expr("150000000 + (85 * m) div 100").as("score"))
+    }
+    // materialize the result, then release the edge cache — the API
+    // must not leak pinned storage to callers (round-4 advice on
+    // CurationOps; same contract here)
+    val out = scores.localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Large-star: for each node n, link every strictly-larger neighbor
     * to min(N(n) ∪ {n}). Neighborhoods come from symmetrizing the edge
     * list; the min is a groupBy aggregate joined back on the node id.

@@ -194,17 +194,75 @@ object Corpus extends QueryPack {
        SELECT doc_id, word, tf, df, score_e6, rk FROM r
        WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** q101: TextRank — weighted PageRank over the word co-occurrence
+    * graph, the graph-based competitor to q100's TF-IDF keyword
+    * scoring (Mihalcea & Tarau 2004). Nodes = non-stopword words,
+    * edge weight = number of documents where the pair co-occurs
+    * (document-level co-occurrence; a real corpus with long documents
+    * bounds this with a sliding window so per-doc pair counts stay
+    * O(len·window), not O(len²)). Ranking runs in
+    * [[graft.ops.GraphOps.weightedPageRank]]'s exact integer
+    * fixed-point, so three distributed join+agg rounds hash-match the
+    * oracle's unrolled CTEs bit-for-bit — no FP drift.
+    */
+  private def q101Textrank(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.GraphOps
+    // distinct (doc, word) feeds both sides of the pair self-join —
+    // cache+materialize so concurrent stage scans don't both recompute
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(!col("word").isInCollection(TextOps.stopwords))
+      .distinct()
+      .cache()
+    tok.count()
+    val pairs = tok.select(col("doc_id"), col("word").as("w1"))
+      .join(tok.select(col("doc_id"), col("word").as("w2")), Seq("doc_id"))
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("w"))
+    val ranked = GraphOps.weightedPageRank(pairs, "w1", "w2", "w", iters = 3)
+    tok.unpersist()
+    ranked.select(col("u").as("word"), col("score"))
+      .orderBy(col("score").desc, col("word").asc)
+  }
+
+  private val q101Sql = {
+    val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    val iter = (prev: String, next: String) =>
+      s"""$next AS (SELECT ew.v AS u,
+            150000000 + (85 * CAST(SUM((s.score * ew.w) // ew.wdeg) AS BIGINT)) // 100
+              AS score
+          FROM ew JOIN $prev s ON ew.u = s.u GROUP BY ew.v)"""
+    s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
+           (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         WHERE word NOT IN ($stops)),
+       pairs AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS w
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.word < b.word
+         GROUP BY 1, 2),
+       e AS (SELECT w1 AS u, w2 AS v, w FROM pairs
+             UNION ALL SELECT w2, w1, w FROM pairs),
+       deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY u),
+       ew AS (SELECT e.u, e.v, e.w, deg.wdeg FROM e JOIN deg USING (u)),
+       s0 AS (SELECT DISTINCT u, CAST(1000000000 AS BIGINT) AS score FROM e),
+       ${iter("s0", "s1")},
+       ${iter("s1", "s2")},
+       ${iter("s2", "s3")}
+       SELECT u AS word, score FROM s3 ORDER BY score DESC, word ASC"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_line_dedup" -> q96LineDedup,
     "q97_source_caps" -> q97SourceCaps,
     "q98_mixture_epochs" -> q98MixtureEpochs,
     "q99_context_chunks" -> q99ContextChunks,
-    "q100_tfidf_keywords" -> q100TfidfKeywords)
+    "q100_tfidf_keywords" -> q100TfidfKeywords,
+    "q101_textrank" -> q101Textrank)
 
   override val oracle: Map[String, String] = Map(
     "q96_line_dedup" -> q96Sql,
     "q97_source_caps" -> q97Sql,
     "q98_mixture_epochs" -> q98Sql,
     "q99_context_chunks" -> q99Sql,
-    "q100_tfidf_keywords" -> q100Sql)
+    "q100_tfidf_keywords" -> q100Sql,
+    "q101_textrank" -> q101Sql)
 }

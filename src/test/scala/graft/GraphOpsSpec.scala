@@ -77,4 +77,33 @@ class GraphOpsSpec extends AnyFunSuite {
     // 600), hub 700, leaves 701-800 (100) = 202
     assert(got.size === 202 && got.values.forall(_ == 500L))
   }
+
+  test("weightedPageRank matches hand-computed exact fixed-point scores") {
+    val sq = spark
+    import sq.implicits._
+    // path a-b-c, unit weights. wdeg: a=1, b=2, c=1; s0 = 1e9 each.
+    // iter1: a and c each receive (1e9*1) div 2 = 5e8 from b
+    //        → 150000000 + (85*500000000) div 100 = 575000000
+    //        b receives 1e9 from a + 1e9 from c = 2e9
+    //        → 150000000 + (85*2000000000) div 100 = 1850000000
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("s", "d", "w")
+    val got = GraphOps.weightedPageRank(edges, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 575000000L, "b" -> 1850000000L,
+      "c" -> 575000000L))
+  }
+
+  test("weightedPageRank favors the weighted hub and is run-stable") {
+    val sq = spark
+    import sq.implicits._
+    // hub h strongly tied to x,y,z; peripheral pair p-q weakly tied
+    val edges = Seq(("h", "x", 10L), ("h", "y", 10L), ("h", "z", 10L),
+      ("p", "q", 1L)).toDF("s", "d", "w")
+    def run() = GraphOps.weightedPageRank(edges, "s", "d", "w", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a("h") > a("x") && a("x") == a("y") && a("y") == a("z"))
+    // exact integer arithmetic ⇒ bit-identical across runs
+    assert(a === run())
+  }
 }
