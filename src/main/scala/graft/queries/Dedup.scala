@@ -324,6 +324,49 @@ object Dedup extends QueryPack {
        FROM documents d JOIN labels l ON l.doc_id = d.doc_id
        GROUP BY d.source ORDER BY d.source"""
 
+  /** q102: quality-vs-dup calibration — do the quality filter and the
+    * near-dup purge agree on which documents are junk? Buckets every
+    * document by its DEPLOYED heuristic quality decile (the same
+    * [[TextOps.qualityScore]] the q79 curation cut uses — floor is
+    * exact on the bit-identical per-row score, so bucketing never
+    * drifts between engines) and reports the near-dup purge rate per
+    * decile. A content farm shows up as a low-quality decile with an
+    * outlier dup_rate — evidence the two filters are redundant there;
+    * flat rates mean they remove DIFFERENT junk and both earn their
+    * keep. One join of the q75 labels to a per-row bucket, one
+    * groupBy — no extra corpus pass.
+    */
+  private def q102QualityDupCalibration(
+      s: SparkSession, d: String): DataFrame = {
+    val labels = CurationOps.clusterLabels(docs(s, d))
+    val toks = TextOps.tokens(col("text"))
+    val decile =
+      least(floor(TextOps.qualityScore(toks) * 10), lit(9L)).cast("long")
+    docs(s, d).select(col("doc_id"), decile.as("decile"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("comp"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .select(col("decile"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy(col("decile"))
+  }
+
+  private val q102Sql = {
+    val q = TextOps.qualityScoreSql(TextOps.tokensSql("d.text"))
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes
+       SELECT least(CAST(floor($q * 10) AS BIGINT), 9) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN l.comp <> l.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dups,
+         CAST(SUM(CASE WHEN l.comp <> l.doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*) AS dup_rate
+       FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+       GROUP BY 1 ORDER BY decile"""
+  }
+
   /** q86: INCREMENTAL dedup — the daily-ingest fast path: admit a new
     * batch of documents (the top 20% of doc_ids, scale-relative cut)
     * only if they near-dup no EARLIER document (corpus or
@@ -457,6 +500,7 @@ object Dedup extends QueryPack {
     "q77_contamination" -> q77Contamination,
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
+    "q102_quality_dup_calibration" -> q102QualityDupCalibration,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q89_dedup_recall" -> q89DedupRecall,
     "q91_curation_report" -> q91CurationReport)
@@ -472,6 +516,7 @@ object Dedup extends QueryPack {
     "q77_contamination" -> q77Sql,
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,
+    "q102_quality_dup_calibration" -> q102Sql,
     "q86_incremental_dedup" -> q86Sql,
     "q89_dedup_recall" -> q89Sql,
     "q91_curation_report" -> q91Sql)
