@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Frames this API has cached and not yet released (same scoped
+    * lifecycle contract as [[CurationOps]]: callers cycling corpora in
+    * a long-lived session call [[release]] between corpora).
+    */
+  private val retained =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    synchronized { retained += c }
+    c
+  }
+
+  /** Number of frames currently pinned by this API (spec hook). */
+  def retainedCount: Int = synchronized { retained.size }
+
+  /** Unpersist every frame this API cached since the last release. */
+  def release(): Unit = synchronized {
+    retained.foreach(_.unpersist())
+    retained.clear()
+  }
+
   /** Fixed-width token windows of `textCol`, as an array column —
     * per-row, shuffle-free. Segment i = tokens [i*width, (i+1)*width).
     */
@@ -57,14 +80,26 @@ object CorpusOps {
     */
   def lineDedup(docs: DataFrame, idCol: String, segsCol: String,
                 minDocs: Int): DataFrame = {
-    val segs = docs
-      .select(col(idCol), posexplode(col(segsCol)).as(Seq("ord", "seg")))
+    // Pin the compact per-doc segment ARRAYS, not the exploded rows:
+    // the optimizer infers a `size(segs) > 0` filter under the explode
+    // and inlines the full segmentation expression into it — against
+    // raw text that re-runs tokenize+segment per row 2-3x (measured 3.3s
+    // of q96's 7.7s at sf0.1); against a cached column it's free. The
+    // cache also feeds BOTH consumers below (boilerplate aggregate +
+    // join probe), whose explodes off the cache are cheap. Boilerplate
+    // membership groups/joins on the 60-bit segment hash — long
+    // shuffle keys — while reassembly keeps the exact string.
+    val segd = materialize(docs.select(col(idCol), col(segsCol).as("segs")))
+    val segs = segd
+      .select(col(idCol), posexplode(col("segs")).as(Seq("ord", "seg")))
+      .select(col(idCol), col("ord"), col("seg"),
+        TextOps.tokenHash(col("seg")).as("seg_h"))
     val boiler = segs
-      .groupBy(col("seg"))
+      .groupBy(col("seg_h"))
       .agg(countDistinct(col(idCol)).as("n_docs_with"))
       .filter(col("n_docs_with") >= minDocs)
-      .select(col("seg"), lit(true).as("is_boiler"))
-    val joined = segs.join(boiler, Seq("seg"), "left")
+      .select(col("seg_h"), lit(true).as("is_boiler"))
+    val joined = segs.join(boiler, Seq("seg_h"), "left")
     val keptSeg = when(col("is_boiler").isNull, col("seg"))
     joined
       .groupBy(col(idCol))

@@ -37,18 +37,20 @@ object Corpus extends QueryPack {
 
   private val q96Sql = {
     val segsSql = CorpusOps.segmentArraySql(toksSql, 4)
+    val segHash = TextOps.tokenHashSql("seg")
     s"""WITH segd AS (SELECT doc_id, $segsSql AS segs FROM documents),
-       segs AS (SELECT doc_id, unnest(segs) AS seg,
-                       unnest(range(1, len(segs) + 1)) AS ord FROM segd),
-       boiler AS (SELECT seg FROM segs GROUP BY seg
+       segs AS (SELECT doc_id, seg, ord, $segHash AS seg_h FROM
+         (SELECT doc_id, unnest(segs) AS seg,
+                 unnest(range(1, len(segs) + 1)) AS ord FROM segd)),
+       boiler AS (SELECT seg_h FROM segs GROUP BY seg_h
                   HAVING count(DISTINCT doc_id) >= 3)
        SELECT s.doc_id,
               count(*) AS n_segments,
-              CAST(sum(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              CAST(sum(CASE WHEN b.seg_h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_kept,
-              string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+              string_agg(CASE WHEN b.seg_h IS NULL THEN s.seg END,
                          ' ' ORDER BY s.ord) AS cleaned_text
-       FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+       FROM segs s LEFT JOIN boiler b ON s.seg_h = b.seg_h
        GROUP BY s.doc_id ORDER BY s.doc_id"""
   }
 

@@ -57,6 +57,26 @@ object StreamingOps {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** Streaming JSONL ingest with the same PERMISSIVE corrupt-line
+    * quarantine contract as the batch
+    * [[graft.sources.Sources.readJsonl]] — the continuous half of
+    * corpus ingestion: producers drop `.jsonl` files into a directory,
+    * each micro-batch parses only the new files (the file source
+    * tracks seen files in the checkpoint), clean rows flow onward and
+    * corrupt lines carry their raw text in `_corrupt_record` for
+    * quarantine instead of failing the stream. Schema is explicit —
+    * streaming readers cannot infer.
+    */
+  def readJsonlStream(
+      spark: SparkSession,
+      schema: StructType,
+      dir: String): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+
   /** Tumbling-window counts + sums with a watermark. Works unchanged on
     * a batch DataFrame (watermark is a no-op there) — the streaming twin
     * of q40_hourly_windows.

@@ -45,6 +45,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3) === ((4L, 1L, 1L, "g h")))
   }
 
+  test("lineDedup pins its segment cache and release() unpersists it") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq((1L, Seq("x y")), (2L, Seq("a b"))).toDF("doc_id", "segs")
+    CorpusOps.release()
+    val before = CorpusOps.retainedCount
+    CorpusOps.lineDedup(docs, "doc_id", "segs", 3).collect()
+    assert(CorpusOps.retainedCount === before + 1)
+    CorpusOps.release()
+    assert(CorpusOps.retainedCount === 0)
+  }
+
   test("lineDedup yields NULL text when every segment is boilerplate") {
     val sq = spark
     import sq.implicits._

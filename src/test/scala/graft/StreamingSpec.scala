@@ -242,4 +242,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("sij").count() === 3)
     } finally query.stop()
   }
+
+  test("streaming JSONL ingest quarantines corrupt lines per micro-batch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl-stream")
+    Files.writeString(dir.resolve("a.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}""".stripMargin)
+    Files.writeString(dir.resolve("b.jsonl"),
+      """{"doc_id": 3, "text": "gamma"}
+        |{broken line""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    var clean = 0L
+    var dirty = 0L
+    val query = StreamingOps
+      .readJsonlStream(spark, schema, dir.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // same contract as the batch source: persist before splitting
+        // on _corrupt_record, then route the two halves
+        val cached = batch.cache()
+        clean += cached.filter(col("_corrupt_record").isNull).count()
+        dirty += cached.filter(col("_corrupt_record").isNotNull).count()
+        cached.unpersist()
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    assert(clean === 3, "three well-formed documents must pass")
+    assert(dirty === 1, "the malformed line must quarantine, not fail")
+  }
 }
