@@ -140,4 +140,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"split assignment must not hash-shuffle:\n${p.take(2000)}")
   }
+
+  test("q96 explodes off the pinned segment arrays, not raw text") {
+    // InferFiltersFromGenerate clones the generator input into a
+    // pre-Generate filter; against raw text that re-runs the whole
+    // tokenize+segment pipeline 2-3x per row (ENGINE.md note 14). The
+    // explode must therefore read the cached relation.
+    graft.ops.CorpusOps.release()
+    val p = planOf(Corpus.all("q96_line_dedup")(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"segment explode must scan the pinned cache:\n${p.take(2000)}")
+    graft.ops.CorpusOps.release()
+  }
+
+  test("q97 per-source cap plans as WindowGroupLimit, q100 rank too") {
+    val p97 = planOf(Corpus.all("q97_source_caps")(spark, sf))
+    assert(p97.contains("WindowGroupLimit"), p97.take(2000))
+    val p100 = planOf(Corpus.all("q100_tfidf_keywords")(spark, sf))
+    assert(p100.contains("WindowGroupLimit"), p100.take(2000))
+    assert(p100.contains("BroadcastHashJoin"), p100.take(2000))
+  }
+
+  test("q99 context chunking has no hash shuffle (per-row until the sort)") {
+    val p = planOf(Corpus.all("q99_context_chunks")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must stay per-row:\n${p.take(2000)}")
+  }
 }
