@@ -91,11 +91,12 @@ object Dedup extends QueryPack {
   private val q29Sql =
     s"WITH $hashedCte, $simCte SELECT * FROM sim ORDER BY doc_id"
 
-  /** q30: SimHash near-dup pairs — bucket on 4×8-bit bands, then exact
-    * Hamming ≤ 6 on candidates (classic simhash index shape: only
-    * same-band docs are compared, never all pairs).
+  /** q30 core, shared with the q105 agreement audit: SimHash near-dup
+    * pairs — bucket on 4×8-bit bands, then exact Hamming ≤ 6 on
+    * candidates (classic simhash index shape: only same-band docs are
+    * compared, never all pairs).
     */
-  private def q30SimhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sim = hashed(s, d)
       .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"))
     // single pass + explode (not union: see bandsDf note)
@@ -119,8 +120,10 @@ object Dedup extends QueryPack {
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .distinct()
-      .orderBy(col("d1"), col("d2"))
   }
+
+  private def q30SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy(col("d1"), col("d2"))
 
   private val q30Sql = {
     val bandSelects = (0 until 4)
@@ -324,6 +327,104 @@ object Dedup extends QueryPack {
        FROM documents d JOIN labels l ON l.doc_id = d.doc_id
        GROUP BY d.source ORDER BY d.source"""
 
+  /** q104: inter-document n-gram NOVELTY — the corpus-statistics
+    * quality signal the per-row heuristics (q23) and the intra-doc
+    * repetition fractions (q90) can't see: what fraction of a
+    * document's distinct trigrams are corpus-RARE (doc frequency < 3)?
+    * Low novelty ⇒ the document is assembled from phrases the corpus
+    * already contains everywhere (template/boilerplate prose — the
+    * KenLM-perplexity-shaped filter, here in exact integer fixed-point
+    * instead of a float LM score). Distributed shape: explode the
+    * per-doc shingle hashes → one uniform groupBy for the trigram
+    * document-frequency table → equi join back → per-doc counts. The
+    * df table is shingle-vocabulary-sized, never corpus-quadratic.
+    */
+  private def q104NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    // feeds both the df aggregate and the join probe — materialize or
+    // the two concurrent stage scans recompute the shingle pipeline
+    val ex = hashed(s, d)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .cache()
+    ex.count()
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") < 3, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_ngrams").as("novelty_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Sql =
+    s"""WITH $hashedCte,
+       ex AS (SELECT doc_id, unnest(hs) AS h FROM hsrc),
+       dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+       SELECT e.doc_id, count(*) AS n_ngrams,
+         CAST(sum(CASE WHEN dfreq.df < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         (1000000 * CAST(sum(CASE WHEN dfreq.df < 3 THEN 1 ELSE 0 END)
+           AS BIGINT)) // count(*) AS novelty_e6
+       FROM ex e JOIN dfreq ON e.h = dfreq.h
+       GROUP BY e.doc_id ORDER BY e.doc_id"""
+
+  /** q105: dedup METHOD-AGREEMENT audit — MinHash-verified pairs
+    * (Jaccard ≥ 0.8 on LSH candidates, q31) vs SimHash pairs (Hamming
+    * ≤ 6 on banded candidates, q30), as one row: pair counts, overlap,
+    * and the Jaccard of the two PAIR SETS in exact integer fixed-point.
+    * The operational question it answers: before trusting one method's
+    * clusters at 100 TB, how differently would the other have deduped?
+    * Low agreement ⇒ the threshold/banding configs encode different
+    * dup notions — tighten before purging. Full-outer join of two
+    * small pair sets; both chains are the deployed candidate-driven
+    * pipelines, never all-pairs.
+    */
+  private def q105MethodAgreement(s: SparkSession, d: String): DataFrame = {
+    val sp = simhashPairs(s, d)
+      .select(col("d1"), col("d2"), lit(1L).as("in_s"))
+    val mp = CurationOps.verifiedPairs(docs(s, d))
+      .select(col("d1"), col("d2"), lit(1L).as("in_m"))
+    sp.join(mp, Seq("d1", "d2"), "full_outer")
+      .agg(
+        sum(when(col("in_s").isNotNull, 1L).otherwise(0L)).as("n_simhash"),
+        sum(when(col("in_m").isNotNull, 1L).otherwise(0L)).as("n_minhash"),
+        sum(when(col("in_s").isNotNull && col("in_m").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("n_simhash"), col("n_minhash"), col("n_common"),
+        when(col("n_simhash") + col("n_minhash") - col("n_common") > 0,
+          expr("(1000000 * n_common) div (n_simhash + n_minhash - n_common)"))
+          .as("agreement_e6"))
+  }
+
+  private val q105Sql = {
+    val bandSelects = (0 until 4)
+      .map(b => s"""SELECT doc_id, simhash, $b AS band,
+                    (simhash >> ${8 * b}) & 255 AS key FROM sim""")
+      .mkString(" UNION ALL ")
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       $verifiedCte, $simCte, sbands AS ($bandSelects),
+       spairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM sbands a JOIN sbands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       f AS (SELECT (sp.d1 IS NOT NULL) AS in_s, (v.d1 IS NOT NULL) AS in_m
+             FROM spairs sp FULL JOIN verified v
+               ON sp.d1 = v.d1 AND sp.d2 = v.d2),
+       agg AS (SELECT
+           CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_simhash,
+           CAST(sum(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(sum(CASE WHEN in_s AND in_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common
+         FROM f)
+       SELECT n_simhash, n_minhash, n_common,
+         CASE WHEN n_simhash + n_minhash - n_common > 0
+           THEN (1000000 * n_common) // (n_simhash + n_minhash - n_common)
+         END AS agreement_e6
+       FROM agg"""
+  }
+
   /** q102: quality-vs-dup calibration — do the quality filter and the
     * near-dup purge agree on which documents are junk? Buckets every
     * document by its DEPLOYED heuristic quality decile (the same
@@ -501,6 +602,8 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
     "q102_quality_dup_calibration" -> q102QualityDupCalibration,
+    "q104_ngram_novelty" -> q104NgramNovelty,
+    "q105_method_agreement" -> q105MethodAgreement,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q89_dedup_recall" -> q89DedupRecall,
     "q91_curation_report" -> q91CurationReport)
@@ -517,6 +620,8 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,
     "q102_quality_dup_calibration" -> q102Sql,
+    "q104_ngram_novelty" -> q104Sql,
+    "q105_method_agreement" -> q105Sql,
     "q86_incremental_dedup" -> q86Sql,
     "q89_dedup_recall" -> q89Sql,
     "q91_curation_report" -> q91Sql)
