@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The corpus-curation pipeline as a PUBLIC library API — the same
@@ -181,7 +182,25 @@ object CurationOps {
       textCol)
 
   private def exactVerify(docs: DataFrame, cands0: DataFrame,
-      threshold: Double, textCol: String): DataFrame = {
+      threshold: Double, textCol: String): DataFrame =
+    jaccardOf(docs, cands0, textCol)
+      .select(col("d1"), col("d2"), col("n_shared"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Exact n-gram Jaccard for every LSH candidate pair, UNFILTERED:
+    * (d1, d2, n_shared, n1, n2, jaccard), jaccard null for the
+    * empty-shingle 0/0 pairs. The raw material for threshold
+    * calibration sweeps and signature-estimate audits —
+    * [[verifiedPairs]] is exactly this with the deployed threshold
+    * applied, so a sweep over these rows predicts what ANY threshold
+    * choice would purge.
+    */
+  def candidateJaccard(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    jaccardOf(docs, lshCandidatePairs(docs, textCol), textCol)
+
+  private def jaccardOf(docs: DataFrame, cands0: DataFrame,
+      textCol: String): DataFrame = {
     // fetched twice (both pair sides) — compute once
     val sets = materialize(
       shingleHashed(docs, textCol).select(col("doc_id"), col("sh")))
@@ -200,11 +219,10 @@ object CurationOps {
       // sentinel signatures, so they DO become candidates — the 0/0
       // division must yield null (pair dropped, matching the SQL
       // mirror's NULL), not an ANSI DIVIDE_BY_ZERO crash
-      .select(col("d1"), col("d2"), col("n_shared"),
+      .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
         when(col("n1") + col("n2") - col("n_shared") > 0,
           col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** EXACT all-pairs Jaccard ≥ `threshold` — the ground truth a recall
@@ -254,6 +272,73 @@ object CurationOps {
         when(col("n_true_pairs") > 0,
           col("n_caught").cast("double") / col("n_true_pairs"))
           .otherwise(lit(1.0)).as("recall"))
+  }
+
+  /** Maximal cross-document duplicated token spans — the
+    * exact-substring dedup shape (suffix-array dedup's output,
+    * re-expressed as DataFrame ops): every maximal run of token
+    * positions whose k-gram occurs in ≥2 DISTINCT documents. Unlike
+    * the whole-document near-dup chain this catches the boilerplate
+    * header/footer/license block pasted into otherwise-unique
+    * documents — the dominant duplication mode in crawled corpora.
+    *
+    * Distributed shape: per-row k-gram hash arrays (shuffle-free) →
+    * posexplode → ONE uniform groupBy for the k-gram document
+    * frequency → equi-join back → per-document window merge of
+    * adjacent hit positions into maximal spans. The df table is
+    * k-gram-vocabulary-sized; the window partitions by doc_id — no
+    * all-pairs step, no skewed key (a k-gram shared by millions of
+    * docs contributes one df row and per-doc hits, never a pairwise
+    * blow-up — exactly why spans scale where pairwise substring
+    * comparison cannot).
+    *
+    * Intra-document repeats are deliberately NOT counted as
+    * duplication here (distinct-doc frequency, not occurrence count):
+    * within-doc repetition is a per-row signal (q90's Gopher
+    * fractions), while cross-doc spans are what an ExactSubstr purge
+    * removes.
+    *
+    * Output: (doc_id, span_id, start_tok, end_tok, span_toks) — token
+    * index range [start_tok, end_tok] inclusive, span_id the per-doc
+    * ordinal by position.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    // chained projections: toks materialized as an attribute before
+    // the HOF lambda references it (HOF lambdas get no CSE)
+    val kgs = docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        // sequence(0, n-k) DESCENDS when n<k (step defaults to -1) —
+        // guard short docs to an empty position range
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            p => TextOps.tokenHash(
+              concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>")).as("kgs"))
+    // feeds both the df aggregate and the join probe — materialize or
+    // the two concurrent stage scans recompute the k-gram pipeline
+    val ex = materialize(kgs
+      .select(col("doc_id"), posexplode(col("kgs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+    val dup = ex.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val hits = ex.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .select(col("doc_id"), col("pos"),
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > 1, 1L)
+          .otherwise(0L).as("ns"))
+      .select(col("doc_id"), col("pos"), sum(col("ns")).over(w).as("span_id"))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(k - 1).cast("long")).as("end_tok"))
+      .select(col("doc_id"), col("span_id"), col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("span_toks"))
   }
 
   /** Total cluster assignment (doc_id, comp): connected components

@@ -425,6 +425,180 @@ object Dedup extends QueryPack {
        FROM agg"""
   }
 
+  /** q103: exact-substring dedup — maximal cross-document duplicated
+    * 8-gram token spans ([[CurationOps.duplicatedSpans]]): the
+    * suffix-array-style purge unit that catches boilerplate
+    * headers/footers/license blocks pasted into otherwise-unique
+    * documents, which whole-document near-dup (q31/q75) never flags.
+    */
+  private def q103ExactSubstrings(s: SparkSession, d: String): DataFrame =
+    CurationOps.duplicatedSpans(docs(s, d))
+      .orderBy(col("doc_id"), col("span_id"))
+
+  private val q103Sql = {
+    val kgHash =
+      TextOps.tokenHashSql("array_to_string(toks[p:p+7], ' ')")
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              FROM documents),
+       posn AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 6, 1))) AS p FROM t),
+       kg AS (SELECT doc_id, p - 1 AS pos, $kgHash AS h FROM posn),
+       dup AS (SELECT h FROM kg GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, pos FROM kg JOIN dup USING (h)),
+       marked AS (SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               IS NULL
+             OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+             THEN 1 ELSE 0 END AS ns
+         FROM hits),
+       sp AS (SELECT doc_id, pos,
+           CAST(sum(ns) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS BIGINT) AS span_id
+         FROM marked)
+       SELECT doc_id, span_id,
+         CAST(min(pos) AS BIGINT) AS start_tok,
+         CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+         CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_toks
+       FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
+  }
+
+  /** Exact candidate Jaccard in e6 fixed point — shared by the q106
+    * sweep and the q107 signature-error audit. Integer `div` so both
+    * engines bucket identically (no FP boundary).
+    */
+  private def candidateJe6(s: SparkSession, d: String): DataFrame =
+    CurationOps.candidateJaccard(docs(s, d))
+      .filter(col("jaccard").isNotNull)
+      .select(col("d1"), col("d2"),
+        expr("(1000000 * n_shared) div (n1 + n2 - n_shared)").as("j_e6"))
+
+  private val je6Cte =
+    """j AS (SELECT d1, d2,
+         (1000000 * n_shared) // (n1 + n2 - n_shared) AS j_e6
+       FROM withsets WHERE n1 + n2 - n_shared > 0)"""
+
+  /** q106: dedup threshold-sensitivity sweep — for each candidate
+    * Jaccard threshold, how many pairs and docs would the purge touch?
+    * The calibration table read BEFORE committing a threshold to a
+    * 100 TB run: a cliff between two rows means the corpus has a
+    * near-dup band right there. One unfiltered candidate-Jaccard pass
+    * (the deployed [[CurationOps.candidateJaccard]]), exploded against
+    * a 9-value threshold literal — no per-threshold re-run.
+    */
+  private def q106ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Array(500000L, 600000L, 700000L, 750000L, 800000L,
+      850000L, 900000L, 950000L, 1000000L)
+    candidateJe6(s, d)
+      .select(col("d1"), col("d2"), col("j_e6"),
+        explode(lit(thresholds)).as("threshold_e6"))
+      .filter(col("j_e6") >= col("threshold_e6"))
+      .select(col("threshold_e6"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("threshold_e6"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
+      .orderBy(col("threshold_e6"))
+  }
+
+  private val q106Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       $je6Cte,
+       th AS (SELECT CAST(unnest([500000, 600000, 700000, 750000,
+           800000, 850000, 900000, 950000, 1000000]) AS BIGINT)
+           AS threshold_e6),
+       f AS (SELECT th.threshold_e6, j.d1, j.d2 FROM j
+             JOIN th ON j.j_e6 >= th.threshold_e6),
+       e AS (SELECT threshold_e6, unnest([d1, d2]) AS doc FROM f)
+       SELECT threshold_e6,
+         CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       FROM e GROUP BY threshold_e6 ORDER BY threshold_e6"""
+
+  /** q107: MinHash signature-estimate error audit — on the LSH
+    * candidates, the 8-component signature's Jaccard estimate
+    * (matching components / 8) vs the exact shingle Jaccard, as one
+    * row: candidate count, mean and max absolute error, all in exact
+    * e6 fixed point. The number that says whether 8 components are
+    * enough before scaling the banding config to 100 TB — a large MAE
+    * means band agreement is a noisy proxy for true similarity and
+    * the verify step is load-bearing.
+    */
+  private def q107MinhashEstimateError(s: SparkSession,
+      d: String): DataFrame = {
+    // signatures feed both pair sides — cache+materialize or the two
+    // join scans each recompute the tokenize→shingle→minhash chain
+    val sg = sigs(s, d).cache()
+    sg.count()
+    val a = sg.select(col("doc_id").as("d1") +:
+      (0 until 8).map(i => col(s"s$i").as(s"a$i")): _*)
+    val b = sg.select(col("doc_id").as("d2") +:
+      (0 until 8).map(i => col(s"s$i").as(s"b$i")): _*)
+    val matches = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    candidateJe6(s, d)
+      .join(a, Seq("d1"))
+      .join(b, Seq("d2"))
+      .select(col("j_e6"), matches.as("m"))
+      .select(col("j_e6"), expr("(1000000 * m) div 8").as("est_e6"))
+      .select(abs(col("est_e6") - col("j_e6")).as("err"))
+      .agg(count(lit(1)).as("n_candidates"),
+        expr("sum(err) div count(1)").as("mae_e6"),
+        max(col("err")).as("max_err_e6"))
+  }
+
+  private val q107Sql = {
+    val caseSum = (0 until 8)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       $je6Cte,
+       m AS (SELECT j.j_e6, ($caseSum) AS mm FROM j
+             JOIN sigs a ON a.doc_id = j.d1
+             JOIN sigs b ON b.doc_id = j.d2),
+       r AS (SELECT abs(CAST((1000000 * mm) // 8 AS BIGINT) - j_e6)
+               AS err FROM m)
+       SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(err) AS BIGINT) // count(*) AS mae_e6,
+         CAST(max(err) AS BIGINT) AS max_err_e6
+       FROM r"""
+  }
+
+  /** q108: cross-source near-dup overlap matrix — which sources
+    * mirror each other? Verified pairs labeled with both documents'
+    * sources, normalized to an unordered (source_a ≤ source_b) cell.
+    * Off-diagonal mass identifies mirror sites to drop at ingest
+    * (cheaper than deduping them forever); diagonal mass is
+    * within-source churn the per-source caps (q97) already bound.
+    */
+  private def q108SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    CurationOps.verifiedPairs(docs(s, d))
+      .select(col("d1"), col("d2"))
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")),
+        Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")),
+        Seq("d2"))
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val q108Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       $verifiedCte,
+       lab AS (SELECT least(x.source, y.source) AS source_a,
+           greatest(x.source, y.source) AS source_b
+         FROM verified v
+         JOIN documents x ON x.doc_id = v.d1
+         JOIN documents y ON y.doc_id = v.d2)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM lab GROUP BY source_a, source_b
+       ORDER BY source_a, source_b"""
+
   /** q102: quality-vs-dup calibration — do the quality filter and the
     * near-dup purge agree on which documents are junk? Buckets every
     * document by its DEPLOYED heuristic quality decile (the same
@@ -602,8 +776,12 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
     "q102_quality_dup_calibration" -> q102QualityDupCalibration,
+    "q103_exact_substrings" -> q103ExactSubstrings,
     "q104_ngram_novelty" -> q104NgramNovelty,
     "q105_method_agreement" -> q105MethodAgreement,
+    "q106_threshold_sweep" -> q106ThresholdSweep,
+    "q107_minhash_estimate_error" -> q107MinhashEstimateError,
+    "q108_source_overlap" -> q108SourceOverlap,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q89_dedup_recall" -> q89DedupRecall,
     "q91_curation_report" -> q91CurationReport)
@@ -620,8 +798,12 @@ object Dedup extends QueryPack {
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,
     "q102_quality_dup_calibration" -> q102Sql,
+    "q103_exact_substrings" -> q103Sql,
     "q104_ngram_novelty" -> q104Sql,
     "q105_method_agreement" -> q105Sql,
+    "q106_threshold_sweep" -> q106Sql,
+    "q107_minhash_estimate_error" -> q107Sql,
+    "q108_source_overlap" -> q108Sql,
     "q86_incremental_dedup" -> q86Sql,
     "q89_dedup_recall" -> q89Sql,
     "q91_curation_report" -> q91Sql)
