@@ -120,6 +120,66 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(surv(4L) === 1L && surv(5L) === 1L)
   }
 
+  test("candidateJaccard keeps sub-threshold and null-jaccard pairs") {
+    val sq = spark
+    import sq.implicits._
+    val tiny = Seq((1L, "hello world"), (2L, "tiny doc"), (3L, base),
+      (4L, base + " today")).toDF("doc_id", "text")
+    val cj = CurationOps.candidateJaccard(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(5))).toMap
+    assert(cj.contains((1L, 2L)) && cj((1L, 2L)).isEmpty,
+      s"the empty-vs-empty candidate must surface with null jaccard: $cj")
+    assert(cj.get((3L, 4L)).exists(_.isDefined),
+      s"the near-dup candidate must carry its exact jaccard: $cj")
+    // filtering these rows at a threshold IS verifiedPairs — the sweep
+    // contract that q106 relies on
+    val fromSweep = cj.collect {
+      case (p, Some(j: java.lang.Double)) if j >= 0.5 => p
+    }.toSet
+    val direct = CurationOps.verifiedPairs(tiny, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromSweep === direct,
+      "thresholding candidateJaccard must equal verifiedPairs")
+  }
+
+  test("duplicatedSpans finds the shared block, merges adjacent k-grams") {
+    val sq = spark
+    import sq.implicits._
+    // a 10-token block pasted into two otherwise-different docs: with
+    // k=4 its 7 k-gram hits must merge into ONE maximal span of 10
+    // tokens per doc; the unique remainders must produce no span
+    val block = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"unique opening words here $block and some trailing text"),
+      (2L, s"$block totally different continuation of the second doc"),
+      (3L, "nothing shared with anything else at all in this one")
+    ).toDF("doc_id", "text")
+    val spans = CurationOps.duplicatedSpans(d, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.length === 2, s"one maximal span per doc: ${spans.toSeq}")
+    val byDoc = spans.map(s => s._1 -> s).toMap
+    assert(byDoc(1L) === (1L, 4L, 13L, 10L),
+      s"doc 1 span must cover exactly the pasted block: ${spans.toSeq}")
+    assert(byDoc(2L) === (2L, 0L, 9L, 10L),
+      s"doc 2 span starts at token 0: ${spans.toSeq}")
+    assert(!byDoc.contains(3L), "the unshared doc must have no span")
+  }
+
+  test("duplicatedSpans ignores intra-doc repeats and short docs") {
+    val sq = spark
+    import sq.implicits._
+    val d = Seq(
+      // the same 4-gram twice WITHIN one doc — distinct-doc frequency
+      // is 1, so no span
+      (1L, "alpha beta gamma delta padding words alpha beta gamma delta"),
+      (2L, "three short tokens"), // < k tokens: empty k-gram range
+      (3L, "wholly unrelated content sits here")
+    ).toDF("doc_id", "text")
+    assert(CurationOps.duplicatedSpans(d, k = 4).count() === 0L)
+  }
+
   test("curate drops non-canonical dups AND low-quality docs, keeps schema") {
     val out = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.1)
     assert(out.columns.toSet === Set("doc_id", "quality"),
