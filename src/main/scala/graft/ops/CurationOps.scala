@@ -304,23 +304,7 @@ object CurationOps {
     */
   def duplicatedSpans(docs: DataFrame, k: Int = 8,
       textCol: String = "text"): DataFrame = {
-    // chained projections: toks materialized as an attribute before
-    // the HOF lambda references it (HOF lambdas get no CSE)
-    val kgs = docs
-      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        // sequence(0, n-k) DESCENDS when n<k (step defaults to -1) —
-        // guard short docs to an empty position range
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(0), size(col("toks")) - k),
-            p => TextOps.tokenHash(
-              concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
-          .otherwise(array().cast("array<bigint>")).as("kgs"))
-    // feeds both the df aggregate and the join probe — materialize or
-    // the two concurrent stage scans recompute the k-gram pipeline
-    val ex = materialize(kgs
-      .select(col("doc_id"), posexplode(col("kgs")).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+    val ex = kgramHits(docs, k, textCol)
     val dup = ex.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -339,6 +323,93 @@ object CurationOps {
       .select(col("doc_id"), col("span_id"), col("start_tok"),
         col("end_tok"),
         (col("end_tok") - col("start_tok") + 1L).as("span_toks"))
+  }
+
+  /** Exploded (doc_id, pos, h) k-gram hash hits, cached+materialized:
+    * the shared base of [[duplicatedSpans]] and [[purgeSpans]] — it
+    * feeds both the document-frequency aggregate and the join probe,
+    * and an unmaterialized cache would recompute the whole
+    * tokenize→k-gram chain once per concurrent stage scan.
+    */
+  private def kgramHits(docs: DataFrame, k: Int,
+      textCol: String): DataFrame = {
+    // chained projections: toks materialized as an attribute before
+    // the HOF lambda references it (HOF lambdas get no CSE)
+    val kgs = docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        // sequence(0, n-k) DESCENDS when n<k (step defaults to -1) —
+        // guard short docs to an empty position range
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            p => TextOps.tokenHash(
+              concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
+          .otherwise(array().cast("array<bigint>")).as("kgs"))
+    materialize(kgs
+      .select(col("doc_id"), posexplode(col("kgs")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+  }
+
+  /** Exact-substring purge — the APPLY side of [[duplicatedSpans]]:
+    * rebuild every document with its cross-document duplicated token
+    * runs removed, keeping one canonical occurrence corpus-wide (the
+    * deduplicate-text-datasets ExactSubstr semantics, re-expressed as
+    * uniform-key DataFrame ops instead of a suffix array).
+    *
+    * Canonical-occurrence rule, exactly mirrorable in SQL: each
+    * duplicated k-gram's OWNER is the smallest doc_id containing it; a
+    * hit in any other document is foreign, and every token position it
+    * covers is purged. The owner keeps its text untouched (including
+    * its own intra-doc repeats — those are q90's per-row signal, not
+    * cross-doc duplication), so shared blocks survive exactly once and
+    * the purge is idempotent. Short overlap-remnants (< k tokens) of a
+    * partially-shared run are kept — only positions provably inside a
+    * duplicated k-gram are removed.
+    *
+    * Distributed shape: the [[kgramHits]] explode → one uniform
+    * groupBy(h) for (doc-frequency, owner) → equi-join back → a
+    * bounded k× explode of foreign hits into covered token positions
+    * (k is a constant; no pairwise step, no skew — a block shared by a
+    * million docs costs one owner row plus per-doc hits) → left-anti
+    * join against the per-doc token positions → order-preserving
+    * reassembly via array_sort (never a window over the whole corpus).
+    *
+    * Output: (doc_id, n_toks, n_purged, text_clean) for EVERY input
+    * document; text_clean is empty when everything was purged.
+    */
+  def purgeSpans(docs: DataFrame, k: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    val ex = kgramHits(docs, k, textCol)
+    val owners = ex.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("owner"))
+    val purgedPos = ex.join(owners, Seq("h"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long")))
+          .as("t"))
+      .distinct()
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("t", "tok")))
+      .select(col("doc_id"), col("t").cast("long").as("t"), col("tok"))
+    val rebuilt = tokPos
+      .join(purgedPos, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("t"), col("tok")))),
+            s => s.getField("tok"))).as("text_clean"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_purged"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Total cluster assignment (doc_id, comp): connected components

@@ -463,6 +463,47 @@ object Dedup extends QueryPack {
        FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
   }
 
+  /** q109: exact-substring PURGE — the apply side of q103
+    * ([[CurationOps.purgeSpans]]): every document rebuilt with its
+    * cross-document duplicated 8-gram runs removed, keeping the
+    * smallest-doc_id occurrence corpus-wide. The output text IS the
+    * span-deduplicated corpus; n_purged quantifies how much boilerplate
+    * the ExactSubstr pass removes beyond whole-document near-dup.
+    */
+  private def q109SpanPurge(s: SparkSession, d: String): DataFrame =
+    CurationOps.purgeSpans(docs(s, d))
+      .orderBy(col("doc_id"))
+
+  private val q109Sql = {
+    val kgHash =
+      TextOps.tokenHashSql("array_to_string(toks[p:p+7], ' ')")
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              FROM documents),
+       posn AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 6, 1))) AS p FROM t),
+       kg AS (SELECT doc_id, p - 1 AS pos, $kgHash AS h FROM posn),
+       own AS (SELECT h, min(doc_id) AS owner FROM kg GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+       ft AS (SELECT kg.doc_id, unnest(range(pos, pos + 8)) AS tt
+              FROM kg JOIN own USING (h) WHERE kg.doc_id > own.owner),
+       ftd AS (SELECT DISTINCT doc_id, tt FROM ft),
+       tp AS (SELECT doc_id, unnest(toks) AS tok,
+              unnest(range(1, len(toks) + 1)) AS ord FROM t),
+       kept AS (SELECT tp.doc_id, tp.ord - 1 AS t, tp.tok FROM tp
+                LEFT JOIN ftd ON ftd.doc_id = tp.doc_id
+                  AND ftd.tt = tp.ord - 1
+                WHERE ftd.doc_id IS NULL),
+       reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t) AS text_clean
+               FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         CAST(len(t.toks) - coalesce(reb.n_kept, 0) AS BIGINT)
+           AS n_purged,
+         coalesce(reb.text_clean, '') AS text_clean
+       FROM t LEFT JOIN reb ON reb.doc_id = t.doc_id
+       ORDER BY t.doc_id"""
+  }
+
   /** Exact candidate Jaccard in e6 fixed point — shared by the q106
     * sweep and the q107 signature-error audit. Integer `div` so both
     * engines bucket identically (no FP boundary).
@@ -782,6 +823,7 @@ object Dedup extends QueryPack {
     "q106_threshold_sweep" -> q106ThresholdSweep,
     "q107_minhash_estimate_error" -> q107MinhashEstimateError,
     "q108_source_overlap" -> q108SourceOverlap,
+    "q109_span_purge" -> q109SpanPurge,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q89_dedup_recall" -> q89DedupRecall,
     "q91_curation_report" -> q91CurationReport)
@@ -804,6 +846,7 @@ object Dedup extends QueryPack {
     "q106_threshold_sweep" -> q106Sql,
     "q107_minhash_estimate_error" -> q107Sql,
     "q108_source_overlap" -> q108Sql,
+    "q109_span_purge" -> q109Sql,
     "q86_incremental_dedup" -> q86Sql,
     "q89_dedup_recall" -> q89Sql,
     "q91_curation_report" -> q91Sql)

@@ -180,6 +180,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(CurationOps.duplicatedSpans(d, k = 4).count() === 0L)
   }
 
+  test("purgeSpans removes foreign copies, keeps the owner's, is idempotent") {
+    val sq = spark
+    import sq.implicits._
+    val block = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, s"unique opening words here $block and some trailing text"),
+      (2L, s"$block totally different continuation of the second doc"),
+      (3L, "nothing shared with anything else at all in this one")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.purgeSpans(d, k = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // owner (min doc_id containing the block) keeps its text whole
+    assert(out(1L)._2 === 0L, s"owner must purge nothing: $out")
+    assert(out(1L)._3.contains("alpha beta gamma delta"))
+    // the foreign copy loses exactly the 10 block tokens
+    assert(out(2L) === (17L, 10L,
+      "totally different continuation of the second doc"),
+      s"foreign copy must lose the pasted block only: $out")
+    assert(out(3L)._2 === 0L)
+    // idempotent: purging the purged corpus changes nothing
+    val again = CurationOps
+      .purgeSpans(
+        CurationOps.purgeSpans(d, k = 4)
+          .select($"doc_id", $"text_clean".as("text")), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again.values.forall(_ === 0L),
+      s"second purge must remove nothing: $again")
+  }
+
   test("curate drops non-canonical dups AND low-quality docs, keeps schema") {
     val out = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.1)
     assert(out.columns.toSet === Set("doc_id", "quality"),
