@@ -138,6 +138,80 @@ object CorpusOps {
       .filter(col("rk") <= cap)
   }
 
+  /** BM25 ranked retrieval over the corpus for a literal bag of query
+    * terms, in EXACT integer fixed-point so the ranking is
+    * bit-reproducible across engines and runs (k1 = 1.2, b = 0.75;
+    * idf uses the q100 integer convention `(1e6·N) div df` rather
+    * than the transcendental log — the monotone-in-1/df shape is what
+    * the ranking needs, and integer div is what hash-equality needs).
+    *
+    * Fixed-point budget: the contribution numerator is
+    * `idf_e6 · tf · 22000`; with idf_e6 ≤ 1e6·N/df and tf ≤ doc
+    * length, it stays inside signed 64-bit for corpora up to ~1e10
+    * docs with df ≥ N/1e5 — beyond that, drop idf to e3.
+    *
+    * Scale shape: tf is one explode+groupBy restricted to the query
+    * terms (the `isin` filter prunes the explode's output before the
+    * shuffle); df and the corpus totals are tiny broadcast sides; the
+    * final top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], topK: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokenization feeds dl AND tf — materialize or both scans re-clean
+    val tokd = materialize(docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks")))
+    val dl = tokd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = tokd.select(col("doc_id"), explode(col("toks")).as("word"))
+      .filter(col("word").isInCollection(terms))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tots = dl.agg(count(lit(1)).as("n_total"),
+      sum(col("dl")).as("tok_total"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfT), Seq("word"))
+      .crossJoin(broadcast(tots))
+      .withColumn("avgdl_e3", expr("(1000 * tok_total) div n_total"))
+      .withColumn("norm_e3",
+        expr("250 + (750 * ((1000000 * dl) div avgdl_e3)) div 1000"))
+      .withColumn("idf_e6", expr("(1000000 * n_total) div df"))
+      .withColumn("contrib_e6",
+        expr("(idf_e6 * tf * 22000) div (tf * 10000 + 12 * norm_e3)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Deterministic global training shuffle: assign every document a
+    * shard and an in-shard position from a seeded stable hash — the
+    * "shuffle the corpus once, reproducibly" step that precedes
+    * training-shard writes. Run/engine/ingest-order stable (same hash
+    * discipline as the q83 split): re-running with the same seed
+    * reproduces the exact order; changing the seed is a fresh shuffle.
+    *
+    * At 100 TB the materialization is `repartition(nShards, shard)` +
+    * `sortWithinPartitions(h)` into per-shard files — each shard sorts
+    * only corpus/nShards rows, no global sort. This returns the
+    * assignment itself ((doc_id, shard, pos)) so audits and resumable
+    * loaders can address any position without re-reading the corpus.
+    */
+  def trainingShards(docs: DataFrame, nShards: Int, seed: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.tokenHash(
+      concat(lit(s"$seed:"), col(idCol).cast("string")))
+    docs
+      .select(col(idCol).as("doc_id"), h.as("h"))
+      .select(col("doc_id"), col("h"),
+        pmod(col("h"), lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Source mixture weighting: per-source sampling weight w ∈ {1.0,
     * 1.5, 2.0} (derived here from the source id; production passes a
     * weight table) realized as deterministic per-document repeat

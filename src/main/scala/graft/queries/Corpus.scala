@@ -252,13 +252,79 @@ object Corpus extends QueryPack {
        SELECT u AS word, score FROM s3 ORDER BY score DESC, word ASC"""
   }
 
+  /** The q110 query bag: one rare discriminative term (`dup`,
+    * df ≈ 5% of docs) among common ones — the shape where BM25's
+    * idf/length-normalization actually reorders results vs raw tf.
+    */
+  private val q110Terms = Seq("fast", "spark", "query", "dup")
+
+  /** q110: BM25 ranked retrieval ([[CorpusOps.bm25TopK]]) — top-15
+    * documents for a literal query bag, exact integer fixed-point
+    * (k1 = 1.2, b = 0.75, integer idf). The search-side operator of
+    * the corpus pack: df + totals broadcast, explode pruned to the
+    * query terms before the shuffle, top-k via TakeOrderedAndProject.
+    */
+  private def q110Bm25Search(s: SparkSession, d: String): DataFrame =
+    CorpusOps.bm25TopK(docs(s, d), q110Terms, topK = 15)
+
+  private val q110Sql = {
+    val terms = q110Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+              WHERE word IN ($terms) GROUP BY doc_id, word),
+       dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+       tots AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(dl) AS BIGINT) AS tok_total FROM dl),
+       sc0 AS (SELECT tf.doc_id, tf.tf, dl.dl, dfq.df, n_total, tok_total
+               FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word)
+               CROSS JOIN tots),
+       sc1 AS (SELECT *, (1000 * tok_total) // n_total AS avgdl_e3
+               FROM sc0),
+       sc2 AS (SELECT *,
+                 250 + (750 * ((1000000 * dl) // avgdl_e3)) // 1000
+                   AS norm_e3,
+                 (1000000 * n_total) // df AS idf_e6 FROM sc1),
+       sc3 AS (SELECT doc_id,
+                 (idf_e6 * tf * 22000) // (tf * 10000 + 12 * norm_e3)
+                   AS contrib_e6 FROM sc2)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+       FROM sc3 GROUP BY doc_id
+       ORDER BY score_e6 DESC, doc_id ASC LIMIT 15"""
+  }
+
+  /** q111: deterministic global training shuffle
+    * ([[CorpusOps.trainingShards]]): every document's (shard, pos)
+    * under a seeded stable hash, 16 shards. Reproducible across
+    * engines/runs/ingest order; at scale the same assignment is
+    * realized as repartition + sortWithinPartitions per shard.
+    */
+  private def q111TrainingShards(s: SparkSession, d: String): DataFrame =
+    CorpusOps.trainingShards(docs(s, d), nShards = 16, seed = "shard42")
+      .orderBy(col("shard"), col("pos"))
+
+  private val q111Sql = {
+    val h = TextOps.tokenHashSql("'shard42:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH hd AS (SELECT doc_id, $h AS h FROM documents),
+       sh AS (SELECT doc_id, h, h % 16 AS shard FROM hd)
+       SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+           AS BIGINT) AS pos
+       FROM sh ORDER BY shard, pos"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_line_dedup" -> q96LineDedup,
     "q97_source_caps" -> q97SourceCaps,
     "q98_mixture_epochs" -> q98MixtureEpochs,
     "q99_context_chunks" -> q99ContextChunks,
     "q100_tfidf_keywords" -> q100TfidfKeywords,
-    "q101_textrank" -> q101Textrank)
+    "q101_textrank" -> q101Textrank,
+    "q110_bm25_search" -> q110Bm25Search,
+    "q111_training_shards" -> q111TrainingShards)
 
   override val oracle: Map[String, String] = Map(
     "q96_line_dedup" -> q96Sql,
@@ -266,5 +332,7 @@ object Corpus extends QueryPack {
     "q98_mixture_epochs" -> q98Sql,
     "q99_context_chunks" -> q99Sql,
     "q100_tfidf_keywords" -> q100Sql,
-    "q101_textrank" -> q101Sql)
+    "q101_textrank" -> q101Sql,
+    "q110_bm25_search" -> q110Sql,
+    "q111_training_shards" -> q111Sql)
 }

@@ -97,4 +97,52 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(s1.forall(n => n == 1L || n == 2L))
   }
+
+  test("bm25TopK ranks rare-term docs above common-term docs") {
+    val sq = spark
+    import sq.implicits._
+    // 'zebra' appears in one doc, 'data' in all four; equal tf — the
+    // rare term's idf must dominate. Doc 4 is a long document stuffed
+    // with one 'data': length normalization must rank it below doc 2's
+    // short 'data' doc.
+    val docs = Seq(
+      (1L, "zebra data words words words"),
+      (2L, "data words words words words"),
+      (3L, "data other things entirely here"),
+      (4L, "data " + Seq.fill(40)("filler").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bm25TopK(docs, Seq("zebra", "data"), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 === 1L, s"the zebra doc must rank first: ${out.toSeq}")
+    assert(out.head._2 === 2L, "it hits both query terms")
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    assert(byDoc(2L) > byDoc(4L),
+      s"short doc must outscore the long stuffed doc: ${out.toSeq}")
+    // determinism: same input, same scores
+    val again = CorpusOps.bm25TopK(docs, Seq("zebra", "data"), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("trainingShards is a seeded permutation: total, stable, seed-sensitive") {
+    val sq = spark
+    import sq.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CorpusOps.trainingShards(docs, nShards = 8, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // total assignment: every doc exactly once, positions contiguous 1..n
+    assert(a.length === 200 && a.map(_._1).distinct.length === 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        "in-shard positions must be 1..n with no gaps")
+    }
+    assert(a.map(_._2).distinct.length === 8, "all shards populated")
+    // reproducible under the same seed, different under another
+    val b = CorpusOps.trainingShards(docs, nShards = 8, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b.toSet === a.toSet)
+    val c = CorpusOps.trainingShards(docs, nShards = 8, seed = "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.toSet !== a.toSet, "a new seed must reshuffle")
+  }
 }
