@@ -33,7 +33,7 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("label"), col("v"),
         VectorOps.norm(col("v")).as("nrm"))
 
-  private val vecsCte =
+  private[queries] val vecsCte =
     s"""vecs AS (SELECT vec_id, label,
           ${VectorOps.toDoubleSql("embedding")} AS v FROM embeddings),
         n AS (SELECT vec_id, label, v,
@@ -93,7 +93,8 @@ object Similarity extends QueryPack {
     * curve 1-(1-p^4)^4; both engines mirror the identical candidate set
     * so the oracle comparison stays exact.
     */
-  private def q33EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q33EmbeddingNeardup(
+      s: SparkSession, d: String): DataFrame = {
     // cache: the (v, nrm) projection feeds band-keying AND both sides
     // of the verify join-back — 4 scans of the 64-dim norm otherwise;
     // materialize before the self-join's concurrent scans race it
@@ -120,7 +121,11 @@ object Similarity extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val q33Sql = {
+  /** Shared CTE chain: banded-LSH candidates → exact-cosine verified
+    * near-dup pairs (`epairs`). Used by q33 (pair listing) and q112
+    * (semantic-dedup cluster formation over the same edge set).
+    */
+  private[queries] val neardupCtes = {
     val nPlanes = BANDS * ROWS_PER_BAND
     val planeCols = (0 until nPlanes)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
@@ -130,8 +135,7 @@ object Similarity extends QueryPack {
             ${VectorOps.lshBandKeySql("v", b, ROWS_PER_BAND)} AS bkey
           FROM nn""")
       .mkString(" UNION ALL ")
-    s"""WITH $vecsCte,
-       planes AS (SELECT $planeCols),
+    s"""planes AS (SELECT $planeCols),
        nn AS (SELECT n.vec_id, n.v, planes.* FROM n CROSS JOIN planes),
        keyed AS ($keyedBranches),
        cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -141,10 +145,75 @@ object Similarity extends QueryPack {
        cp AS (SELECT cand.d1, cand.d2, qa.v AS av, qb.v AS bv,
                 qa.nrm AS an, qb.nrm AS bn
               FROM cand JOIN n qa ON qa.vec_id = cand.d1
-                        JOIN n qb ON qb.vec_id = cand.d2)
-       SELECT d1, d2, $cosSql AS cos FROM cp
-       WHERE $cosSql >= 0.45 ORDER BY d1, d2"""
+                        JOIN n qb ON qb.vec_id = cand.d2),
+       epairs AS (SELECT d1, d2, $cosSql AS cos FROM cp
+                  WHERE $cosSql >= 0.45)"""
   }
+
+  private val q33Sql =
+    s"""WITH $vecsCte, $neardupCtes
+       SELECT d1, d2, cos FROM epairs ORDER BY d1, d2"""
+
+  /** q112: SemDeDup-style SEMANTIC dedup — the embedding-space twin of
+    * the text side's q75/q76: the q33 near-dup edge set (banded
+    * hyperplane-LSH candidates → exact cosine ≥ 0.45 on candidates
+    * only) promoted to clusters via the same distributed
+    * large-star/small-star contraction ([[graft.ops.GraphOps
+    * .connectedComponents]]), then canonical-vector selection: the
+    * minimum vec_id per semantic cluster survives, everything else is
+    * marked for purge. Total assignment — singletons carry their own
+    * id and cluster_size 1, so `is_survivor = 0` rows ARE the purge
+    * list and survivors sum to the deduped corpus size.
+    *
+    * Scale shape: pairwise work is confined to LSH buckets (uniform
+    * equi-join), cluster formation is the contracting iterative join
+    * with per-round lineage truncation, and survivor marking is
+    * arithmetic on the label — no driver-side state anywhere. This is
+    * the semantic-dedup pass (cf. SemDeDup, Abbas et al. 2023) an LLM
+    * pipeline runs beside MinHash text dedup: near-identical text is
+    * caught by q75, paraphrase-level redundancy by this pass.
+    */
+  private def q112SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q33EmbeddingNeardup(s, d).select(col("d1"), col("d2"))
+    val comp = graft.ops.GraphOps.connectedComponents(pairs, "d1", "d2")
+      .select(col("id").as("vec_id"), col("comp"))
+    emb(s, d).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        least(col("vec_id").cast("long"),
+          coalesce(col("comp"), col("vec_id").cast("long"))).as("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        count(lit(1)).over(Window.partitionBy(col("cluster")))
+          .cast("long").as("cluster_size"),
+        when(col("vec_id").cast("long") === col("cluster"), 1L)
+          .otherwise(0L).as("is_survivor"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: recursive-CTE transitive closure over the same verified
+    * edge set (min reachable id == the star-contraction's label).
+    */
+  private val q112Sql =
+    s"""WITH RECURSIVE $vecsCte, $neardupCtes,
+       sym AS (SELECT d1 AS u, d2 AS v FROM epairs
+               UNION SELECT d2, d1 FROM epairs),
+       reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s
+           ON r.v = s.u WHERE s.v <> r.u),
+       cmp AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u),
+       labels AS (SELECT e.vec_id,
+           LEAST(CAST(e.vec_id AS BIGINT),
+             COALESCE(c.mn, CAST(e.vec_id AS BIGINT))) AS cluster
+         FROM embeddings e LEFT JOIN cmp c ON c.vec_id = e.vec_id)
+       SELECT vec_id, cluster,
+         CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size,
+         CAST(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS BIGINT)
+           AS is_survivor
+       FROM labels ORDER BY vec_id"""
 
   /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
     * vector. Bucket = 8 sign bits of dots with deterministic planes.
@@ -464,6 +533,7 @@ object Similarity extends QueryPack {
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_cosine_topk" -> q32CosineTopk,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
+    "q112_semantic_dedup" -> q112SemanticDedup,
     "q34_lsh_ann" -> q34LshAnn,
     "q38_ann_recall" -> q38AnnRecall,
     "q78_ann_recall_summary" -> q78AnnRecallSummary,
@@ -477,6 +547,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
+    "q112_semantic_dedup" -> q112Sql,
     "q34_lsh_ann" -> q34Sql,
     "q38_ann_recall" -> q38Sql,
     "q78_ann_recall_summary" -> q78Sql,
