@@ -184,6 +184,62 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Plain TF-IDF retrieval over a literal query bag — the "second
+    * ranker" beside [[bm25TopK]]: score_e6 = Σ_terms tf · idf_e6 with
+    * the same integer idf (1e6·N div df) but NO length normalization,
+    * so long documents that repeat a term outrank BM25's saturated
+    * ordering. Exact integer fixed-point throughout.
+    *
+    * Scale shape: one explode pruned to the query terms before the
+    * shuffle; df and the corpus total are broadcast; top-k is
+    * TakeOrderedAndProject. The single tokenize pass feeds only tf
+    * (no dl), so nothing needs pinning.
+    */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], topK: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isInCollection(terms))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tots = docs.agg(count(lit(1)).as("n_total"))
+    tf.join(broadcast(dfT), Seq("word"))
+      .crossJoin(broadcast(tots))
+      .withColumn("idf_e6", expr("(1000000 * n_total) div df"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf * idf_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Borda rank fusion of two ranked retrieval lists — the hybrid-
+    * retrieval combiner: each list awards `depth + 1 - rank` points to
+    * its members (0 to absentees), fused score = the sum. Integer
+    * arithmetic end to end, so the fusion is engine/run-stable —
+    * unlike reciprocal-rank fusion's 1/(k+r) floats — while preserving
+    * RRF's rank-only (score-scale-free) property. Inputs must carry
+    * (`doc_id`, `rnk`) with 1-based dense ranks ≤ depth.
+    *
+    * Scale shape: ranked lists are top-k results — broadcast-sized by
+    * construction — so the full outer join never shuffles a corpus.
+    */
+  def bordaFuse(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val pa = a.select(col("doc_id"),
+      col("rnk").cast("long").as("rank_a"))
+    val pb = b.select(col("doc_id"),
+      col("rnk").cast("long").as("rank_b"))
+    pa.join(pb, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"),
+        (coalesce(lit(depth + 1L) - col("rank_a"), lit(0L)) +
+          coalesce(lit(depth + 1L) - col("rank_b"), lit(0L)))
+          .as("fused_pts"))
+  }
+
   /** Deterministic global training shuffle: assign every document a
     * shard and an in-shard position from a seeded stable hash — the
     * "shuffle the corpus once, reproducibly" step that precedes
@@ -210,6 +266,41 @@ object CorpusOps {
         .over(Window.partitionBy(col("shard"))
           .orderBy(col("h"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Concat-and-split sequence packing — how GPT-style pipelines
+    * materialize training sequences: documents are laid out in the
+    * deterministic [[trainingShards]] order, conceptually concatenated
+    * per shard, and split at fixed `budget`-token context boundaries.
+    * Returns, per document: its pack (the context window where it
+    * STARTS), its token offset inside that pack, and how many context
+    * boundaries cut through it (0 = fits in one training sequence) —
+    * the numbers a loader needs to address any sequence, and the
+    * audit needs to count cross-document attention boundaries.
+    *
+    * Scale shape: one equi-join of the shard assignment onto per-doc
+    * token lengths, then a running sum windowed WITHIN each shard —
+    * each window sorts corpus/nShards rows, no global sort, and the
+    * arithmetic is per-row integer fixed-point (run/engine-stable).
+    */
+  def packSequences(docs: DataFrame, nShards: Int, seed: String,
+      budget: Int, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+    trainingShards(docs, nShards, seed, idCol)
+      .join(dl, Seq("doc_id"))
+      .withColumn("cum", sum(col("dl"))
+        .over(Window.partitionBy(col("shard")).orderBy(col("pos"))))
+      .select(col("doc_id"), col("shard"), col("pos"), col("dl"),
+        expr(s"(cum - dl) div $budget").as("pack_id"),
+        expr(s"(cum - dl) % $budget").as("pack_offset"),
+        when(col("dl") === 0L, 0L)
+          .otherwise(
+            expr(s"((cum - 1) div $budget) - ((cum - dl) div $budget)"))
+          .as("n_boundaries"))
   }
 
   /** Source mixture weighting: per-source sampling weight w ∈ {1.0,

@@ -296,6 +296,120 @@ object Corpus extends QueryPack {
        ORDER BY score_e6 DESC, doc_id ASC LIMIT 15"""
   }
 
+  /** Dense 1-based rank over a top-k-bounded score list. The global
+    * window is deliberate: inputs are top-k results (≤ depth rows), so
+    * the single-partition sort is broadcast-sized by construction.
+    */
+  private def rankedTop(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.select(col("doc_id"), col("score_e6"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("score_e6").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  /** q113: hybrid retrieval with Borda rank fusion
+    * ([[CorpusOps.bordaFuse]]) — BM25 (q110's ranker) fused with plain
+    * TF-IDF ([[CorpusOps.tfidfTopK]]) over the same query bag: each
+    * top-15 list awards `16 - rank` points, absentees get 0, final
+    * answer = top-10 by fused points. The production hybrid-search
+    * combiner (sparse + second signal), in rank space so score scales
+    * never need calibrating — and in exact integer arithmetic, unlike
+    * reciprocal-rank fusion's floats.
+    */
+  private def q113HybridFusion(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val bm = rankedTop(CorpusOps.bm25TopK(dd, q110Terms, topK = 15))
+    val ti = rankedTop(CorpusOps.tfidfTopK(dd, q110Terms, topK = 15))
+    CorpusOps.bordaFuse(bm, ti, depth = 15)
+      .select(col("doc_id"), col("rank_a").as("bm25_rank"),
+        col("rank_b").as("tfidf_rank"), col("fused_pts"))
+      .orderBy(col("fused_pts").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val q113Sql = {
+    val terms = q110Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+              WHERE word IN ($terms) GROUP BY doc_id, word),
+       dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+       tots AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(dl) AS BIGINT) AS tok_total FROM dl),
+       sc0 AS (SELECT tf.doc_id, tf.tf, dl.dl, dfq.df, n_total, tok_total
+               FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word)
+               CROSS JOIN tots),
+       sc1 AS (SELECT *, (1000 * tok_total) // n_total AS avgdl_e3
+               FROM sc0),
+       sc2 AS (SELECT *,
+                 250 + (750 * ((1000000 * dl) // avgdl_e3)) // 1000
+                   AS norm_e3,
+                 (1000000 * n_total) // df AS idf_e6 FROM sc1),
+       sc3 AS (SELECT doc_id,
+                 (idf_e6 * tf * 22000) // (tf * 10000 + 12 * norm_e3)
+                   AS contrib_e6 FROM sc2),
+       bm AS (SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+              FROM sc3 GROUP BY doc_id),
+       bmr AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rnk
+           FROM bm) WHERE rnk <= 15),
+       ti AS (SELECT tf.doc_id,
+              CAST(sum(tf.tf * ((1000000 * n_total) // df)) AS BIGINT)
+                AS score_e6
+              FROM tf JOIN dfq USING (word) CROSS JOIN tots
+              GROUP BY tf.doc_id),
+       tir AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rnk
+           FROM ti) WHERE rnk <= 15)
+       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE(a.rnk, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(b.rnk, 0) AS BIGINT) AS tfidf_rank,
+         CAST(COALESCE(16 - a.rnk, 0) + COALESCE(16 - b.rnk, 0) AS BIGINT)
+           AS fused_pts
+       FROM bmr a FULL JOIN tir b ON a.doc_id = b.doc_id
+       ORDER BY fused_pts DESC, doc_id ASC LIMIT 10"""
+  }
+
+  /** q114: concat-and-split sequence packing
+    * ([[CorpusOps.packSequences]]) — every document's training-
+    * sequence address under the q111 shard order with a 128-token
+    * context budget: pack id, in-pack token offset, and the number of
+    * context boundaries cutting through the document.
+    */
+  private def q114SequencePacking(s: SparkSession, d: String): DataFrame =
+    CorpusOps.packSequences(docs(s, d), nShards = 16, seed = "shard42",
+      budget = 128)
+      .orderBy(col("shard"), col("pos"))
+
+  private val q114Sql = {
+    val h = TextOps.tokenHashSql("'shard42:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH hd AS (SELECT doc_id, $h AS h FROM documents),
+       sh AS (SELECT doc_id, h, h % 16 AS shard FROM hd),
+       pos AS (SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             AS BIGINT) AS pos
+         FROM sh),
+       dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl
+              FROM documents),
+       j AS (SELECT p.doc_id, p.shard, p.pos, dl.dl
+             FROM pos p JOIN dl USING (doc_id)),
+       c AS (SELECT *, CAST(SUM(dl) OVER
+               (PARTITION BY shard ORDER BY pos) AS BIGINT) AS cum
+             FROM j)
+       SELECT doc_id, shard, pos, dl,
+         (cum - dl) // 128 AS pack_id,
+         (cum - dl) % 128 AS pack_offset,
+         CASE WHEN dl = 0 THEN 0
+              ELSE ((cum - 1) // 128) - ((cum - dl) // 128)
+         END AS n_boundaries
+       FROM c ORDER BY shard, pos"""
+  }
+
   /** q111: deterministic global training shuffle
     * ([[CorpusOps.trainingShards]]): every document's (shard, pos)
     * under a seeded stable hash, 16 shards. Reproducible across
@@ -324,7 +438,9 @@ object Corpus extends QueryPack {
     "q100_tfidf_keywords" -> q100TfidfKeywords,
     "q101_textrank" -> q101Textrank,
     "q110_bm25_search" -> q110Bm25Search,
-    "q111_training_shards" -> q111TrainingShards)
+    "q111_training_shards" -> q111TrainingShards,
+    "q113_hybrid_fusion" -> q113HybridFusion,
+    "q114_sequence_packing" -> q114SequencePacking)
 
   override val oracle: Map[String, String] = Map(
     "q96_line_dedup" -> q96Sql,
@@ -334,5 +450,7 @@ object Corpus extends QueryPack {
     "q100_tfidf_keywords" -> q100Sql,
     "q101_textrank" -> q101Sql,
     "q110_bm25_search" -> q110Sql,
-    "q111_training_shards" -> q111Sql)
+    "q111_training_shards" -> q111Sql,
+    "q113_hybrid_fusion" -> q113Sql,
+    "q114_sequence_packing" -> q114Sql)
 }

@@ -124,6 +124,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("tfidfTopK has no length normalization and idf-weights rare terms") {
+    val sq = spark
+    import sq.implicits._
+    // zebra df=1 → idf 4e6; data df=4 → idf 1e6. Doc 4 stuffs six
+    // 'data' (6e6) and must outrank the zebra doc (4e6 + 1e6 = 5e6) —
+    // the behavior BM25's tf saturation would prevent.
+    val docs = Seq(
+      (1L, "zebra data words words words"),
+      (2L, "data words words words words"),
+      (3L, "data other things entirely here"),
+      (4L, "data data data data data data " +
+        Seq.fill(40)("filler").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopK(docs, Seq("zebra", "data"), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq === Seq(4L, 1L, 2L, 3L), s"got ${out.toSeq}")
+    assert(out.head._2 === 6000000L)
+    assert(out(1)._2 === 5000000L)
+  }
+
+  test("bordaFuse awards depth+1-rank points and zeroes absentees") {
+    val sq = spark
+    import sq.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val out = CorpusOps.bordaFuse(a, b, depth = 3)
+      .orderBy(col("fused_pts").desc, col("doc_id").asc)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (2L, 2L, 1L, 5L),  // 2 pts from a + 3 pts from b
+      (1L, 1L, 0L, 3L),  // a-only
+      (4L, 0L, 2L, 2L),  // b-only
+      (3L, 3L, 0L, 1L)))
+  }
+
+  test("packSequences addresses are consistent with in-shard running sums") {
+    val sq = spark
+    import sq.implicits._
+    val docs = ((1L to 40L).map(i => (i, "alpha beta gamma delta epsilon" +
+      (" extra" * (i % 4).toInt))) :+ (41L, "")).toDF("doc_id", "text")
+    val out = CorpusOps
+      .packSequences(docs, nShards = 4, seed = "p1", budget = 7)
+      .orderBy(col("shard"), col("pos"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 41)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, dl, pack, off, nb) =>
+        val start = cum
+        cum += dl
+        assert(pack === start / 7 && off === start % 7)
+        val expectNb = if (dl == 0L) 0L else (cum - 1) / 7 - start / 7
+        assert(nb === expectNb, s"boundaries at start=$start dl=$dl")
+      }
+    }
+    // the empty doc crosses no boundary and consumes no tokens
+    val empty = out.find(_._3 == 0L).get
+    assert(empty._6 === 0L)
+  }
+
   test("trainingShards is a seeded permutation: total, stable, seed-sensitive") {
     val sq = spark
     import sq.implicits._
