@@ -730,6 +730,116 @@ object Dedup extends QueryPack {
        WHERE d.doc_id >= (SELECT cut FROM cutoff)
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** q115: bloom-prefiltered EXACT-dedup admission
+    * ([[graft.ops.BloomOps.noveltySplit]]) — the q86 corpus/batch
+    * split (cut at 80% of the id space) decided on exact md5 content
+    * identity, with the batch never joining the corpus wholesale: a
+    * 65536-bit / 3-probe bloom over the corpus's content hashes is
+    * broadcast as a literal bitmap and rules most batch rows
+    * definitely-new inside the scan's whole-stage codegen; only the
+    * bloom's "maybe" rows (true dups + ≈1% collisions) reach the exact
+    * left-semi confirm. Blooms have no false negatives, so the result
+    * is bit-identical to the plain anti-join the oracle runs — the
+    * bloom is a load-bearing accelerator, not an approximation of the
+    * answer. At 100 TB this is the admission fast path that touches
+    * the corpus index only for the maybe subset.
+    */
+  private def q115BloomAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.BloomOps
+    val cutV = docs(s, d)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("cut"))
+      .head().getLong(0)
+    val keyed = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val corpus = keyed.filter(col("doc_id") < cutV).select(col("h"))
+    val batch = keyed.filter(col("doc_id") >= cutV)
+    BloomOps.noveltySplit(corpus, batch, "h")
+      .select(col("doc_id"), col("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q115Sql =
+    s"""WITH cutoff AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS cut
+                  FROM documents),
+       keyed AS (SELECT doc_id, md5(text) AS h FROM documents),
+       corpus AS (SELECT h FROM keyed
+                  WHERE doc_id < (SELECT cut FROM cutoff)),
+       batch AS (SELECT doc_id, h FROM keyed
+                 WHERE doc_id >= (SELECT cut FROM cutoff))
+       SELECT b.doc_id,
+         CAST(CASE WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+              THEN 0 ELSE 1 END AS BIGINT) AS is_new
+       FROM batch b ORDER BY b.doc_id"""
+
+  /** q120: CROSS-MODAL dedup agreement — the q105 method-agreement
+    * audit lifted across modalities: would the TEXT near-dup purge
+    * (q75/q76 MinHash clusters, non-survivor ⇒ removed) and the
+    * SEMANTIC purge (q112 embedding clusters over the aligned vec_ids)
+    * remove the same documents? One row: doc count, per-modality
+    * would-remove counts, their intersection, and the removal-set
+    * Jaccard in exact integer fixed-point. High agreement ⇒ the
+    * cheaper text pass already catches most semantic redundancy; low
+    * ⇒ the passes are complementary and both earn their 100 TB run.
+    * Both label chains are the deployed candidate-driven pipelines;
+    * the join is one pass over the aligned ids.
+    */
+  private def q120CrossmodalAgreement(
+      s: SparkSession, d: String): DataFrame = {
+    val textDup = CurationOps.clusterLabels(docs(s, d))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("comp") =!= col("doc_id")).as("is_text_dup"))
+    val semPairs = Similarity.q33EmbeddingNeardup(s, d)
+      .select(col("d1"), col("d2"))
+    val scomp = graft.ops.GraphOps.connectedComponents(semPairs, "d1", "d2")
+      .select(col("id").as("doc_id"), col("comp").as("scomp"))
+    val semDup = Tables(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("doc_id"))
+      .join(scomp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("scomp"), col("doc_id")) =!= col("doc_id"))
+          .as("is_sem_dup"))
+    textDup.join(semDup, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_text_dup"), 1L).otherwise(0L)).as("n_text_dup"),
+        sum(when(col("is_sem_dup"), 1L).otherwise(0L)).as("n_sem_dup"),
+        sum(when(col("is_text_dup") && col("is_sem_dup"), 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_docs"), col("n_text_dup"), col("n_sem_dup"),
+        col("n_both"),
+        when(col("n_text_dup") + col("n_sem_dup") - col("n_both") > 0,
+          expr("(1000000 * n_both) div (n_text_dup + n_sem_dup - n_both)"))
+          .as("agreement_e6"))
+  }
+
+  private val q120Sql =
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       ${Similarity.vecsCte}, ${Similarity.neardupCtes},
+       esym AS (SELECT d1 AS u, d2 AS v FROM epairs
+                UNION SELECT d2, d1 FROM epairs),
+       ereach(u, v) AS (
+         SELECT u, v FROM esym
+         UNION
+         SELECT r.u, s2.v FROM ereach r JOIN esym s2
+           ON r.v = s2.u WHERE s2.v <> r.u),
+       ecmp AS (SELECT u AS doc_id, MIN(v) AS mn FROM ereach GROUP BY u),
+       elabels AS (SELECT e.vec_id AS doc_id,
+           LEAST(CAST(e.vec_id AS BIGINT),
+             COALESCE(c.mn, CAST(e.vec_id AS BIGINT))) AS scomp
+         FROM embeddings e LEFT JOIN ecmp c ON c.doc_id = e.vec_id),
+       j AS (SELECT l.doc_id,
+           CASE WHEN l.comp <> l.doc_id THEN 1 ELSE 0 END AS td,
+           CASE WHEN el.scomp <> el.doc_id THEN 1 ELSE 0 END AS sd
+         FROM labels l JOIN elabels el ON el.doc_id = l.doc_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(td) AS BIGINT) AS n_text_dup,
+         CAST(SUM(sd) AS BIGINT) AS n_sem_dup,
+         CAST(SUM(td * sd) AS BIGINT) AS n_both,
+         CASE WHEN SUM(td) + SUM(sd) - SUM(td * sd) > 0 THEN
+           (1000000 * CAST(SUM(td * sd) AS BIGINT))
+             // CAST(SUM(td) + SUM(sd) - SUM(td * sd) AS BIGINT)
+         END AS agreement_e6
+       FROM j"""
+
   /** q89: LSH RECALL audit — the measurement you run before trusting
     * banded MinHash at 100 TB: on a BOUNDED audit subset (doc_id <
     * 250, so the exact all-pairs ground truth is a filtered
@@ -825,6 +935,8 @@ object Dedup extends QueryPack {
     "q108_source_overlap" -> q108SourceOverlap,
     "q109_span_purge" -> q109SpanPurge,
     "q86_incremental_dedup" -> q86IncrementalDedup,
+    "q115_bloom_admission" -> q115BloomAdmission,
+    "q120_crossmodal_agreement" -> q120CrossmodalAgreement,
     "q89_dedup_recall" -> q89DedupRecall,
     "q91_curation_report" -> q91CurationReport)
 
@@ -848,6 +960,8 @@ object Dedup extends QueryPack {
     "q108_source_overlap" -> q108Sql,
     "q109_span_purge" -> q109Sql,
     "q86_incremental_dedup" -> q86Sql,
+    "q115_bloom_admission" -> q115Sql,
+    "q120_crossmodal_agreement" -> q120Sql,
     "q89_dedup_recall" -> q89Sql,
     "q91_curation_report" -> q91Sql)
 }

@@ -137,6 +137,39 @@ object StreamingOps {
       .drop("__simhash")
   }
 
+  /** Streaming admission against a HISTORICAL corpus — the streaming
+    * twin of q115: a bloom bitmap built offline over the corpus's
+    * content hashes ([[graft.ops.BloomOps.build]]) embeds in the
+    * per-row filter, so rows the bloom clears are admitted as
+    * definitely-new with NO join and no state; only the "maybe seen"
+    * rows (true dups + collisions) take the stream-static left-outer
+    * confirm against the exact corpus key set, and of those only
+    * genuinely-new rows survive. No false negatives ⇒ the admitted
+    * set equals the plain exact anti-join per micro-batch
+    * (StreamingSpec pins this). Compose [[dedupStream]] in front for
+    * in-stream re-deliveries; rebuild/re-broadcast the bitmap on the
+    * corpus-compaction cadence.
+    */
+  def bloomAdmissionStream(
+      stream: DataFrame,
+      corpusKeys: DataFrame,
+      bitmap: Array[Long],
+      keyCol: String,
+      m: Int = 1 << 16,
+      k: Int = 3): DataFrame = {
+    import graft.ops.BloomOps
+    val pk = corpusKeys.select(col(keyCol)).distinct()
+      .withColumn("__seen", lit(1L))
+    val flagged = stream
+      .withColumn("__maybe", BloomOps.mightContain(bitmap, col(keyCol), m, k))
+    val clear = flagged.filter(!col("__maybe"))
+    val confirmedNew = flagged.filter(col("__maybe"))
+      .join(pk, Seq(keyCol), "left")
+      .filter(col("__seen").isNull)
+      .drop("__seen")
+    clear.union(confirmedNew).drop("__maybe")
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension with the planner's normal join selection (a dim
     * under the broadcast threshold broadcasts automatically; a huge

@@ -109,6 +109,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("bloom admission stream equals the exact anti-join per batch") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val corpus = (1 to 200).map(i => s"seen-$i").toDF("k")
+    val bitmap = graft.ops.BloomOps.build(corpus, "k", 1 << 14, 3)
+    val input = MemoryStream[String]
+    val query = StreamingOps
+      .bloomAdmissionStream(input.toDF().withColumnRenamed("value", "k"),
+        corpus, bitmap, "k", 1 << 14, 3)
+      .writeStream.format("memory").queryName("bloomadm")
+      .outputMode("append").start()
+    try {
+      input.addData("seen-5", "new-a", "seen-199", "new-b")
+      query.processAllAvailable()
+      input.addData("seen-1", "new-c")
+      query.processAllAvailable()
+      val admitted = spark.table("bloomadm").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(admitted === Seq("new-a", "new-b", "new-c"),
+        "admitted set must be exactly the stream keys absent from the corpus")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dim per micro-batch") {
     val sq = spark
     import sq.implicits._
