@@ -177,4 +177,32 @@ object GraphOps {
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
   }
+
+  /** Triangle enumeration over an undirected edge list: every (a, b, c)
+    * with a < b < c and all three edges present, once. The
+    * node-iterator join shape: canonical a<b edges self-joined on the
+    * middle node (wedges a-b-c), then a left-semi probe confirms the
+    * closing a-c edge — two equi-joins, no cartesian. Works for any
+    * orderable node type (ints, words).
+    *
+    * Scale note: with the canonical (id-order) orientation a hub
+    * node's wedge fan-out is deg²; production graphs with power-law
+    * hubs orient edges by (degree, id) instead — same output since
+    * triangles are orientation-invariant, wedge count drops to the
+    * arboricity bound. Id-order is kept here because the gate graphs
+    * are small and the oracle mirror stays a plain SQL join.
+    */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val ab = e.select(col("u").as("a"), col("v").as("b"))
+    val bc = e.select(col("u").as("b"), col("v").as("c"))
+    val ac = e.select(col("u").as("a"), col("v").as("c"))
+    ab.join(bc, Seq("b"))
+      .join(ac, Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
 }

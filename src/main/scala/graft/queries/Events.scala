@@ -363,9 +363,64 @@ object Events extends QueryPack {
             AND v.v_us <= p.p_us
        GROUP BY p.p_id ORDER BY p.p_id"""
 
+  /** q117: algebraic partial-aggregate MERGE — the incremental-
+    * materialized-view pattern: daily partials (count / exact
+    * fixed-point sum / min / max per event_type × day) merged into
+    * per-type totals WITHOUT touching rows again. Every statistic is
+    * algebraic (sum-of-sums, min-of-mins, max-of-maxs; avg derived at
+    * the end from merged sum and count), and the sums are e6-scaled
+    * integers, so the merge is bit-identical to computing directly
+    * over the raw rows — which is exactly what the oracle does,
+    * making the losslessness a hash-checked property, not a comment.
+    * At 100 TB this is how nightly stats stay O(new partition):
+    * yesterday's partials are never recomputed, just merged.
+    */
+  private def q117PartialMerge(s: SparkSession, d: String): DataFrame = {
+    val DAY_NS = 86400L * 1000000000L
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), expr(s"ts DIV $DAY_NS").as("day_idx"))
+      .agg(count(lit(1)).as("n_d"),
+        // scaled-long sum (not Exact.sumFixed, which divides back to
+        // double) — the partials must stay integers or the merge's
+        // re-summation would reintroduce FP ordering drift
+        sum(Exact.fixed(col("value"), 6)).as("sum_d"),
+        min(Exact.fixed(col("value"), 6)).as("min_d"),
+        max(Exact.fixed(col("value"), 6)).as("max_d"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_d")).as("n_events"),
+        sum(col("sum_d")).as("sum_e6"),
+        min(col("min_d")).as("min_e6"),
+        max(col("max_d")).as("max_e6"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("sum_e6"), col("min_e6"), col("max_e6"),
+        expr("sum_e6 div n_events").as("avg_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q117Sql = {
+    val dayNs = 86400L * 1000000000L
+    s"""WITH daily AS (SELECT event_type,
+           epoch_ns(ts) // $dayNs AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_d,
+           CAST(SUM(${Exact.fixedSql("value", 6)}) AS BIGINT) AS sum_d,
+           MIN(${Exact.fixedSql("value", 6)}) AS min_d,
+           MAX(${Exact.fixedSql("value", 6)}) AS max_d
+         FROM events GROUP BY 1, 2)
+       SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n_d) AS BIGINT) AS n_events,
+         CAST(SUM(sum_d) AS BIGINT) AS sum_e6,
+         MIN(min_d) AS min_e6,
+         MAX(max_d) AS max_e6,
+         CAST(SUM(sum_d) AS BIGINT) // CAST(SUM(n_d) AS BIGINT) AS avg_e6
+       FROM daily GROUP BY event_type ORDER BY event_type"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q40_hourly_windows" -> q40HourlyWindows,
+    "q117_partial_merge" -> q117PartialMerge,
     "q41_sessionization" -> q41Sessionization,
     "q42_json_props" -> q42JsonProps,
     "q43_funnel" -> q43Funnel,
@@ -381,6 +436,7 @@ object Events extends QueryPack {
     "q64_interval_join" -> q64Sql,
     "q80_rank_distributions" -> q80Sql,
     "q40_hourly_windows" -> q40Sql,
+    "q117_partial_merge" -> q117Sql,
     "q41_sessionization" -> q41Sql,
     "q42_json_props" -> q42Sql,
     "q43_funnel" -> q43Sql,

@@ -616,6 +616,76 @@ object Relational extends QueryPack {
        FROM lineitem JOIN part ON p_partkey = l_partkey
        GROUP BY p_brand ORDER BY p_brand"""
 
+  /** q116: data-quality constraint report ([[graft.ops.CheckOps]]) —
+    * the Deequ-shaped validation pass before trusting an ingest: six
+    * declarative checks (PK uniqueness, two FK integrities,
+    * completeness, two value-range predicates) each as ONE linear
+    * aggregate, unioned into a uniform (check, n_rows, n_violations,
+    * passed) report. The synthetic tables are clean, so the value is
+    * the report machinery itself — on a real ingest the same six
+    * lines gate the load.
+    */
+  private def q116DataChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CheckOps
+    val orders = Tables(s, d, "orders")
+    val lineitem = Tables(s, d, "lineitem")
+    val customer = Tables(s, d, "customer")
+    CheckOps.uniqueness(orders, Seq("o_orderkey"), "orders_pk_unique")
+      .unionAll(CheckOps.referential(orders, "o_custkey",
+        customer, "c_custkey", "orders_custkey_fk"))
+      .unionAll(CheckOps.referential(lineitem, "l_orderkey",
+        orders, "o_orderkey", "lineitem_orderkey_fk"))
+      .unionAll(CheckOps.completeness(lineitem, "l_quantity",
+        "lineitem_quantity_complete"))
+      .unionAll(CheckOps.predicate(lineitem,
+        col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0,
+        "lineitem_quantity_range"))
+      .unionAll(CheckOps.predicate(lineitem,
+        col("l_discount") >= 0.0 && col("l_discount") <= 0.1,
+        "lineitem_discount_range"))
+      .orderBy(col("check_name"))
+  }
+
+  private val q116Sql =
+    """WITH u AS (SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations
+         FROM orders),
+       fk1 AS (SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON c.c_custkey = o.o_custkey),
+       fk2 AS (SELECT 'lineitem_orderkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem l
+         LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON o.o_orderkey = l.l_orderkey),
+       comp AS (SELECT 'lineitem_quantity_complete',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM lineitem),
+       rng1 AS (SELECT 'lineitem_quantity_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+             THEN 0 ELSE 1 END) AS BIGINT)
+         FROM lineitem),
+       rng2 AS (SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+             THEN 0 ELSE 1 END) AS BIGINT)
+         FROM lineitem),
+       rpt AS (SELECT * FROM u UNION ALL SELECT * FROM fk1
+         UNION ALL SELECT * FROM fk2 UNION ALL SELECT * FROM comp
+         UNION ALL SELECT * FROM rng1 UNION ALL SELECT * FROM rng2)
+       SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed
+       FROM rpt ORDER BY check_name"""
+
   /** P12: seeded sampling — RNG is engine-specific, so this is a
     * rows-only check (no oracle entry; driver verifies rows > 0).
     */
@@ -650,7 +720,8 @@ object Relational extends QueryPack {
     "q39_salted_join" -> q39SaltedJoin,
     "q49_weighted_avg_price" -> q49WeightedAvgPrice,
     "q72_median_by_status" -> q72MedianByStatus,
-    "q73_approx_quantiles" -> q73ApproxQuantiles)
+    "q73_approx_quantiles" -> q73ApproxQuantiles,
+    "q116_data_checks" -> q116DataChecks)
 
   override val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -675,5 +746,6 @@ object Relational extends QueryPack {
     "q18_nation_setops" -> q18Sql,
     "q39_salted_join" -> q39Sql,
     "q49_weighted_avg_price" -> q49Sql,
-    "q72_median_by_status" -> q72Sql)
+    "q72_median_by_status" -> q72Sql,
+    "q116_data_checks" -> q116Sql)
 }

@@ -258,6 +258,91 @@ object TextAnalytics extends QueryPack {
        GROUP BY 1, 2 ORDER BY w1, w2"""
   }
 
+  /** q118: EXACT frequent tokens via sketch pruning — the two-pass
+    * heavy-hitters pattern that avoids shuffling the full vocabulary:
+    * pass 1 is `df.stat.freqItems` (Karp/Misra-Gries partial sketches
+    * merged per partition — single pass, bounded memory, guaranteed
+    * NO false negatives above the support threshold), pass 2 exactly
+    * recounts ONLY the candidate set (a broadcast-sized `isin` filter
+    * before the groupBy) and applies the threshold, discarding the
+    * sketch's false positives. The final answer is therefore exact —
+    * the oracle runs the plain GROUP BY + HAVING — but the full-vocab
+    * shuffle never happens: at 100 TB the groupBy touches ≤ 1/support
+    * words instead of the whole vocabulary.
+    */
+  private def q118FrequentTokens(s: SparkSession, d: String): DataFrame = {
+    val tokens = docs(s, d)
+      .select(explode(toks).as("word"))
+      .filter(!col("word").isInCollection(TextOps.stopwords))
+    // candidate superset: ≤ 1/support items, the sanctioned bounded
+    // driver edge (same class as q74's vocabulary literal)
+    val candidates = tokens.stat.freqItems(Seq("word"), 0.01)
+      .head().getSeq[String](0)
+    tokens
+      .filter(col("word").isInCollection(candidates))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tokens.agg(count(lit(1)).as("n_total"))))
+      .filter(col("n") * 100L > col("n_total"))
+      .select(col("word"), col("n"))
+      .orderBy(col("n").desc, col("word").asc)
+  }
+
+  private val q118Sql = {
+    val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT word FROM
+           (SELECT unnest($toksSql) AS word FROM documents)
+         WHERE word NOT IN ($stops)),
+       tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+       SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tok CROSS JOIN tots
+       GROUP BY word, n_total
+       HAVING CAST(COUNT(*) AS BIGINT) * 100 > n_total
+       ORDER BY n DESC, word ASC"""
+  }
+
+  /** q119: TRIANGLE enumeration ([[graft.ops.GraphOps.triangles]])
+    * over the strong co-occurrence graph — q71's top-10-vocabulary
+    * pair counts kept only where the pair co-occurs in ≥ 65% of
+    * documents (a scale-relative cut, so the graph stays structural
+    * instead of complete), then the node-iterator wedge join + closing
+    * -edge semi-probe. Triangles of strongly-co-occurring terms are
+    * the topic cores the co-occurrence matrix alone doesn't surface.
+    */
+  private def q119CooccurrenceTriangles(s: SparkSession, d: String)
+      : DataFrame = {
+    val edges = q71Cooccurrence(s, d)
+      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n_total"))))
+      .filter(col("n_docs") * 100L >= col("n_total") * 65L)
+      .select(col("w1"), col("w2"))
+    graft.ops.GraphOps.triangles(edges, "w1", "w2")
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  private val q119Sql = {
+    val stops = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, word FROM
+           (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         WHERE word NOT IN ($stops)),
+       vocab AS (SELECT word FROM
+           (SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 10)),
+       iv AS (SELECT DISTINCT doc_id, word FROM tok
+              WHERE word IN (SELECT word FROM vocab)),
+       pairs AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_docs
+                 FROM iv a JOIN iv b
+                   ON a.doc_id = b.doc_id AND a.word < b.word
+                 GROUP BY 1, 2),
+       tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+       e AS (SELECT w1 AS u, w2 AS v FROM pairs CROSS JOIN tots
+             WHERE n_docs * 100 >= n_total * 65)
+       SELECT ab.u AS a, ab.v AS b, bc.v AS c
+       FROM e ab JOIN e bc ON ab.v = bc.u
+       WHERE EXISTS (SELECT 1 FROM e ac
+                     WHERE ac.u = ab.u AND ac.v = bc.v)
+       ORDER BY a, b, c"""
+  }
+
   /** q74: D2 `remove_others` end-to-end with a rank-derived top-100
     * vocabulary (hw2/BDM_hw2_final.py:222-240 ran this over its top-100
     * word list from a mutable driver global). The vocabulary is a
@@ -556,6 +641,8 @@ object TextAnalytics extends QueryPack {
     "q94_subword_packing" -> q94SubwordPacking,
     "q19_word_counts_nostop" -> q19WordCountsNostop,
     "q71_cooccurrence" -> q71Cooccurrence,
+    "q118_frequent_tokens" -> q118FrequentTokens,
+    "q119_cooccurrence_triangles" -> q119CooccurrenceTriangles,
     "q20_word_counts" -> q20WordCounts,
     "q21_top_words_per_lang" -> q21TopWordsPerLang,
     "q22_token_stats" -> q22TokenStats,
@@ -583,5 +670,7 @@ object TextAnalytics extends QueryPack {
     "q25_fingerprint" -> q25Sql,
     "q26_exact_dedup" -> q26Sql,
     "q70_reference_clean" -> q70Sql,
-    "q71_cooccurrence" -> q71Sql)
+    "q71_cooccurrence" -> q71Sql,
+    "q118_frequent_tokens" -> q118Sql,
+    "q119_cooccurrence_triangles" -> q119Sql)
 }

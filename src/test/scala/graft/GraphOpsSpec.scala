@@ -106,4 +106,28 @@ class GraphOpsSpec extends AnyFunSuite {
     // exact integer arithmetic ⇒ bit-identical across runs
     assert(a === run())
   }
+
+  test("triangles enumerates each triangle once, any orientation/dups") {
+    val sq = spark
+    import sq.implicits._
+    // square 1-2-3-4 plus diagonal 1-3 → triangles (1,2,3) and (1,3,4);
+    // edges deliberately reversed/duplicated to exercise normalization
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L), (3L, 4L), (4L, 1L),
+      (1L, 3L), (3L, 1L)).toDF("u", "v")
+    val out = GraphOps.triangles(edges, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(out === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
+  }
+
+  test("triangles on a triangle-free graph is empty; works on strings") {
+    val sq = spark
+    import sq.implicits._
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("u", "v")
+    assert(GraphOps.triangles(path, "u", "v").count() === 0L)
+    val tri = Seq(("b", "a"), ("c", "b"), ("a", "c")).toDF("u", "v")
+    assert(GraphOps.triangles(tri, "u", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq(("a", "b", "c")))
+  }
 }
