@@ -345,7 +345,13 @@ object CurationOps {
             p => TextOps.tokenHash(
               concat_ws(" ", slice(col("toks"), p + 1, lit(k))))))
           .otherwise(array().cast("array<bigint>")).as("kgs"))
-    materialize(kgs
+    // pin the per-doc kgram arrays BEFORE the explode:
+    // InferFiltersFromGenerate clones the generator input into a
+    // pre-Generate filter with the whole hash chain INLINED (design
+    // note 14) — unpinned, the per-position md5 pipeline evaluates
+    // 2-3× per row (measured 11-15 s at sf0.1 for q103/q104; ~4 s
+    // pinned)
+    materialize(materialize(kgs)
       .select(col("doc_id"), posexplode(col("kgs")).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
   }

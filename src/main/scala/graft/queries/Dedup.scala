@@ -340,9 +340,15 @@ object Dedup extends QueryPack {
     * df table is shingle-vocabulary-sized, never corpus-quadratic.
     */
   private def q104NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    // pin the (doc_id, hs) arrays BEFORE the explode — the inferred
+    // pre-Generate filter otherwise inlines the whole shingle-hash
+    // chain and re-evaluates it per row (design note 14; 14.6 → ~4 s
+    // at sf0.1)
+    val hs = hashed(s, d).select(col("doc_id"), col("hs")).cache()
+    hs.count()
     // feeds both the df aggregate and the join probe — materialize or
-    // the two concurrent stage scans recompute the shingle pipeline
-    val ex = hashed(s, d)
+    // the two concurrent stage scans recompute the explode
+    val ex = hs
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .cache()
     ex.count()

@@ -166,4 +166,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"chunking must stay per-row:\n${p.take(2000)}")
   }
+
+  test("bloom probe is a scan-side filter: no join on the definitely-new path") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(md5(col("text")).as("h"))
+    val bitmap = graft.ops.BloomOps.build(docs.limit(100), "h", 1 << 14, 3)
+    val probe = docs
+      .filter(!graft.ops.BloomOps.mightContain(bitmap, col("h"), 1 << 14, 3))
+    val p = planOf(probe)
+    assert(!p.contains("Join"),
+      s"the clear path must be join-free:\n${p.take(2000)}")
+    probe.collect()
+    val done = planOf(probe)
+    assert(done.contains("codegen id"),
+      s"bloom probe must stay inside whole-stage codegen:\n${done.take(2000)}")
+  }
+
+  test("q118 recounts only sketch candidates: isin filter precedes the agg") {
+    val p = planOf(TextAnalytics.all("q118_frequent_tokens")(spark, sf))
+    // the candidate prune must appear as a Filter below HashAggregate,
+    // so the groupBy shuffles <= 1/support words, not the vocabulary
+    val aggIdx = p.indexOf("HashAggregate")
+    val filtIdx = p.indexOf("Filter")
+    assert(aggIdx >= 0 && filtIdx >= 0,
+      s"expected Filter + HashAggregate:\n${p.take(2000)}")
+    assert(p.contains("INSET") || p.contains("isin") || p.contains(" IN ("),
+      s"candidate membership prune missing:\n${p.take(2000)}")
+  }
+
+  test("q116 referential checks probe broadcast-sized parent key sets") {
+    val p = planOf(Relational.all("q116_data_checks")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"FK probes should broadcast the distinct parent keys:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "no check may go quadratic")
+  }
 }
