@@ -410,6 +410,86 @@ object Corpus extends QueryPack {
        FROM c ORDER BY shard, pos"""
   }
 
+  /** q121: retrieval EVALUATION — precision@5/@15 and MRR of the BM25
+    * ranking (q110) against a deterministic relevance oracle: a
+    * document is relevant iff it contains the query bag's rare
+    * discriminative term (`dup`). The IR-eval operator a search
+    * deployment runs beside the recall audits (q38/q89): one row of
+    * integer fixed-point metrics, so the scorecard is engine-stable.
+    * Ranked list and relevance set are both broadcast-sized; the only
+    * corpus-scale work is the relevance scan (one per-row
+    * `array_contains`).
+    */
+  private def q121RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val rel = docs(s, d)
+      .filter(array_contains(TextOps.tokens(col("text")), "dup"))
+      .select(col("doc_id")).withColumn("is_rel", lit(1L))
+    val ranked = rankedTop(CorpusOps.bm25TopK(docs(s, d), q110Terms,
+        topK = 15))
+      .join(rel, Seq("doc_id"), "left")
+      .select(col("rnk"), coalesce(col("is_rel"), lit(0L)).as("is_rel"))
+    ranked
+      .agg(
+        sum(when(col("rnk") <= 5, col("is_rel")).otherwise(0L))
+          .as("hits_at_5"),
+        sum(col("is_rel")).as("hits_at_15"),
+        min(when(col("is_rel") === 1L, col("rnk"))).as("first_rel_rank"))
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+      .select(col("n_relevant"), col("hits_at_5"), col("hits_at_15"),
+        expr("(1000000 * hits_at_5) div 5").as("p_at_5_e6"),
+        expr("(1000000 * hits_at_15) div 15").as("p_at_15_e6"),
+        when(col("first_rel_rank").isNotNull,
+          expr("1000000 div first_rel_rank")).as("mrr_e6"))
+  }
+
+  private val q121Sql = {
+    val terms = q110Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       rel AS (SELECT doc_id, CAST(1 AS BIGINT) AS is_rel FROM t
+               WHERE list_contains(toks, 'dup')),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+              WHERE word IN ($terms) GROUP BY doc_id, word),
+       dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+       tots AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(dl) AS BIGINT) AS tok_total FROM dl),
+       sc0 AS (SELECT tf.doc_id, tf.tf, dl.dl, dfq.df, n_total, tok_total
+               FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word)
+               CROSS JOIN tots),
+       sc1 AS (SELECT *, (1000 * tok_total) // n_total AS avgdl_e3
+               FROM sc0),
+       sc2 AS (SELECT *,
+                 250 + (750 * ((1000000 * dl) // avgdl_e3)) // 1000
+                   AS norm_e3,
+                 (1000000 * n_total) // df AS idf_e6 FROM sc1),
+       sc3 AS (SELECT doc_id,
+                 (idf_e6 * tf * 22000) // (tf * 10000 + 12 * norm_e3)
+                   AS contrib_e6 FROM sc2),
+       bm AS (SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+              FROM sc3 GROUP BY doc_id),
+       bmr AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rnk
+           FROM bm) WHERE rnk <= 15),
+       jr AS (SELECT b.rnk, COALESCE(r.is_rel, 0) AS is_rel
+              FROM bmr b LEFT JOIN rel r ON r.doc_id = b.doc_id),
+       m AS (SELECT
+           CAST(SUM(CASE WHEN rnk <= 5 THEN is_rel ELSE 0 END) AS BIGINT)
+             AS hits_at_5,
+           CAST(SUM(is_rel) AS BIGINT) AS hits_at_15,
+           MIN(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel_rank
+         FROM jr)
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rel) AS n_relevant,
+         hits_at_5, hits_at_15,
+         (1000000 * hits_at_5) // 5 AS p_at_5_e6,
+         (1000000 * hits_at_15) // 15 AS p_at_15_e6,
+         CASE WHEN first_rel_rank IS NOT NULL
+              THEN 1000000 // first_rel_rank END AS mrr_e6
+       FROM m"""
+  }
+
   /** q111: deterministic global training shuffle
     * ([[CorpusOps.trainingShards]]): every document's (shard, pos)
     * under a seeded stable hash, 16 shards. Reproducible across
@@ -440,7 +520,8 @@ object Corpus extends QueryPack {
     "q110_bm25_search" -> q110Bm25Search,
     "q111_training_shards" -> q111TrainingShards,
     "q113_hybrid_fusion" -> q113HybridFusion,
-    "q114_sequence_packing" -> q114SequencePacking)
+    "q114_sequence_packing" -> q114SequencePacking,
+    "q121_retrieval_eval" -> q121RetrievalEval)
 
   override val oracle: Map[String, String] = Map(
     "q96_line_dedup" -> q96Sql,
@@ -452,5 +533,6 @@ object Corpus extends QueryPack {
     "q110_bm25_search" -> q110Sql,
     "q111_training_shards" -> q111Sql,
     "q113_hybrid_fusion" -> q113Sql,
-    "q114_sequence_packing" -> q114Sql)
+    "q114_sequence_packing" -> q114Sql,
+    "q121_retrieval_eval" -> q121Sql)
 }
