@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.core.{Exact, Tables}
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus/table profiling pack — the measurement queries a training-data
+  * pipeline runs to DECIDE filters and layouts before committing a 100 TB
+  * pass: rule-bundle quality gates (Gopher-style), collocation mining,
+  * robust (winsorized) statistics, multi-dimensional (Z-order) layout
+  * audits, and sketch-vs-exact error measurement.
+  *
+  * All oracle-checked queries follow the house rules (QueryPack): total
+  * orders, integer fixed-point instead of transcendental/order-dependent
+  * FP, LONG/BIGINT alignment.
+  */
+object Profiling extends QueryPack {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private val toks = TextOps.tokens(col("text"))
+  private val toksSql = TextOps.tokensSql("text")
+
+  // ---------------------------------------------------------------- q122
+
+  /** q122: Gopher-style lexical quality rule bundle (Rae et al. 2021,
+    * "Scaling Language Models" §A.1.1 document filters, re-expressed as
+    * integer fixed-point so the gate is engine-exact): token-count
+    * bounds, mean-word-length band, distinct-token ratio, and stopword
+    * presence, each surfaced as its own flag plus the conjunction.
+    * Pure per-row projection — pipelines with the scan, no shuffle
+    * before the final order; at 100 TB this is a map-only pass whose
+    * flags feed the same partitioned-write curation path as q79.
+    *
+    * Reference analogue: the word-count / stopword filters of
+    * FinalProject/BDM_Final.py:388-401 (quality heuristics), widened to
+    * the published rule bundle.
+    */
+  private def q122GopherRules(s: SparkSession, d: String): DataFrame = {
+    val stops = TextOps.lexiconHits(col("toks"), gopherStops).cast("long")
+    docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      // total chars of the concatenated tokens = Σ length(w) without a
+      // higher-order fold — keeps the whole row in one codegen stage.
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        length(array_join(col("toks"), "")).cast("long").as("tot_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        stops.as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(tot_chars * 100) div n_tokens").as("mean_wordlen_e2"),
+        expr("(n_uniq * 1000) div n_tokens").as("uniq_ratio_e3"),
+        col("stop_hits"))
+      .withColumn("pass_len",
+        col("n_tokens") >= 30L && col("n_tokens") <= 80L)
+      .withColumn("pass_wordlen",
+        col("mean_wordlen_e2") >= 400L && col("mean_wordlen_e2") <= 500L)
+      .withColumn("pass_uniq", col("uniq_ratio_e3") >= 400L)
+      .withColumn("pass_stop", col("stop_hits") >= 2L)
+      .withColumn("pass_all",
+        col("pass_len") && col("pass_wordlen") && col("pass_uniq") &&
+          col("pass_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gopherStops = Seq("the", "a", "an", "and", "or", "of")
+
+  private val q122Sql = {
+    val stopsSql = TextOps.lexiconHitsSql("toks", gopherStops)
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       m AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               (length(array_to_string(toks, '')) * 100) // len(toks)
+                 AS mean_wordlen_e2,
+               (len(list_distinct(toks)) * 1000) // len(toks)
+                 AS uniq_ratio_e3,
+               CAST($stopsSql AS BIGINT) AS stop_hits
+             FROM t WHERE len(toks) > 0)
+       SELECT doc_id, n_tokens, mean_wordlen_e2, uniq_ratio_e3, stop_hits,
+              (n_tokens >= 30 AND n_tokens <= 80) AS pass_len,
+              (mean_wordlen_e2 >= 400 AND mean_wordlen_e2 <= 500)
+                AS pass_wordlen,
+              (uniq_ratio_e3 >= 400) AS pass_uniq,
+              (stop_hits >= 2) AS pass_stop,
+              ((n_tokens >= 30 AND n_tokens <= 80)
+               AND (mean_wordlen_e2 >= 400 AND mean_wordlen_e2 <= 500)
+               AND (uniq_ratio_e3 >= 400) AND (stop_hits >= 2)) AS pass_all
+       FROM m ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- q123
+
+  /** q123: collocation mining — top adjacent-token pairs by Dice
+    * coefficient, `2·c(xy)/(c(x)+c(y))`, in e6 fixed point (Dice rather
+    * than PMI: it needs no logarithm, so the score is exact integer
+    * arithmetic on both engines, and it ranks collocations nearly
+    * identically). Bigram and unigram counts are two grouped counts over
+    * per-row explodes; the unigram table is vocabulary-sized → broadcast
+    * to both join probes. Min support 5 keeps noise out; top-20 via
+    * TakeOrderedAndProject (global limit over a tiny filtered set).
+    */
+  private def q123Collocations(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), toks.as("toks"))
+    val bigrams = base
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    bigrams
+      .filter(col("c_xy") >= 5L)
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_x")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_y")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(c_xy * 2000000) div (c_x + c_y)").as("dice_e6"))
+      .orderBy(col("dice_e6").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q123Sql =
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM base)),
+       bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+       uni AS (SELECT w, count(*) AS c
+               FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w)
+       SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+              (c_xy * 2000000) // (ux.c + uy.c) AS dice_e6
+       FROM bc JOIN uni ux ON bc.w1 = ux.w JOIN uni uy ON bc.w2 = uy.w
+       WHERE c_xy >= 5
+       ORDER BY dice_e6 DESC, w1, w2 LIMIT 20"""
+
+  // ---------------------------------------------------------------- q124
+
+  /** q124: winsorized statistics — per-status mean of `o_totalprice`
+    * after capping at the rank-based p05/p95 (robust to the heavy tail
+    * that makes a plain mean useless for monitoring). Percentile cuts
+    * are DISCRETE order statistics (row_number against integer-division
+    * ranks — no interpolation-formula FP), the capped mean is
+    * [[Exact]] 2-dp fixed point; both hash-exact across engines. One
+    * window + one aggregate: a per-group sort and a partial-merged agg,
+    * the same two-shuffle shape at any scale.
+    */
+  private def q124WinsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("o_orderstatus"))))
+      .withColumn("lo_rank", expr("greatest(1, (n * 5) div 100)"))
+      .withColumn("hi_rank", expr("least(n, ((n * 95) + 99) div 100)"))
+    val cuts = ranked.groupBy(col("o_orderstatus"))
+      .agg(
+        max(when(col("rn") === col("lo_rank"), col("o_totalprice")))
+          .as("lo_cut"),
+        max(when(col("rn") === col("hi_rank"), col("o_totalprice")))
+          .as("hi_cut"),
+        max(col("n")).as("n_orders"))
+    // cuts is |statuses| rows → broadcast back to the fact scan.
+    Tables(s, d, "orders")
+      .join(broadcast(cuts), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("lo_cut"), col("hi_cut"),
+        col("n_orders"),
+        greatest(col("lo_cut"), least(col("hi_cut"), col("o_totalprice")))
+          .as("capped"))
+      .groupBy(col("o_orderstatus"))
+      .agg(max(col("lo_cut")).as("lo_cut"), max(col("hi_cut")).as("hi_cut"),
+        max(col("n_orders")).as("n_orders"),
+        Exact.avgFixed(col("capped"), 2).as("wins_avg"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q124Sql = {
+    val avg = Exact.avgFixedSql("capped", 2)
+    s"""WITH ranked AS (
+         SELECT o_orderstatus, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+                COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+         FROM orders),
+       cuts AS (
+         SELECT o_orderstatus,
+                max(CASE WHEN rn = greatest(1, (n * 5) // 100)
+                    THEN o_totalprice END) AS lo_cut,
+                max(CASE WHEN rn = least(n, ((n * 95) + 99) // 100)
+                    THEN o_totalprice END) AS hi_cut,
+                max(n) AS n_orders
+         FROM ranked GROUP BY o_orderstatus),
+       capped AS (
+         SELECT o.o_orderstatus, c.lo_cut, c.hi_cut, c.n_orders,
+                greatest(c.lo_cut, least(c.hi_cut, o.o_totalprice)) AS capped
+         FROM orders o JOIN cuts c USING (o_orderstatus))
+       SELECT o_orderstatus, max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+              max(n_orders) AS n_orders, $avg AS wins_avg
+       FROM capped GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
+  // ---------------------------------------------------------------- q125
+
+  /** q125: Z-order layout audit — the multi-dimensional data-skipping
+    * decision. Rows are laid out by the interleaved-bit (Morton) key of
+    * two join/filter dimensions and grouped into 64 contiguous "files";
+    * the audit reports each file's bounding box on BOTH dimensions, next
+    * to the same files under a naive single-column sort. Z-order keeps
+    * both spans ~8/64 wide, so file-level min/max stats prune point and
+    * range predicates on EITHER dimension ~8× — the reason a 100 TB
+    * table laid out by Z-order answers two-dimensional slices without a
+    * full scan. The interleave is pure arithmetic (div/mod/multiply —
+    * no engine-specific bit intrinsics) so the oracle mirrors it
+    * bit-for-bit; per-file stats are one grouped agg, no shuffle beyond
+    * it.
+    */
+  private def q125ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "lineitem")
+      .select((col("l_partkey") % 64L).as("x"), (col("l_suppkey") % 64L).as("y"))
+    val z = base.select(col("x"), col("y"),
+      expr(s"(${interleaveSql("div")}) div 64").as("file_id"),
+      lit("zorder").as("layout"))
+    val linear = base.select(col("x"), col("y"),
+      col("x").as("file_id"), lit("xsort").as("layout"))
+    z.unionByName(linear)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      .withColumn("bbox",
+        (col("x_hi") - col("x_lo") + 1L) * (col("y_hi") - col("y_lo") + 1L))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
+  /** Morton interleave of 6-bit x,y as pure div/mod arithmetic —
+    * identical text modulo the integer-division operator (`div` Spark,
+    * `//` DuckDB), so both engines evaluate the same formula.
+    */
+  private def interleaveSql(idiv: String): String =
+    (0 until 6).map { b =>
+      val bit = 1L << b
+      s"((x $idiv $bit) % 2) * ${1L << (2 * b)} + ((y $idiv $bit) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString("(", " + ", ")")
+
+  private val q125Sql = {
+    val inter = interleaveSql("//")
+    s"""WITH base AS (SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y
+              FROM lineitem),
+       tagged AS (
+         SELECT x, y, $inter // 64 AS file_id, 'zorder' AS layout FROM base
+         UNION ALL
+         SELECT x, y, x AS file_id, 'xsort' AS layout FROM base)
+       SELECT layout, file_id, count(*) AS n_rows,
+              min(x) AS x_lo, max(x) AS x_hi,
+              min(y) AS y_lo, max(y) AS y_hi,
+              (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS bbox
+       FROM tagged GROUP BY layout, file_id ORDER BY layout, file_id"""
+  }
+
+  // ---------------------------------------------------------------- q126
+
+  /** q126: count-min-sketch error audit — the mergeable frequency
+    * sketch (Cormode & Muthukrishnan 2005) measured against exact
+    * counts on the same corpus, the way q89/q107 audit MinHash before
+    * it's trusted at scale. `DataFrameStatFunctions.countMinSketch`
+    * aggregates per-partition sketches and merges them (sums —
+    * order-independent, deterministic for a fixed seed); the probe set
+    * is the exact top-20 tokens. CMS guarantees `est ≥ exact` and
+    * w.h.p. `est ≤ exact + ε·N`; both bounds are spec-asserted
+    * (ProfilingSpec). Sketch internals are engine-specific → rows-only
+    * driver check.
+    */
+  private def q126CmsError(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(explode(toks).as("word"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+    val sketch = words.stat.countMinSketch(
+      "word", eps = 0.001, confidence = 0.99, seed = 42)
+    val total = sketch.totalCount()
+    val rows = exact.collect().map { r => // 20 rows — sanctioned driver edge
+      val w = r.getString(0); val c = r.getLong(1)
+      (w, c, sketch.estimateCount(w), total)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("word", "exact_cnt", "cms_est", "stream_n")
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word"))
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_gopher_rules" -> q122GopherRules,
+    "q123_collocations" -> q123Collocations,
+    "q124_winsorized_stats" -> q124WinsorizedStats,
+    "q125_zorder_layout" -> q125ZorderLayout,
+    "q126_cms_error" -> q126CmsError)
+
+  def oracle: Map[String, String] = Map(
+    "q122_gopher_rules" -> q122Sql,
+    "q123_collocations" -> q123Sql,
+    "q124_winsorized_stats" -> q124Sql,
+    "q125_zorder_layout" -> q125Sql)
+}
