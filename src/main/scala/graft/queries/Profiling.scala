@@ -290,6 +290,86 @@ object Profiling extends QueryPack {
       .orderBy(col("exact_cnt").desc, col("word"))
   }
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127: bigram language-model familiarity — the integer-exact
+    * perplexity proxy: each document scored by the mean corpus
+    * frequency of its adjacent-token bigrams, capped at 1000 so one
+    * ubiquitous bigram can't saturate the mean (the cap plays the role
+    * log-probabilities play in a real LM; CCNet ranks documents by LM
+    * perplexity the same way, Wenzek et al. 2019). Gibberish / OCR
+    * noise / machine-mangled text is exactly text whose bigrams are
+    * rare in the corpus → low score. The bigram count table shuffles on
+    * a uniform key; the join back is equi; the per-doc mean is a
+    * map-side-combined agg — three shuffles total at any scale.
+    */
+  private def q127LmFamiliarity(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
+        .as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bg.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(least(col("c"), lit(1000L))).as("capped_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("capped_sum div n_bigrams").as("familiarity_e3"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q127Sql =
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM base)),
+       c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)
+       SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(least(c.c, 1000)) // count(*) AS BIGINT)
+                AS familiarity_e3
+       FROM bg JOIN c USING (bg)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------- q128
+
+  /** q128: subword fertility by source — mean BPE pieces per word under
+    * the deployed static merge table ([[graft.ops.SubwordOps]], the
+    * q93 tokenizer). Fertility near 1.0 means the vocabulary fits the
+    * text; a source whose fertility spikes is text the tokenizer
+    * fragments (wrong language/domain, mangled encoding) and costs
+    * proportionally more training tokens than its character volume
+    * suggests — the per-source knob q98's mixture weighting needs.
+    * Per-row encode (no shuffle) + one grouped sum.
+    */
+  private def q128SubwordFertility(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.SubwordOps
+    docs(s, d)
+      .select(col("source"), toks.as("wtoks"))
+      .select(col("source"),
+        size(col("wtoks")).cast("long").as("nw"),
+        size(SubwordOps.encodeAll(col("wtoks"), SubwordOps.staticMerges))
+          .cast("long").as("np"))
+      .groupBy(col("source"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 1000) div n_words").as("fertility_e3"))
+      .orderBy(col("source"))
+  }
+
+  private val q128Sql = {
+    val enc = graft.ops.SubwordOps.encodeAllSql(
+      "wtoks", graft.ops.SubwordOps.staticMerges)
+    s"""WITH b AS (SELECT source, $toksSql AS wtoks FROM documents),
+       e AS (SELECT source, CAST(len(wtoks) AS BIGINT) AS nw,
+               CAST(len($enc) AS BIGINT) AS np FROM b)
+       SELECT source, CAST(sum(nw) AS BIGINT) AS n_words,
+              CAST(sum(np) AS BIGINT) AS n_pieces,
+              CAST((sum(np) * 1000) // sum(nw) AS BIGINT) AS fertility_e3
+       FROM e GROUP BY source ORDER BY source"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,11 +377,15 @@ object Profiling extends QueryPack {
     "q123_collocations" -> q123Collocations,
     "q124_winsorized_stats" -> q124WinsorizedStats,
     "q125_zorder_layout" -> q125ZorderLayout,
-    "q126_cms_error" -> q126CmsError)
+    "q126_cms_error" -> q126CmsError,
+    "q127_lm_familiarity" -> q127LmFamiliarity,
+    "q128_subword_fertility" -> q128SubwordFertility)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
     "q123_collocations" -> q123Sql,
     "q124_winsorized_stats" -> q124Sql,
-    "q125_zorder_layout" -> q125Sql)
+    "q125_zorder_layout" -> q125Sql,
+    "q127_lm_familiarity" -> q127Sql,
+    "q128_subword_fertility" -> q128Sql)
 }

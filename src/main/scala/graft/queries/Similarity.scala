@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Exact, Tables}
-import graft.ops.{TopKOps, VectorOps}
+import graft.ops.{RerankOps, TopKOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -530,8 +530,40 @@ object Similarity extends QueryPack {
        WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
   }
 
+  /** q129: MMR-diversified top-5 ([[graft.ops.RerankOps.mmr]], λ=0.5)
+    * over the q32 retriever's top-20 candidate pool — retrieval that
+    * won't hand back 5 near-copies of one document, the shape used to
+    * pick diverse few-shot examples / eval sets out of a deduplicated
+    * corpus. Bounded query set (vec_id < 8) → every intermediate is
+    * |queries|×20; candidate pair sims are an equi self-join on qid.
+    * Greedy selection is iterative → rows-only driver check; the
+    * rank-1-equals-top-1 and diversity-vs-plain-top-k invariants are
+    * spec-asserted (RerankSpec).
+    */
+  private def q129MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val cands = TopKOps
+      .topKPerGroup(scoredPairs(s, d, col("vec_id") < 8),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 20)
+      .select(col("qid"), col("cid"), col("cos").as("rel"))
+      .cache()
+    cands.count() // pin: feeds the pair self-join AND every mmr round
+    val v = vecs(s, d)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val cv = cands.select(col("qid"), col("cid"))
+      .join(v.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+    val pairSims = cv.as("a")
+      .join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("cid1"),
+        col("b.cid").as("cid2"),
+        round(VectorOps.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+    RerankOps.mmr(cands, pairSims, k = 5, lambda = 0.5)
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_cosine_topk" -> q32CosineTopk,
+    "q129_mmr_rerank" -> q129MmrRerank,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q112_semantic_dedup" -> q112SemanticDedup,
     "q34_lsh_ann" -> q34LshAnn,
