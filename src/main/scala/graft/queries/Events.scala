@@ -417,8 +417,45 @@ object Events extends QueryPack {
        FROM daily GROUP BY event_type ORDER BY event_type"""
   }
 
+  /** q130: cohort retention — users bucketed by first-seen week, then
+    * the classic (cohort week × weeks-since) distinct-user triangle that
+    * answers "how many of week-w's new users were still active k weeks
+    * later". Week ids are exact integer `ts DIV WEEK_NS` (alignment to
+    * calendar weeks is irrelevant; consistency is everything). Two
+    * shuffles: per-user min (map-side combined) broadcast back onto the
+    * fact — the cohort table is |users|, small relative to events, and
+    * at 100 TB it's the same broadcast-or-shuffle decision as any
+    * user-dimension join — then one grouped distinct count.
+    */
+  private def q130CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val weekNs = 7L * 24 * HOUR_NS
+    val weekly = ev(s, d)
+      .select(col("user_id"), expr(s"ts DIV $weekNs").as("week"))
+    val cohort = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly
+      .join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q130Sql = {
+    val weekNs = 7L * 24 * 3600L * 1000000000L
+    s"""WITH weekly AS (SELECT user_id, epoch_ns(ts) // $weekNs AS week
+            FROM events),
+       cohort AS (SELECT user_id, min(week) AS cohort_week
+                  FROM weekly GROUP BY user_id)
+       SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+              CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+       FROM weekly w JOIN cohort c USING (user_id)
+       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
+    "q130_cohort_retention" -> q130CohortRetention,
     "q40_hourly_windows" -> q40HourlyWindows,
     "q117_partial_merge" -> q117PartialMerge,
     "q41_sessionization" -> q41Sessionization,
@@ -434,6 +471,7 @@ object Events extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
+    "q130_cohort_retention" -> q130Sql,
     "q80_rank_distributions" -> q80Sql,
     "q40_hourly_windows" -> q40Sql,
     "q117_partial_merge" -> q117Sql,

@@ -370,6 +370,41 @@ object Profiling extends QueryPack {
        FROM e GROUP BY source ORDER BY source"""
   }
 
+  // ---------------------------------------------------------------- q131
+
+  /** q131: token diversity — Gini–Simpson index `1 − Σ p_w²` per
+    * document, the entropy-free diversity measure (no logarithm →
+    * exact integer arithmetic: `1e6 − (1e6·Σc²) div n²`). Near 0 =
+    * the document is one token repeated (spam/keyword stuffing —
+    * the q90 repetition signals' distribution-level sibling); near
+    * 1 = every token distinct. Per-doc grouped counts then one agg:
+    * two map-side-combined shuffles on uniform keys.
+    */
+  private def q131TokenDiversity(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("1000000 - (1000000 * sum_c2) div (n_tokens * n_tokens)")
+          .as("simpson_e6"))
+      .orderBy(col("doc_id"))
+
+  private val q131Sql =
+    s"""WITH tf AS (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+            GROUP BY doc_id, w),
+       agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(c * c) AS BIGINT) AS sum_c2
+               FROM tf GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              1000000 - (1000000 * sum_c2) // (n_tokens * n_tokens)
+                AS simpson_e6
+       FROM agg ORDER BY doc_id"""
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,7 +414,8 @@ object Profiling extends QueryPack {
     "q125_zorder_layout" -> q125ZorderLayout,
     "q126_cms_error" -> q126CmsError,
     "q127_lm_familiarity" -> q127LmFamiliarity,
-    "q128_subword_fertility" -> q128SubwordFertility)
+    "q128_subword_fertility" -> q128SubwordFertility,
+    "q131_token_diversity" -> q131TokenDiversity)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -387,5 +423,6 @@ object Profiling extends QueryPack {
     "q124_winsorized_stats" -> q124Sql,
     "q125_zorder_layout" -> q125Sql,
     "q127_lm_familiarity" -> q127Sql,
-    "q128_subword_fertility" -> q128Sql)
+    "q128_subword_fertility" -> q128Sql,
+    "q131_token_diversity" -> q131Sql)
 }
