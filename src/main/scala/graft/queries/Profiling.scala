@@ -405,6 +405,100 @@ object Profiling extends QueryPack {
                 AS simpson_e6
        FROM agg ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------- q132
+
+  /** q132: inverted-index materialization — per term: document
+    * frequency, the ordered posting list (first 20 ids as CSV — the
+    * full list is the same `sort_array(collect_set(...))` without the
+    * slice), and the maximum doc-id gap, the statistic that prices
+    * delta-encoded posting compression. This is the build step behind
+    * q110's BM25 retrieval: one explode → distinct → per-term ordered
+    * agg, all shuffles on the uniform term key; posting lists are
+    * per-term local sorts (collect_set within a group), never a global
+    * sort. Terms with df < 5 are dropped (they'd dominate the index
+    * with singleton lists).
+    */
+  private def q132InvertedIndex(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(toks).as("term"), col("doc_id"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .filter(col("df") >= 5L)
+      .select(col("term"), col("df"),
+        col("postings").getItem(0).as("first_doc"),
+        element_at(col("postings"), -1).as("last_doc"),
+        expr("""array_join(transform(slice(postings, 1, 20),
+                x -> cast(x AS string)), ',')""").as("head_postings"),
+        expr("""array_max(zip_with(slice(postings, 2, size(postings) - 1),
+                slice(postings, 1, size(postings) - 1), (a, b) -> a - b))""")
+          .as("max_gap"))
+      .orderBy(col("term"))
+
+  private val q132Sql =
+    s"""WITH posting AS (
+         SELECT DISTINCT term, doc_id FROM
+           (SELECT unnest($toksSql) AS term, doc_id FROM documents)),
+       idx AS (SELECT term, count(*) AS df,
+                 list_sort(list(doc_id)) AS postings
+               FROM posting GROUP BY term)
+       SELECT term, df, postings[1] AS first_doc,
+              postings[-1] AS last_doc,
+              array_to_string(postings[1:20], ',') AS head_postings,
+              list_max(list_transform(range(2, len(postings) + 1),
+                i -> postings[i] - postings[i - 1])) AS max_gap
+       FROM idx WHERE df >= 5 ORDER BY term"""
+
+  // ---------------------------------------------------------------- q133
+
+  /** q133: distinctive tokens per source — top-5 terms by integer lift
+    * `(c_st·T) / (c_t·T_s)` (source share of the term vs source share
+    * of all tokens), the log-odds-free domain fingerprint that tells a
+    * mixture designer WHAT each source actually contributes. e3 fixed
+    * point keeps every product under 2^63 at petabyte counts (the e6
+    * variant would overflow once c_st·T passes 9e12). Two grouped
+    * counts; the per-source totals and corpus totals are tiny →
+    * broadcast; per-source top-5 is a WindowGroupLimit, never global.
+    */
+  private def q133DistinctiveTokens(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("source"), explode(toks).as("term"))
+    val st = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val t = tok.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("t_s"))
+    val tot = tok.agg(count(lit(1)).as("t_all"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_e3").desc, col("term").asc)
+    st.filter(col("c_st") >= 10L)
+      .join(broadcast(t), Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("term"), col("c_st"), col("c_t"),
+        expr("(c_st * t_all * 1000) div (c_t * t_s)").as("lift_e3"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val q133Sql =
+    s"""WITH tok AS (SELECT source, unnest($toksSql) AS term FROM documents),
+       st AS (SELECT source, term, count(*) AS c_st FROM tok
+              GROUP BY source, term),
+       t AS (SELECT term, count(*) AS c_t FROM tok GROUP BY term),
+       s AS (SELECT source, count(*) AS t_s FROM tok GROUP BY source),
+       tot AS (SELECT count(*) AS t_all FROM tok),
+       lifted AS (
+         SELECT st.source, st.term, st.c_st, t.c_t,
+                (st.c_st * tot.t_all * 1000) // (t.c_t * s.t_s) AS lift_e3
+         FROM st JOIN t USING (term) JOIN s USING (source) CROSS JOIN tot
+         WHERE st.c_st >= 10),
+       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                ORDER BY lift_e3 DESC, term ASC) AS BIGINT) AS rk
+             FROM lifted)
+       SELECT source, term, c_st, c_t, lift_e3, rk FROM r
+       WHERE rk <= 5 ORDER BY source, rk"""
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,7 +509,9 @@ object Profiling extends QueryPack {
     "q126_cms_error" -> q126CmsError,
     "q127_lm_familiarity" -> q127LmFamiliarity,
     "q128_subword_fertility" -> q128SubwordFertility,
-    "q131_token_diversity" -> q131TokenDiversity)
+    "q131_token_diversity" -> q131TokenDiversity,
+    "q132_inverted_index" -> q132InvertedIndex,
+    "q133_distinctive_tokens" -> q133DistinctiveTokens)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -424,5 +520,7 @@ object Profiling extends QueryPack {
     "q125_zorder_layout" -> q125Sql,
     "q127_lm_familiarity" -> q127Sql,
     "q128_subword_fertility" -> q128Sql,
-    "q131_token_diversity" -> q131Sql)
+    "q131_token_diversity" -> q131Sql,
+    "q132_inverted_index" -> q132Sql,
+    "q133_distinctive_tokens" -> q133Sql)
 }
