@@ -499,6 +499,147 @@ object Profiling extends QueryPack {
        SELECT source, term, c_st, c_t, lift_e3, rk FROM r
        WHERE rk <= 5 ORDER BY source, rk"""
 
+  // ---------------------------------------------------------------- q134
+
+  /** q134: k-anonymity audit (Sweeney 2002) — equivalence classes over
+    * the quasi-identifier tuple (nation, market segment) with class
+    * size < k are re-identification risks a released dataset must
+    * suppress or generalize; the query reports every risky class plus
+    * one ALL row carrying the suppression rate (rows in risky classes
+    * per million). The k-anonymity check is one grouped count over the
+    * quasi-identifier key — the same shape at any scale — and the
+    * summary is an aggregate over the (small) class histogram, not a
+    * second scan of the data.
+    */
+  private def q134KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 10L
+    val classes = Tables(s, d, "customer")
+      .join(broadcast(Tables(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .cache() // feeds the risky listing AND the summary row
+    classes.count()
+    val risky = classes.filter(col("class_size") < k)
+      .select(col("n_name"), col("c_mktsegment"), col("class_size"))
+    val summary = classes.agg(
+      sum(col("class_size")).as("total"),
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .as("at_risk"))
+      .select(lit("ALL").as("n_name"), lit("ALL").as("c_mktsegment"),
+        expr("(at_risk * 1000000) div total").as("class_size"))
+    risky.unionByName(summary)
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  private val q134Sql =
+    s"""WITH classes AS (
+         SELECT n.n_name, c.c_mktsegment, count(*) AS class_size
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name, c.c_mktsegment)
+       SELECT n_name, c_mktsegment, class_size FROM classes
+       WHERE class_size < 10
+       UNION ALL
+       SELECT 'ALL', 'ALL',
+         CAST((sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+           * 1000000) // sum(class_size) AS BIGINT)
+       FROM classes
+       ORDER BY n_name, c_mktsegment"""
+
+  // ---------------------------------------------------------------- q135
+
+  /** q135: time-decayed engagement — per event type, the exponentially
+    * decayed sum `Σ value·2^(−age_weeks)` that recency-weights activity
+    * without a full recompute window. The decay weight is an integer
+    * SHIFT (`1e6 div 2^k` — power-of-two decay), so the whole thing is
+    * [[Exact]]-style fixed point: bit-identical across engines, runs,
+    * and partitionings, unlike a float `pow(0.5, age)` whose sum is
+    * order-dependent. Decayed sums are mergeable (they're plain sums of
+    * per-row weighted values), so at 100 TB this map-side combines like
+    * any other agg — and a streaming job maintains it incrementally by
+    * halving the running total once per week boundary.
+    */
+  private def q135DecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val weekNs = 7L * 24 * 3600L * 1000000000L
+    val wk = Tables(s, d, "events")
+      .select(col("event_type"), col("value"),
+        expr(s"ts DIV $weekNs").as("week"))
+    // global max as an aggregate + broadcast, NOT an empty-partition
+    // window (which would funnel every row through one partition)
+    val mx = wk.agg(max(col("week")).as("max_week"))
+    wk.crossJoin(broadcast(mx))
+      .withColumn("age", (col("max_week") - col("week")).cast("int"))
+      // 2^20 > 1e6, so ages past 20 weeks decay to exactly 0 — the cap
+      // also keeps the shift far from 63-bit overflow
+      .withColumn("w_e6",
+        when(col("age") >= 20, lit(0L))
+          .otherwise(expr("1000000 div shiftleft(cast(1 AS BIGINT), age)")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.fixed(col("value"), 2) * col("w_e6")).as("decayed_e8"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q135Sql = {
+    val weekNs = 7L * 24 * 3600L * 1000000000L
+    val fixed = Exact.fixedSql("value", 2)
+    s"""WITH wk AS (SELECT event_type, value,
+              epoch_ns(ts) // $weekNs AS week FROM events),
+       mx AS (SELECT max(week) AS max_week FROM wk),
+       aged AS (SELECT event_type, value,
+                  CAST(max_week - week AS INT) AS age FROM wk CROSS JOIN mx),
+       wtd AS (SELECT event_type, value,
+                 CASE WHEN age >= 20 THEN 0
+                      ELSE 1000000 // (CAST(1 AS BIGINT) << age) END AS w_e6
+               FROM aged)
+       SELECT event_type, count(*) AS n_events,
+              CAST(sum($fixed * w_e6) AS BIGINT) AS decayed_e8
+       FROM wtd GROUP BY event_type ORDER BY event_type"""
+  }
+
+  // ---------------------------------------------------------------- q136
+
+  /** q136: table statistics profile — the ANALYZE-style one-pass column
+    * profile (row count, per-column exact NDV, min/max, null count)
+    * that a cost-based optimizer, a data catalog, or a quality monitor
+    * reads before touching a 100 TB table. Exact NDV on every column in
+    * one statement plans as an Expand (one shuffle per distinct
+    * column); the sketch path for the same numbers at scale is q48's
+    * HLL — this is the exact twin run on samples or partitions. Output
+    * is one row per profiled column (long-format so adding columns
+    * doesn't change the schema).
+    */
+  private def q136TableProfile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_linestatus")
+    val profiles = cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+          col("min_val"), col("max_val"), col("n_null"))
+    }
+    profiles.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  private val q136Sql = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_linestatus")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+          CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+          CAST(min($c) AS VARCHAR) AS min_val,
+          CAST(max($c) AS VARCHAR) AS max_val,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null
+          FROM lineitem"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,7 +652,10 @@ object Profiling extends QueryPack {
     "q128_subword_fertility" -> q128SubwordFertility,
     "q131_token_diversity" -> q131TokenDiversity,
     "q132_inverted_index" -> q132InvertedIndex,
-    "q133_distinctive_tokens" -> q133DistinctiveTokens)
+    "q133_distinctive_tokens" -> q133DistinctiveTokens,
+    "q134_k_anonymity" -> q134KAnonymity,
+    "q135_decayed_engagement" -> q135DecayedEngagement,
+    "q136_table_profile" -> q136TableProfile)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -522,5 +666,8 @@ object Profiling extends QueryPack {
     "q128_subword_fertility" -> q128Sql,
     "q131_token_diversity" -> q131Sql,
     "q132_inverted_index" -> q132Sql,
-    "q133_distinctive_tokens" -> q133Sql)
+    "q133_distinctive_tokens" -> q133Sql,
+    "q134_k_anonymity" -> q134Sql,
+    "q135_decayed_engagement" -> q135Sql,
+    "q136_table_profile" -> q136Sql)
 }
