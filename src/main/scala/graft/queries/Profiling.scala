@@ -640,6 +640,133 @@ object Profiling extends QueryPack {
     }.mkString("", " UNION ALL ", " ORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- q137
+
+  /** q137: 2-D skyline (Pareto frontier) — parts no other part beats on
+    * BOTH price (lower better) and size (higher better). The textbook
+    * formulation is a quadratic NOT EXISTS self-join; sorted by (price
+    * asc, size desc) the dominance test collapses to "size strictly
+    * above the running max of everything before me" — one distinct + one
+    * window pass, O(n log n). Coordinates are deduped first so exact
+    * (price, size) twins don't mutually eliminate. At 100 TB: skyline
+    * is shrink-resistant to partitioning — per-partition local skylines
+    * union then re-skyline (the same window over a tiny survivor set),
+    * which is exactly what AQE-sized partitions give this plan.
+    */
+  private def q137SkylineParts(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables(s, d, "part")
+      .groupBy(col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("example"))
+    // phase 1 — parallel: per price-range bucket, prune locally
+    // dominated points (a locally dominated point is globally dominated
+    // a fortiori, so this loses nothing). Phase 2's global window then
+    // sees only the tiny per-bucket frontiers.
+    def prune(df: DataFrame, w: org.apache.spark.sql.expressions
+        .WindowSpec): DataFrame =
+      df.withColumn("best_prev",
+          max(col("size")).over(
+            w.orderBy(col("price").asc, col("size").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("best_prev").isNull || col("size") > col("best_prev"))
+        .drop("best_prev")
+    val local = prune(
+      pts.withColumn("bucket", expr("CAST(price AS BIGINT) div 100")),
+      Window.partitionBy(col("bucket")))
+    prune(local, Window.partitionBy())
+      .select(col("price"), col("size"), col("n_parts"), col("example"))
+      .orderBy(col("price"), col("size"))
+  }
+
+  private val q137Sql =
+    s"""WITH pts AS (SELECT p_retailprice AS price,
+              CAST(p_size AS BIGINT) AS size, count(*) AS n_parts,
+              min(p_partkey) AS example
+            FROM part GROUP BY 1, 2),
+       run AS (SELECT *, max(size) OVER (ORDER BY price ASC, size DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_prev
+               FROM pts)
+       SELECT price, size, n_parts, example FROM run
+       WHERE best_prev IS NULL OR size > best_prev
+       ORDER BY price, size"""
+
+  // ---------------------------------------------------------------- q138
+
+  /** q138: dataset card — the one-row data sheet a corpus release
+    * ships with (Gebru et al. 2021 "Datasheets for Datasets"):
+    * document/token volume, Gopher-rule pass rate, exact-duplicate
+    * share, dominant language, and overall subword fertility, each a
+    * tiny aggregate over the SAME shared expressions the per-doc gate
+    * queries use (q122/q26/q24/q128 — the card can't drift from the
+    * audits it summarizes). Five small aggregates cross-joined —
+    * every input is one map-side-combined pass; the card costs what
+    * the most expensive single audit costs, not their sum.
+    */
+  private def q138DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
+      toks.as("toks")).filter(size(col("toks")) > 0)
+    val vol = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val gopher = q122GopherRules(s, d)
+      .agg(sum(when(col("pass_all"), 1L).otherwise(0L)).as("n_pass"),
+        count(lit(1)).as("n_all"))
+      .select(expr("(n_pass * 1000000) div n_all").as("gopher_pass_e6"))
+    val dups = base.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .as("n_dup_docs"))
+    val lang = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"))
+    val fert = base.select(
+      size(col("toks")).cast("long").as("nw"),
+      size(graft.ops.SubwordOps.encodeAll(col("toks"),
+        graft.ops.SubwordOps.staticMerges)).cast("long").as("np"))
+      .agg(sum(col("nw")).as("w"), sum(col("np")).as("p"))
+      .select(expr("(p * 1000) div w").as("fertility_e3"))
+    vol.crossJoin(broadcast(gopher)).crossJoin(broadcast(dups))
+      .crossJoin(broadcast(lang)).crossJoin(broadcast(fert))
+  }
+
+  private val q138Sql = {
+    val stopsSql = TextOps.lexiconHitsSql("toks", gopherStops)
+    val enc = graft.ops.SubwordOps.encodeAllSql(
+      "toks", graft.ops.SubwordOps.staticMerges)
+    s"""WITH base AS (SELECT doc_id, lang, text, $toksSql AS toks
+            FROM documents),
+       nz AS (SELECT * FROM base WHERE len(toks) > 0),
+       vol AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM nz),
+       gm AS (SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+                (length(array_to_string(toks, '')) * 100) // len(toks)
+                  AS mean_wordlen_e2,
+                (len(list_distinct(toks)) * 1000) // len(toks)
+                  AS uniq_ratio_e3,
+                CAST($stopsSql AS BIGINT) AS stop_hits
+              FROM nz),
+       gopher AS (SELECT CAST((sum(CASE WHEN
+                n_tokens >= 30 AND n_tokens <= 80
+                AND mean_wordlen_e2 >= 400 AND mean_wordlen_e2 <= 500
+                AND uniq_ratio_e3 >= 400 AND stop_hits >= 2
+                THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+                  AS gopher_pass_e6
+              FROM gm),
+       dup AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                 AS BIGINT) AS n_dup_docs
+               FROM (SELECT md5(text) AS h, count(*) AS c FROM nz
+                     GROUP BY 1)),
+       lng AS (SELECT lang AS top_lang FROM
+                 (SELECT lang, count(*) AS c FROM nz GROUP BY lang
+                  ORDER BY c DESC, lang ASC LIMIT 1)),
+       fert AS (SELECT CAST((sum(np) * 1000) // sum(nw) AS BIGINT)
+                  AS fertility_e3
+                FROM (SELECT CAST(len(toks) AS BIGINT) AS nw,
+                        CAST(len($enc) AS BIGINT) AS np FROM nz))
+       SELECT * FROM vol CROSS JOIN gopher CROSS JOIN dup
+         CROSS JOIN lng CROSS JOIN fert"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -655,7 +782,9 @@ object Profiling extends QueryPack {
     "q133_distinctive_tokens" -> q133DistinctiveTokens,
     "q134_k_anonymity" -> q134KAnonymity,
     "q135_decayed_engagement" -> q135DecayedEngagement,
-    "q136_table_profile" -> q136TableProfile)
+    "q136_table_profile" -> q136TableProfile,
+    "q137_skyline_parts" -> q137SkylineParts,
+    "q138_dataset_card" -> q138DatasetCard)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -669,5 +798,7 @@ object Profiling extends QueryPack {
     "q133_distinctive_tokens" -> q133Sql,
     "q134_k_anonymity" -> q134Sql,
     "q135_decayed_engagement" -> q135Sql,
-    "q136_table_profile" -> q136Sql)
+    "q136_table_profile" -> q136Sql,
+    "q137_skyline_parts" -> q137Sql,
+    "q138_dataset_card" -> q138Sql)
 }
