@@ -201,4 +201,36 @@ class PlanSpec extends AnyFunSuite {
       s"FK probes should broadcast the distinct parent keys:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), "no check may go quadratic")
   }
+
+  test("q122 gopher rules stay a single map-only pass before the order") {
+    val p = planOf(Profiling.all("q122_gopher_rules")(spark, sf))
+    // per-row flags: no hash shuffle, no join — just scan → project →
+    // the presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q123 collocations broadcast the vocabulary-sized unigram table") {
+    val p = planOf(Profiling.all("q123_collocations")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q133 distinctive tokens broadcast totals; per-source top-5 is group-limited") {
+    val p = planOf(Profiling.all("q133_distinctive_tokens")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q137 skyline prunes in a partitioned window before the global one") {
+    val p = planOf(Profiling.all("q137_skyline_parts")(spark, sf))
+    // phase 1 must keep a hash-partitioned window (parallel local
+    // prune); only the survivor pass may single-partition
+    assert(p.contains("hashpartitioning(bucket"), p.take(3000))
+  }
+
+  test("q130 cohort retention broadcasts the user-cohort dimension") {
+    val p = planOf(Events.all("q130_cohort_retention")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
