@@ -767,6 +767,67 @@ object Profiling extends QueryPack {
          CROSS JOIN lng CROSS JOIN fert"""
   }
 
+  // ---------------------------------------------------------------- q139
+
+  /** q139: corpus snapshot diff — the dataset-versioning audit run
+    * between two releases: per change class (added / removed / modified
+    * / unchanged), document and token deltas. v2 here is a
+    * deterministic transform of v1 (drop `id%97==3`, edit `id%101==7`,
+    * add re-keyed copies for `id%103==5`) so the diff machinery is
+    * exercised without a second physical table; in production both
+    * sides are parquet snapshot paths. Content identity is md5 — the
+    * diff is one full-outer equi-join on doc_id plus per-class
+    * aggregation, linear at any scale, no content comparison beyond
+    * the hash.
+    */
+  private def q139SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = docs(s, d).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(expr("doc_id % 97 <> 3"))
+      .select(col("doc_id"),
+        when(expr("doc_id % 101 = 7"), concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(expr("doc_id % 103 = 5"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+      size(toks).cast("long").as("t1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
+      size(toks).cast("long").as("t2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("t2"), lit(0L)).as("t2"),
+        coalesce(col("t1"), lit(0L)).as("t1"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t2") - col("t1")).as("token_delta"))
+      .orderBy(col("change_type"))
+  }
+
+  private val q139Sql = {
+    val toksN = s"CAST(len(${TextOps.tokensSql("text")}) AS BIGINT)"
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       v2 AS (SELECT doc_id,
+                CASE WHEN doc_id % 101 = 7 THEN text || ' v2'
+                     ELSE text END AS text
+              FROM v1 WHERE doc_id % 97 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 103 = 5),
+       a AS (SELECT doc_id, md5(text) AS h1, $toksN AS t1 FROM v1),
+       b AS (SELECT doc_id, md5(text) AS h2, $toksN AS t2 FROM v2),
+       j AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+                         WHEN h2 IS NULL THEN 'removed'
+                         WHEN h1 <> h2 THEN 'modified'
+                         ELSE 'unchanged' END AS change_type,
+                    coalesce(t2, 0) - coalesce(t1, 0) AS delta
+             FROM a FULL OUTER JOIN b USING (doc_id))
+       SELECT change_type, count(*) AS n_docs,
+              CAST(sum(delta) AS BIGINT) AS token_delta
+       FROM j GROUP BY change_type ORDER BY change_type"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -784,7 +845,8 @@ object Profiling extends QueryPack {
     "q135_decayed_engagement" -> q135DecayedEngagement,
     "q136_table_profile" -> q136TableProfile,
     "q137_skyline_parts" -> q137SkylineParts,
-    "q138_dataset_card" -> q138DatasetCard)
+    "q138_dataset_card" -> q138DatasetCard,
+    "q139_snapshot_diff" -> q139SnapshotDiff)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -800,5 +862,6 @@ object Profiling extends QueryPack {
     "q135_decayed_engagement" -> q135Sql,
     "q136_table_profile" -> q136Sql,
     "q137_skyline_parts" -> q137Sql,
-    "q138_dataset_card" -> q138Sql)
+    "q138_dataset_card" -> q138Sql,
+    "q139_snapshot_diff" -> q139Sql)
 }

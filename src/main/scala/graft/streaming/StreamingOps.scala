@@ -25,6 +25,18 @@ case class SessionSummary(
 /** Open-session state carried between micro-batches. */
 case class SessionState(start_us: Long, last_us: Long, n_events: Long)
 
+/** Decayed per-type engagement total emitted by
+  * [[StreamingOps.decayedCounts]] each micro-batch.
+  */
+case class DecayedTotal(
+    event_type: String,
+    ref_week: Long,
+    total_q20: Long,
+    n_events: Long)
+
+/** Decayed-counter state: reference week + Q20 fixed-point total. */
+case class DecayState(ref_week: Long, total_q20: Long, n_events: Long)
+
 /** Structured Streaming operators (SURVEY §2.11 — absent from the
   * reference, included as the engine's streaming seam; the batch twins
   * live in graft.queries.Events with identical semantics).
@@ -249,6 +261,57 @@ object StreamingOps {
         col("v_ts") <= col("p_ts"))
       .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
         col("p_ts"), col("v_ts"))
+  }
+
+  /** Streaming exponentially-decayed engagement counter — the
+    * incremental half of q135: per event type, maintain
+    * `Σ value·2^(−age_weeks)` as Q20 fixed point (20 fractional bits),
+    * advancing the reference week by right-shifting the stored total —
+    * the halving that power-of-two decay IS. Per-event contributions are
+    * `cents << (20 − age)`; while every live term is within the 20-week
+    * horizon the shift-advance is bit-exact (the shifted-out bits are
+    * zero by construction), and terms older than the horizon truncate
+    * monotonically below one cent. State is one 3-long case class per
+    * key — O(|event types|), watermark-free, and the update is
+    * associative across micro-batches, so the counter never recomputes
+    * history (the property the batch q135 pays a full scan for).
+    * Update-mode output: each batch emits the refreshed totals for the
+    * keys it touched.
+    */
+  def decayedCounts(
+      events: Dataset[StreamEvent],
+      weekUs: Long = 7L * 24 * 3600 * 1000000L): Dataset[DecayedTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[DecayState, DecayedTotal](
+        GroupStateTimeout.NoTimeout) { (key, batch, state) =>
+        var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
+        // order within the batch is irrelevant to the result (the
+        // update is commutative given the final ref week), but advance
+        // the reference first so every add uses one shift path
+        val evs = batch.toSeq
+        val maxWeek = evs.map(e => us(e.ts) / weekUs).max
+        if (maxWeek > st.ref_week) {
+          val d = math.min(maxWeek - st.ref_week, 63L).toInt
+          val carried = if (st.ref_week == Long.MinValue) 0L
+            else st.total_q20 >> d
+          st = DecayState(maxWeek, carried, st.n_events)
+        }
+        evs.foreach { e =>
+          val age = st.ref_week - us(e.ts) / weekUs
+          val cents = math.round(e.value * 100)
+          val add =
+            if (age > 20) 0L else cents << (20 - age.toInt)
+          st = st.copy(total_q20 = st.total_q20 + add,
+            n_events = st.n_events + 1)
+        }
+        state.update(st)
+        DecayedTotal(key, st.ref_week, st.total_q20, st.n_events)
+      }
   }
 
   /** Gap-based sessionization with typed per-user state

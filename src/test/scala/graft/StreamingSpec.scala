@@ -300,4 +300,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(clean === 3, "three well-formed documents must pass")
     assert(dirty === 1, "the malformed line must quarantine, not fail")
   }
+
+  test("decayed counter halves across week boundaries and matches the closed form") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val weekMin = 7L * 24 * 60
+    def evAt(id: Long, week: Long, v: Double, tpe: String = "click") =
+      StreamEvent(id, new Timestamp(week * weekMin * 60000L), 1L, tpe, v)
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.decayedCounts(input.toDS())
+      .writeStream.format("memory").queryName("decay")
+      .outputMode("update").start()
+    try {
+      // batch 1: two week-0 events
+      input.addData(evAt(1, 0, 2.00), evAt(2, 0, 3.00))
+      query.processAllAvailable()
+      val b1 = spark.table("decay").collect().last
+      assert(b1.getAs[Long]("total_q20") === 500L << 20,
+        "week-0 total: 500 cents at weight 1.0")
+      // batch 2: a week-2 event — the stored total must halve twice,
+      // the new event lands at full weight
+      input.addData(evAt(3, 2, 1.00))
+      query.processAllAvailable()
+      val b2 = spark.table("decay").collect().last
+      val expected = ((500L << 20) >> 2) + (100L << 20)
+      assert(b2.getAs[Long]("ref_week") === 2L)
+      assert(b2.getAs[Long]("total_q20") === expected,
+        "advance-by-shift must equal the closed-form decayed sum")
+      assert(b2.getAs[Long]("n_events") === 3L)
+      // closed form from scratch: 200*2^-2 + 300*2^-2 + 100*2^0 cents
+      assert(expected === math.round((2.0 / 4 + 3.0 / 4 + 1.0) * 100) << 20)
+    } finally query.stop()
+  }
 }
