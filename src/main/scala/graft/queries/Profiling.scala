@@ -828,6 +828,137 @@ object Profiling extends QueryPack {
        FROM j GROUP BY change_type ORDER BY change_type"""
   }
 
+  // ---------------------------------------------------------------- q140
+
+  /** q140: bloom-prefiltered join — the semi-join pushdown every 100 TB
+    * fact⋈selective-dim join wants: build a bloom filter over the dim's
+    * join keys (here suppliers of three nations), probe it as a
+    * SCAN-SIDE predicate on the fact (a codegen'd bitmap test — no
+    * join, no shuffle), and only the surviving sliver shuffles into the
+    * real join, which also removes the bloom's false positives. The
+    * DuckDB mirror is the PLAIN join: the bloom must be semantically
+    * invisible (q39's salt discipline) — any dropped/extra row
+    * hash-mismatches. Fact rows shuffled drop from |lineitem| to
+    * |matching| + FP·|lineitem|, the 10-100× I/O cut AQE can't give
+    * you.
+    */
+  private def q140BloomJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.BloomOps
+    val (m, k) = (1 << 16, 3)
+    val dim = Tables(s, d, "supplier")
+      .filter(col("s_nationkey") < 3L)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val bitmap = BloomOps.build(dim, "s_suppkey", m, k)
+    Tables(s, d, "lineitem")
+      .filter(BloomOps.mightContain(bitmap, col("l_suppkey"), m, k))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q140Sql =
+    s"""SELECT s.s_nationkey, count(*) AS n_items,
+         ${Exact.sumFixedSql("l.l_extendedprice", 2)} AS revenue
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE s.s_nationkey < 3
+       GROUP BY s.s_nationkey ORDER BY s.s_nationkey"""
+
+  // ---------------------------------------------------------------- q141
+
+  /** q141: blocked fuzzy matching — near-identical product names
+    * (Levenshtein ≤ 2), the entity-resolution step behind catalog
+    * dedup. The quadratic all-pairs comparison is replaced by
+    * CANDIDATE BLOCKING: names sharing their first word (adjective) or
+    * last word (noun) — an edit of ≤2 confined to one word always
+    * leaves the other word intact, so the union of the two equi-joined
+    * blocks has full recall for single-word edits (both-words-edited
+    * pairs are out of scope by design, stated here, and the oracle
+    * mirrors the same candidate set — q28's LSH discipline). The
+    * distinct-name relation is vocabulary-sized; each block is an
+    * equi-join on a uniform key; Levenshtein runs on candidates only.
+    */
+  private def q141FuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val names = Tables(s, d, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name"), col("n_parts"),
+        expr("split(p_name, ' ')[0]").as("adj"),
+        expr("element_at(split(p_name, ' '), -1)").as("noun"))
+      .cache() // feeds both block self-joins
+    names.count()
+    def block(key: String): DataFrame =
+      names.as("a").join(names.as("b"),
+        col(s"a.$key") === col(s"b.$key") &&
+          col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+    block("adj").unionByName(block("noun")).distinct()
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 2)
+      .select(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val q141Sql =
+    s"""WITH names AS (
+         SELECT p_name, string_split(p_name, ' ')[1] AS adj,
+                string_split(p_name, ' ')[-1] AS noun
+         FROM (SELECT DISTINCT p_name FROM part)),
+       cand AS (
+         SELECT a.p_name AS name_a, b.p_name AS name_b
+         FROM names a JOIN names b
+           ON a.adj = b.adj AND a.p_name < b.p_name
+         UNION
+         SELECT a.p_name, b.p_name
+         FROM names a JOIN names b
+           ON a.noun = b.noun AND a.p_name < b.p_name)
+       SELECT name_a, name_b,
+              CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+       FROM cand WHERE levenshtein(name_a, name_b) <= 2
+       ORDER BY name_a, name_b"""
+
+  // ---------------------------------------------------------------- q142
+
+  /** q142: longest activity streak per user — gaps-and-islands: an
+    * island is a run of consecutive active days, identified by the
+    * constant `day − row_number` within each run (both advance by 1
+    * inside a run; the difference jumps only at a gap). One distinct,
+    * one per-user window, one grouped max — all partitioned by user,
+    * nothing global. The engagement metric behind "N-day streak"
+    * features, and the canonical example of turning a sequential scan
+    * into window algebra.
+    */
+  private def q142LongestStreak(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 24L * 3600 * 1000000000L
+    val days = Tables(s, d, "events")
+      .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q142Sql = {
+    val dayNs = 24L * 3600 * 1000000000L
+    s"""WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // $dayNs AS day
+            FROM events),
+       runs AS (SELECT user_id,
+                  day - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS grp
+                FROM days),
+       lens AS (SELECT user_id, grp, count(*) AS len
+                FROM runs GROUP BY user_id, grp)
+       SELECT user_id, max(len) AS longest_streak,
+              CAST(sum(len) AS BIGINT) AS n_active_days
+       FROM lens GROUP BY user_id ORDER BY user_id"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -846,7 +977,10 @@ object Profiling extends QueryPack {
     "q136_table_profile" -> q136TableProfile,
     "q137_skyline_parts" -> q137SkylineParts,
     "q138_dataset_card" -> q138DatasetCard,
-    "q139_snapshot_diff" -> q139SnapshotDiff)
+    "q139_snapshot_diff" -> q139SnapshotDiff,
+    "q140_bloom_join" -> q140BloomJoin,
+    "q141_fuzzy_names" -> q141FuzzyNames,
+    "q142_longest_streak" -> q142LongestStreak)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -863,5 +997,8 @@ object Profiling extends QueryPack {
     "q136_table_profile" -> q136Sql,
     "q137_skyline_parts" -> q137Sql,
     "q138_dataset_card" -> q138Sql,
-    "q139_snapshot_diff" -> q139Sql)
+    "q139_snapshot_diff" -> q139Sql,
+    "q140_bloom_join" -> q140Sql,
+    "q141_fuzzy_names" -> q141Sql,
+    "q142_longest_streak" -> q142Sql)
 }

@@ -233,4 +233,23 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(Events.all("q130_cohort_retention")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q140 bloom probe is a scan-side filter feeding a broadcast join") {
+    val p = planOf(Profiling.all("q140_bloom_join")(spark, sf))
+    // the only join is the real broadcast one; the bloom test is a
+    // Filter below the fact scan, never a shuffle/merge join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom prefilter must not introduce a second join:\n${p.take(3000)}")
+    assert(p.contains("Filter"), p.take(3000))
+  }
+
+  test("q142 streak windows stay partitioned by user (no global window)") {
+    val p = planOf(Profiling.all("q142_longest_streak")(spark, sf))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("SinglePartition, Window") &&
+      !p.contains("Exchange SinglePartition\n   +- Window"),
+      s"streak window must not single-partition:\n${p.take(3000)}")
+  }
 }
