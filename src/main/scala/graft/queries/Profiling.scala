@@ -959,6 +959,89 @@ object Profiling extends QueryPack {
        FROM lens GROUP BY user_id ORDER BY user_id"""
   }
 
+  // ---------------------------------------------------------------- q143
+
+  /** q143: association rules over order baskets (Agrawal & Srikant
+    * 1994, the canonical frequent-itemset workload): for every part
+    * pair co-ordered in ≥ minsup baskets, both directed rules with
+    * integer-exact support, confidence `sup(a,b)/sup(a)` and lift
+    * `sup(a,b)·N/(sup(a)·sup(b))` in e6/e3 fixed point. The Apriori
+    * structure IS the plan: item supports (one grouped count) prune to
+    * frequent items BEFORE the pair join (anti-monotonicity — an
+    * infrequent item can't be in a frequent pair), the basket self-join
+    * is an equi-join on orderkey with small per-basket fan-out, and the
+    * support table broadcasts. No candidate explosion, no driver loops.
+    */
+  private def q143AssociationRules(s: SparkSession, d: String): DataFrame = {
+    val minsup = 3L
+    val baskets = Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .cache() // feeds supports AND both sides of the pair join
+    baskets.count()
+    val nBaskets = baskets.select(col("l_orderkey")).distinct().count()
+    val itemSup = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minsup) // Apriori prune
+    val frequent = baskets.join(broadcast(itemSup.select(col("l_partkey"))),
+      Seq("l_partkey"))
+    val pairSup = frequent.as("a")
+      .join(frequent.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minsup)
+    val supA = itemSup.withColumnRenamed("l_partkey", "p1")
+      .withColumnRenamed("sup", "sup_1")
+    val supB = itemSup.withColumnRenamed("l_partkey", "p2")
+      .withColumnRenamed("sup", "sup_2")
+    val scored = pairSup
+      .join(broadcast(supA), Seq("p1")).join(broadcast(supB), Seq("p2"))
+    // both rule directions from the one symmetric pair table
+    val ab = scored.select(col("p1").as("antecedent"),
+      col("p2").as("consequent"), col("sup_ab"),
+      col("sup_1").as("sup_ante"), col("sup_2").as("sup_cons"))
+    val ba = scored.select(col("p2").as("antecedent"),
+      col("p1").as("consequent"), col("sup_ab"),
+      col("sup_2").as("sup_ante"), col("sup_1").as("sup_cons"))
+    ab.unionByName(ba)
+      .withColumn("confidence_e6",
+        expr("(sup_ab * 1000000) div sup_ante"))
+      .withColumn("lift_e3",
+        expr(s"(sup_ab * $nBaskets * 1000) div (sup_ante * sup_cons)"))
+      .filter(col("confidence_e6") >= 500000L)
+      .orderBy(col("confidence_e6").desc, col("lift_e3").desc,
+        col("antecedent"), col("consequent"))
+  }
+
+  private val q143Sql =
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+       sup AS (SELECT l_partkey, count(*) AS sup FROM baskets
+               GROUP BY l_partkey HAVING count(*) >= 3),
+       freq AS (SELECT b.* FROM baskets b JOIN sup USING (l_partkey)),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS sup_ab
+         FROM freq a JOIN freq b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 3),
+       rules AS (
+         SELECT p1 AS antecedent, p2 AS consequent, sup_ab,
+                sa.sup AS sup_ante, sb.sup AS sup_cons
+         FROM pairs JOIN sup sa ON pairs.p1 = sa.l_partkey
+                    JOIN sup sb ON pairs.p2 = sb.l_partkey
+         UNION ALL
+         SELECT p2, p1, sup_ab, sb.sup, sa.sup
+         FROM pairs JOIN sup sa ON pairs.p1 = sa.l_partkey
+                    JOIN sup sb ON pairs.p2 = sb.l_partkey)
+       SELECT antecedent, consequent, sup_ab, sup_ante, sup_cons,
+              (sup_ab * 1000000) // sup_ante AS confidence_e6,
+              (sup_ab * (SELECT n_baskets FROM n) * 1000)
+                // (sup_ante * sup_cons) AS lift_e3
+       FROM rules
+       WHERE (sup_ab * 1000000) // sup_ante >= 500000
+       ORDER BY confidence_e6 DESC, lift_e3 DESC, antecedent, consequent"""
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -980,7 +1063,8 @@ object Profiling extends QueryPack {
     "q139_snapshot_diff" -> q139SnapshotDiff,
     "q140_bloom_join" -> q140BloomJoin,
     "q141_fuzzy_names" -> q141FuzzyNames,
-    "q142_longest_streak" -> q142LongestStreak)
+    "q142_longest_streak" -> q142LongestStreak,
+    "q143_association_rules" -> q143AssociationRules)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -1000,5 +1084,6 @@ object Profiling extends QueryPack {
     "q139_snapshot_diff" -> q139Sql,
     "q140_bloom_join" -> q140Sql,
     "q141_fuzzy_names" -> q141Sql,
-    "q142_longest_streak" -> q142Sql)
+    "q142_longest_streak" -> q142Sql,
+    "q143_association_rules" -> q143Sql)
 }
