@@ -978,7 +978,10 @@ object Profiling extends QueryPack {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .cache() // feeds supports AND both sides of the pair join
     baskets.count()
-    val nBaskets = baskets.select(col("l_orderkey")).distinct().count()
+    // basket total rides the plan as a broadcast scalar — no separate
+    // driver action serializing a job before the join
+    val nBaskets = baskets
+      .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
     val itemSup = baskets.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minsup) // Apriori prune
@@ -997,7 +1000,8 @@ object Profiling extends QueryPack {
       .withColumnRenamed("sup", "sup_2")
     val scored = pairSup
       .join(broadcast(supA), Seq("p1")).join(broadcast(supB), Seq("p2"))
-    // both rule directions from the one symmetric pair table
+      .cache() // both rule directions read it — without the pin the
+    scored.count() // union re-runs the basket self-join per branch
     val ab = scored.select(col("p1").as("antecedent"),
       col("p2").as("consequent"), col("sup_ab"),
       col("sup_1").as("sup_ante"), col("sup_2").as("sup_cons"))
@@ -1005,11 +1009,15 @@ object Profiling extends QueryPack {
       col("p1").as("consequent"), col("sup_ab"),
       col("sup_2").as("sup_ante"), col("sup_1").as("sup_cons"))
     ab.unionByName(ba)
+      .crossJoin(broadcast(nBaskets))
       .withColumn("confidence_e6",
         expr("(sup_ab * 1000000) div sup_ante"))
       .withColumn("lift_e3",
-        expr(s"(sup_ab * $nBaskets * 1000) div (sup_ante * sup_cons)"))
+        expr("(sup_ab * n_baskets * 1000) div (sup_ante * sup_cons)"))
       .filter(col("confidence_e6") >= 500000L)
+      .select(col("antecedent"), col("consequent"), col("sup_ab"),
+        col("sup_ante"), col("sup_cons"), col("confidence_e6"),
+        col("lift_e3"))
       .orderBy(col("confidence_e6").desc, col("lift_e3").desc,
         col("antecedent"), col("consequent"))
   }
