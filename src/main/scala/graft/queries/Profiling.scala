@@ -1050,6 +1050,58 @@ object Profiling extends QueryPack {
        WHERE (sup_ab * 1000000) // sup_ante >= 500000
        ORDER BY confidence_e6 DESC, lift_e3 DESC, antecedent, consequent"""
 
+  // ---------------------------------------------------------------- q144
+
+  /** q144: qualitative sample sheet — the human-audit deliverable every
+    * corpus release pairs with its q138 dataset card: two documents per
+    * (language × quality band), chosen by DETERMINISTIC hash rank so
+    * reviewers on different days (or engines) see the same examples,
+    * with a fixed-width snippet. Quality bands cut the SAME
+    * `TextOps.qualityScore` the q23 audit and q79 curation use. One
+    * per-row projection + one per-band WindowGroupLimit — at 100 TB the
+    * sheet costs one scan, and the hash rank means adding documents
+    * never reshuffles previously sampled examples (q97's stability
+    * property).
+    */
+  private def q144SampleSheet(s: SparkSession, d: String): DataFrame = {
+    val sc = TextOps.qualityScore(col("toks"))
+    val band = when(col("quality") >= 0.41, "high")
+      .when(col("quality") >= 0.35, "mid").otherwise("low")
+    val w = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(col("rank_hash").asc, col("doc_id").asc)
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), sc.as("quality"))
+      .withColumn("band", band)
+      .withColumn("rank_hash",
+        TextOps.tokenHash(concat(lit("sheet:"), col("doc_id"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select(col("lang"), col("band"), col("rk"), col("doc_id"),
+        col("quality"), substring(col("text"), 1, 60).as("snippet"))
+      .orderBy(col("lang"), col("band"), col("rk"))
+  }
+
+  private val q144Sql = {
+    val sc = TextOps.qualityScoreSql("toks")
+    val hash = TextOps.tokenHashSql("('sheet:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH base AS (SELECT doc_id, lang, text, $toksSql AS toks
+            FROM documents),
+       scored AS (SELECT doc_id, lang, text, $sc AS quality FROM base),
+       banded AS (SELECT *, CASE WHEN quality >= 0.41 THEN 'high'
+                                 WHEN quality >= 0.35 THEN 'mid'
+                                 ELSE 'low' END AS band,
+                         $hash AS rank_hash
+                  FROM scored),
+       r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY lang, band
+                ORDER BY rank_hash ASC, doc_id ASC) AS BIGINT) AS rk
+             FROM banded)
+       SELECT lang, band, rk, doc_id, quality,
+              substr(text, 1, 60) AS snippet
+       FROM r WHERE rk <= 2 ORDER BY lang, band, rk"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1072,7 +1124,8 @@ object Profiling extends QueryPack {
     "q140_bloom_join" -> q140BloomJoin,
     "q141_fuzzy_names" -> q141FuzzyNames,
     "q142_longest_streak" -> q142LongestStreak,
-    "q143_association_rules" -> q143AssociationRules)
+    "q143_association_rules" -> q143AssociationRules,
+    "q144_sample_sheet" -> q144SampleSheet)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -1093,5 +1146,6 @@ object Profiling extends QueryPack {
     "q140_bloom_join" -> q140Sql,
     "q141_fuzzy_names" -> q141Sql,
     "q142_longest_streak" -> q142Sql,
-    "q143_association_rules" -> q143Sql)
+    "q143_association_rules" -> q143Sql,
+    "q144_sample_sheet" -> q144Sql)
 }

@@ -263,4 +263,21 @@ object Sources {
     */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Fixed-width source — mainframe/export layouts where each field
+    * lives at a declared 1-based (start, length) offset. One text scan +
+    * per-row substring projection (codegen'd, shuffle-free); short rows
+    * yield empty-string fields rather than errors, matching the
+    * [[DirtyRows]] philosophy of never failing the scan on a bad row.
+    */
+  def readFixedWidth(
+      spark: SparkSession,
+      path: String,
+      fields: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring, trim}
+    spark.read.text(path)
+      .select(fields.map { case (name, start, len) =>
+        trim(substring(col("value"), start, len)).as(name)
+      }: _*)
+  }
 }

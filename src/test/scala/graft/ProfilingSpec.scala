@@ -65,6 +65,22 @@ class ProfilingSpec extends AnyFunSuite {
     assert(kept < total, "every document passes the bundle: thresholds vacuous")
   }
 
+  test("fixed-width source parses declared offsets; short rows yield empty fields") {
+    val dir = Files.createTempDirectory("graft-fw")
+    Files.writeString(dir.resolve("ledger.txt"),
+      "0001ALICE     00420\n0002BOB       00017\n0003X\n")
+    val df = Sources.readFixedWidth(spark, dir.toString + "/ledger.txt",
+      Seq(("id", 1, 4), ("name", 5, 10), ("amount", 15, 5)))
+    assert(df.count() === 3)
+    val r = df.filter(col("id") === "0002").head()
+    assert(r.getAs[String]("name") === "BOB")
+    assert(r.getAs[String]("amount") === "00017")
+    val short = df.filter(col("id") === "0003").head()
+    assert(short.getAs[String]("name") === "X" ||
+      short.getAs[String]("name") === "")
+    assert(short.getAs[String]("amount") === "")
+  }
+
   test("ORC: sorted round trip preserves rows and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/t"
     val src = spark.read.parquet(s"$sf/orders.parquet")
