@@ -1102,6 +1102,106 @@ object Profiling extends QueryPack {
        FROM r WHERE rk <= 2 ORDER BY lang, band, rk"""
   }
 
+  // ---------------------------------------------------------------- q145
+
+  /** q145: rolling 7-day active users and DAU/WAU stickiness — the
+    * engagement ratio product teams track daily. A COUNT(DISTINCT) over
+    * a sliding time frame has no efficient window form; the distributed
+    * shape is CONTRIBUTION EXPLODE: each (user, active-day) row posts
+    * itself to the 7 window-end days it participates in, then one
+    * grouped distinct count per day — 7× row inflation instead of a
+    * per-day rescan, linear at any scale and partitioned by day. Days
+    * with no 7-day history (the first 6) report their partial window,
+    * exactly as the mirrored SQL does.
+    */
+  private def q145RollingActive(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 24L * 3600 * 1000000000L
+    val days = Tables(s, d, "events")
+      .select(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
+      .distinct()
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    val dau = days.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6L)).as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_e6"))
+      .orderBy(col("day"))
+  }
+
+  private val q145Sql = {
+    val dayNs = 24L * 3600 * 1000000000L
+    s"""WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // $dayNs AS day
+            FROM events),
+       mx AS (SELECT max(day) AS max_day FROM days),
+       dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days
+               GROUP BY day),
+       contrib AS (SELECT user_id, day + o AS wday
+                   FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+       wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+               FROM contrib CROSS JOIN mx WHERE wday <= max_day
+               GROUP BY wday)
+       SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+              (dau * 1000000) // wau AS stickiness_e6
+       FROM dau JOIN wau USING (day) ORDER BY day"""
+  }
+
+  // ---------------------------------------------------------------- q146
+
+  /** q146: exact Pearson correlation per group — `corr()` built-ins
+    * sum doubles in partition order and drift run-to-run; here the five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums of 2-dp
+    * fixed-point lifts ([[Exact]]'s contract extended to the
+    * cross-moment), combined into the correlation in ONE fixed
+    * expression order — bit-identical across engines, runs, and AQE
+    * re-plans. One map-side-combined aggregate; the moments are the
+    * mergeable form, so at 100 TB this is also the incremental-update
+    * shape (keep 5 longs per group, merge batches associatively).
+    */
+  private def q146ExactCorr(s: SparkSession, d: String): DataFrame = {
+    val x = Exact.fixed(col("l_quantity"), 2)
+    // price at scale 0 (whole units): Σy² must stay < 2^63 — cents
+    // would put Σ(1e7)² ≈ 6e19 past Long at sf0.1 row counts. Rounding
+    // is a DEFINED lift (identical both engines), so exactness holds
+    // for the rounded variable; Exact's Scaladoc overflow budget
+    // governs the scale choice at bigger row counts.
+    val y = Exact.fixed(col("l_extendedprice"), 0)
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+            6)""").as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q146Sql = {
+    val x = Exact.fixedSql("l_quantity", 2)
+    val y = Exact.fixedSql("l_extendedprice", 0)
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         CAST(sum($x) AS BIGINT) AS sx, CAST(sum($y) AS BIGINT) AS sy,
+         CAST(sum(($x) * ($y)) AS BIGINT) AS sxy,
+         CAST(sum(($x) * ($x)) AS BIGINT) AS sxx,
+         CAST(sum(($y) * ($y)) AS BIGINT) AS syy
+       FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+           6) AS corr_qty_price
+       FROM m ORDER BY l_returnflag"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1125,7 +1225,9 @@ object Profiling extends QueryPack {
     "q141_fuzzy_names" -> q141FuzzyNames,
     "q142_longest_streak" -> q142LongestStreak,
     "q143_association_rules" -> q143AssociationRules,
-    "q144_sample_sheet" -> q144SampleSheet)
+    "q144_sample_sheet" -> q144SampleSheet,
+    "q145_rolling_active" -> q145RollingActive,
+    "q146_exact_corr" -> q146ExactCorr)
 
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
@@ -1147,5 +1249,7 @@ object Profiling extends QueryPack {
     "q141_fuzzy_names" -> q141Sql,
     "q142_longest_streak" -> q142Sql,
     "q143_association_rules" -> q143Sql,
-    "q144_sample_sheet" -> q144Sql)
+    "q144_sample_sheet" -> q144Sql,
+    "q145_rolling_active" -> q145Sql,
+    "q146_exact_corr" -> q146Sql)
 }
