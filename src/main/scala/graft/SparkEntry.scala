@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, TextAnalytics, Dedup, Similarity, Events, Multimodal,
-      Corpus, Profiling, graft.ml.MlPacks)
+      Corpus, Profiling, Analytics, graft.ml.MlPacks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -223,7 +223,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q137 skyline prunes in a partitioned window before the global one") {
-    val p = planOf(Profiling.all("q137_skyline_parts")(spark, sf))
+    val p = planOf(Analytics.all("q137_skyline_parts")(spark, sf))
     // phase 1 must keep a hash-partitioned window (parallel local
     // prune); only the survivor pass may single-partition
     assert(p.contains("hashpartitioning(bucket"), p.take(3000))
@@ -235,7 +235,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q140 bloom probe is a scan-side filter feeding a broadcast join") {
-    val p = planOf(Profiling.all("q140_bloom_join")(spark, sf))
+    val p = planOf(Analytics.all("q140_bloom_join")(spark, sf))
     // the only join is the real broadcast one; the bloom test is a
     // Filter below the fact scan, never a shuffle/merge join
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
@@ -246,7 +246,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q142 streak windows stay partitioned by user (no global window)") {
-    val p = planOf(Profiling.all("q142_longest_streak")(spark, sf))
+    val p = planOf(Analytics.all("q142_longest_streak")(spark, sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))
     assert(!p.contains("SinglePartition, Window") &&
       !p.contains("Exchange SinglePartition\n   +- Window"),

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.core.GraftSession
-import graft.queries.Profiling
+import graft.queries.{Analytics, Profiling}
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -30,7 +30,7 @@ class ProfilingSpec extends AnyFunSuite {
   }
 
   test("q125: z-order files bound BOTH dims; x-sort leaves y unbounded") {
-    val layout = Profiling.all("q125_zorder_layout")(spark, sf)
+    val layout = Analytics.all("q125_zorder_layout")(spark, sf)
       .withColumn("x_span", col("x_hi") - col("x_lo") + 1L)
       .withColumn("y_span", col("y_hi") - col("y_lo") + 1L)
       .cache()
