@@ -652,6 +652,54 @@ object Analytics extends QueryPack {
        FROM m ORDER BY l_returnflag"""
   }
 
+  // ---------------------------------------------------------------- q147
+
+  /** q147: exact OLS regression line per group — slope/intercept of
+    * price on quantity from the SAME five mergeable integer moments as
+    * q146 (`β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`, `α = (Σy − βΣx)/n`),
+    * the closed-form twin of an MLlib LinearRegression fit for the
+    * single-feature case: one aggregate pass, no iterations, no
+    * driver-side solver, bit-deterministic. At 100 TB the moments
+    * partial-aggregate map-side and merge associatively — the identical
+    * plan shape as any grouped sum.
+    */
+  private def q147ExactOls(s: SparkSession, d: String): DataFrame = {
+    val x = Exact.fixed(col("l_quantity"), 2)
+    val y = Exact.fixed(col("l_extendedprice"), 0)
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)""")
+          .as("beta"),
+        expr("""round((CAST(sy AS DOUBLE)
+             - round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               * sx) / n, 6)""").as("alpha"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q147Sql = {
+    val x = Exact.fixedSql("l_quantity", 2)
+    val y = Exact.fixedSql("l_extendedprice", 0)
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         CAST(sum($x) AS BIGINT) AS sx, CAST(sum($y) AS BIGINT) AS sy,
+         CAST(sum(($x) * ($y)) AS BIGINT) AS sxy,
+         CAST(sum(($x) * ($x)) AS BIGINT) AS sxx
+       FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS beta,
+         round((CAST(sy AS DOUBLE)
+             - round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               * sx) / n, 6) AS alpha
+       FROM m ORDER BY l_returnflag"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -666,7 +714,8 @@ object Analytics extends QueryPack {
     "q142_longest_streak" -> q142LongestStreak,
     "q143_association_rules" -> q143AssociationRules,
     "q145_rolling_active" -> q145RollingActive,
-    "q146_exact_corr" -> q146ExactCorr)
+    "q146_exact_corr" -> q146ExactCorr,
+    "q147_exact_ols" -> q147ExactOls)
 
   def oracle: Map[String, String] = Map(
     "q124_winsorized_stats" -> q124Sql,
@@ -680,5 +729,6 @@ object Analytics extends QueryPack {
     "q142_longest_streak" -> q142Sql,
     "q143_association_rules" -> q143Sql,
     "q145_rolling_active" -> q145Sql,
-    "q146_exact_corr" -> q146Sql)
+    "q146_exact_corr" -> q146Sql,
+    "q147_exact_ols" -> q147Sql)
 }
