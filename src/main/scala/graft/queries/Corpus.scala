@@ -510,7 +510,40 @@ object Corpus extends QueryPack {
        FROM sh ORDER BY shard, pos"""
   }
 
+  /** q151: per-source dynamic quality threshold — keep each source's
+    * top 30% by quality score instead of one global cut (a global
+    * threshold silently empties strict-format sources and passes
+    * everything from verbose ones). `percent_rank` is exact integer
+    * arithmetic over the rank, deterministic given the total (score
+    * DESC, doc_id) tie-break; per-source windows distribute — no global
+    * sort, and at 100 TB each source's partition sorts independently.
+    */
+  private def q151QualityPercentileCut(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityScore(toks).as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    scored
+      .withColumn("pr", percent_rank().over(w))
+      .where(col("pr") <= 0.3)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val q151Sql = {
+    val q = TextOps.qualityScoreSql(toksSql)
+    s"""WITH scored AS (SELECT source, doc_id, $q AS q FROM documents),
+       ranked AS (SELECT source, doc_id, q,
+              percent_rank() OVER (PARTITION BY source
+                                   ORDER BY q DESC, doc_id) AS pr
+            FROM scored)
+       SELECT source, doc_id, q, pr FROM ranked
+       WHERE pr <= 0.3 ORDER BY source, doc_id"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_quality_percentile_cut" -> q151QualityPercentileCut,
     "q96_line_dedup" -> q96LineDedup,
     "q97_source_caps" -> q97SourceCaps,
     "q98_mixture_epochs" -> q98MixtureEpochs,
@@ -524,6 +557,7 @@ object Corpus extends QueryPack {
     "q121_retrieval_eval" -> q121RetrievalEval)
 
   override val oracle: Map[String, String] = Map(
+    "q151_quality_percentile_cut" -> q151Sql,
     "q96_line_dedup" -> q96Sql,
     "q97_source_caps" -> q97Sql,
     "q98_mixture_epochs" -> q98Sql,

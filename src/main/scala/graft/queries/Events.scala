@@ -453,6 +453,118 @@ object Events extends QueryPack {
        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
   }
 
+  /** q148: first-order Markov transition matrix over event types — the
+    * per-user lag pairs (same window key as q41's sessionization, one
+    * user-keyed shuffle over the fact), then transition counts and
+    * row-normalized probabilities. The matrix itself is |types|² rows,
+    * so the normalizing window runs over a trivially small relation; at
+    * 100 TB the only heavy stage is the per-user window, which
+    * range-partitions cleanly on (user, time).
+    */
+  private def q148MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  private val q148Sql =
+    """WITH seq AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events)
+       SELECT prev_type, event_type AS next_type,
+              COUNT(*) AS n,
+              CAST(COUNT(*) AS DOUBLE) /
+                CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+                AS p
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type
+       ORDER BY prev_type, next_type"""
+
+  /** q149: gap-filled daily resample — per-user daily counts with
+    * explicit zero rows for missing days (`sequence` explode over each
+    * user's [min_day, max_day] span, left join back onto the observed
+    * days). The fan-out is bounded by the calendar span, not the data
+    * volume; the daily relation (users × active days) is cached and
+    * materialized before feeding both the span aggregate and the join
+    * probe (design rule: a relation read from two concurrent stages
+    * must be pinned or both recompute it).
+    */
+  private def q149GapFillDaily(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 24L * HOUR_NS
+    val daily = ev(s, d)
+      .groupBy(col("user_id"), expr(s"ts DIV $dayNs").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 6).as("sum_value"))
+      .cache()
+    daily.count()
+    daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q149Sql = {
+    val dayNs = 24L * 3600L * 1000000000L
+    s"""WITH daily AS (SELECT user_id, epoch_ns(ts) // $dayNs AS day,
+             COUNT(*) AS n_events,
+             ${Exact.sumFixedSql("value", 6)} AS sum_value
+           FROM events GROUP BY 1, 2),
+       spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM daily GROUP BY user_id),
+       days AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+                FROM spans)
+       SELECT days.user_id, days.day,
+              COALESCE(n_events, 0) AS n_events,
+              COALESCE(sum_value, 0.0) AS sum_value
+       FROM days LEFT JOIN daily USING (user_id, day)
+       ORDER BY user_id, day"""
+  }
+
+  /** q150: z-score anomaly flags — per-event-type mean/σ from
+    * [[Exact]] integer moments (order-independent, so the broadcast
+    * stats and therefore the flagged set are bit-identical across
+    * partitionings and engines), broadcast back onto the fact (|types|
+    * rows), flag events beyond 2.5σ. One map-side-combined aggregate +
+    * one broadcast join — no per-row window, nothing quadratic.
+    */
+  private def q150ZscoreAnomalies(s: SparkSession, d: String): DataFrame = {
+    val stats = ev(s, d).groupBy(col("event_type"))
+      .agg(Exact.avgFixed(col("value"), 2).as("mean_value"),
+        Exact.stddevPopFixed(col("value"), 2).as("std_value"))
+    ev(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .where(abs(col("value") - col("mean_value")) >
+        lit(2.5) * col("std_value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean_value")) / col("std_value")).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q150Sql =
+    s"""WITH stats AS (SELECT event_type,
+             ${Exact.avgFixedSql("value", 2)} AS mean_value,
+             ${Exact.stddevPopFixedSql("value", 2)} AS std_value
+           FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, e.value,
+              (e.value - s.mean_value) / s.std_value AS z
+       FROM events e JOIN stats s USING (event_type)
+       WHERE ABS(e.value - s.mean_value) > 2.5 * s.std_value
+       ORDER BY event_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -467,7 +579,10 @@ object Events extends QueryPack {
     "q47_value_quartiles" -> q47ValueQuartiles,
     "q48_hll_users" -> q48HllUsers,
     "q62_asof_view_purchase" -> q62AsofViewPurchase,
-    "q80_rank_distributions" -> q80RankDistributions)
+    "q80_rank_distributions" -> q80RankDistributions,
+    "q148_markov_transitions" -> q148MarkovTransitions,
+    "q149_gap_fill_daily" -> q149GapFillDaily,
+    "q150_zscore_anomalies" -> q150ZscoreAnomalies)
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
@@ -482,5 +597,8 @@ object Events extends QueryPack {
     "q45_moving_avg" -> q45Sql,
     "q46_gap_stats" -> q46Sql,
     "q47_value_quartiles" -> q47Sql,
-    "q62_asof_view_purchase" -> q62Sql)
+    "q62_asof_view_purchase" -> q62Sql,
+    "q148_markov_transitions" -> q148Sql,
+    "q149_gap_fill_daily" -> q149Sql,
+    "q150_zscore_anomalies" -> q150Sql)
 }
