@@ -232,6 +232,67 @@ object CurationOps {
     * default as [[verifiedPairs]], so the audit measures the deployed
     * configuration.
     */
+  /** EXACT threshold similarity join via prefix filtering (the
+    * AllPairs/PPJoin family) — the scalable exact alternative to both
+    * [[exactJaccardPairs]] (O(n²), audit subsets only) and
+    * [[verifiedPairs]] (LSH, probabilistic recall). Guarantee: returns
+    * EVERY pair with distinct-shingle Jaccard ≥ num/den, because two
+    * sets with J ≥ t must collide on their length-(n − ⌈t·n⌉ + 1)
+    * prefixes under ANY shared total token order. We order tokens
+    * rarest-first (doc-frequency, then hash), so prefix tokens are the
+    * most selective and candidate buckets stay small.
+    *
+    * The threshold is a rational num/den so the prefix length is EXACT
+    * integer arithmetic (⌈num·n/den⌉ via (num·n + den − 1) DIV den) —
+    * an FP ceil that rounded up would silently drop true pairs.
+    *
+    * Scale shape: one doc-frequency aggregate, one uniform-key join to
+    * attach frequencies, one per-doc sort (array_sort over each row's
+    * own tokens, not a global sort), a prefix-token equi-join whose key
+    * distribution is *rarest tokens only*, and an exact verify on the
+    * deduplicated candidates. Nothing quadratic outside candidate
+    * buckets; every relation feeding two join sides is materialized.
+    */
+  def exactPrefixJoin(docs: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5, textCol: String = "text"): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      s"threshold must be in (0,1]: $thresholdNum/$thresholdDen")
+    val sets = materialize(
+      shingleHashed(docs, textCol)
+        .select(col("doc_id"), array_distinct(col("hs")).as("hset")))
+    val tok = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    // hset is distinct per doc, so count(*) == doc frequency
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = tok
+      .join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+        .as("ord"))
+    val plen = expr(
+      s"size(ord) - ($thresholdNum * size(ord) + ${thresholdDen - 1})" +
+        s" DIV $thresholdDen + 1")
+    val pre = materialize(
+      ordered
+        .select(col("doc_id"), explode(slice(col("ord"), lit(1), plen)).as("p"))
+        .select(col("doc_id"), col("p.h").as("h")))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sets.as("x"), col("d1") === col("x.doc_id"))
+      .join(sets.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("x.hset"), col("y.hset"))).cast("long")
+          .as("n_shared"),
+        size(col("x.hset")).cast("long").as("n1"),
+        size(col("y.hset")).cast("long").as("n2"))
+      .withColumn("jaccard",
+        col("n_shared") / (col("n1") + col("n2") - col("n_shared")))
+      .where(col("jaccard") >= lit(thresholdNum.toDouble / thresholdDen))
+  }
+
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
     // cache the full shingleHashed base (not a projection of it): the

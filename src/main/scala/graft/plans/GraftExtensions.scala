@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_simhash takes exactly 1 argument")
         SimHashExpr(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalizeExpr(children.head)
+      }))
     ext.injectCheckRule(_ => CartesianGuard)
   }
 }

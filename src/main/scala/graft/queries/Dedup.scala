@@ -921,7 +921,75 @@ object Dedup extends QueryPack {
        FROM labels l JOIN qv q ON q.doc_id = l.doc_id"""
   }
 
+  /** q152: containment (quote/excerpt) detection — the asymmetric
+    * cousin of q31's Jaccard: c1 = |A∩B|/|A| flags documents largely
+    * CONTAINED in another even when symmetric Jaccard is low (a short
+    * quote inside a long article never crosses a Jaccard threshold).
+    * Same LSH-candidate machinery, so cost stays candidate-driven;
+    * `n_shared >= 1` guards the 0-denominator empty-shingle pairs on
+    * both engines. NOTE the recall caveat inherited from MinHash LSH:
+    * banding is tuned for symmetric similarity, so low-Jaccard/high-
+    * containment pairs are found only when band collisions happen
+    * anyway — [[graft.ops.CurationOps.duplicatedSpans]] is the exact
+    * (k-gram) path when full quote recall is required.
+    */
+  private def q152Containment(s: SparkSession, d: String): DataFrame =
+    CurationOps.candidateJaccard(docs(s, d))
+      .where(col("n_shared") >= 1)
+      .withColumn("c1", col("n_shared") / col("n1"))
+      .withColumn("c2", col("n_shared") / col("n2"))
+      .where(greatest(col("c1"), col("c2")) >= 0.9)
+      .select(col("d1"), col("d2"), col("n_shared"), col("n1"), col("n2"),
+        col("c1"), col("c2"))
+      .orderBy(col("d1"), col("d2"))
+
+  private val q152Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte
+       SELECT d1, d2, n_shared, n1, n2,
+              n_shared / n1 AS c1, n_shared / n2 AS c2
+       FROM withsets
+       WHERE n_shared >= 1
+         AND greatest(n_shared / n1, n_shared / n2) >= 0.9
+       ORDER BY d1, d2"""
+
+  /** q153: EXACT threshold similarity join at scale —
+    * [[CurationOps.exactPrefixJoin]] (AllPairs/PPJoin-family prefix
+    * filtering over a rarest-first global token order). The oracle is
+    * the brute-force definition: every pair sharing ≥1 distinct
+    * shingle, exact distinct-set Jaccard, threshold 0.8 — so the
+    * hash-equality check IS the no-false-negative proof of the prefix
+    * filter on this corpus. Complements q31 (LSH + verify,
+    * probabilistic recall) with a deterministic-recall path whose cost
+    * is still candidate-driven, not all-pairs.
+    */
+  private def q153PrefixJoin(s: SparkSession, d: String): DataFrame =
+    CurationOps.exactPrefixJoin(docs(s, d))
+      .orderBy(col("d1"), col("d2"))
+
+  private val q153Sql =
+    s"""WITH $hashedCte,
+       sets AS (SELECT doc_id, list_distinct(hs) AS hset FROM hsrc),
+       tok AS (SELECT doc_id, unnest(hset) AS h FROM sets),
+       cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                FROM tok a JOIN tok b
+                  ON a.h = b.h AND a.doc_id < b.doc_id),
+       v AS (SELECT d1, d2,
+               CAST(len(list_intersect(x.hset, y.hset)) AS BIGINT)
+                 AS n_shared,
+               CAST(len(x.hset) AS BIGINT) AS n1,
+               CAST(len(y.hset) AS BIGINT) AS n2
+             FROM cand
+             JOIN sets x ON x.doc_id = d1
+             JOIN sets y ON y.doc_id = d2)
+       SELECT d1, d2, n_shared, n1, n2,
+              n_shared / (n1 + n2 - n_shared) AS jaccard
+       FROM v
+       WHERE n_shared / (n1 + n2 - n_shared) >= 0.8
+       ORDER BY d1, d2"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_containment" -> q152Containment,
+    "q153_prefix_join" -> q153PrefixJoin,
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
     "q29_simhash" -> q29Simhash,
@@ -952,6 +1020,8 @@ object Dedup extends QueryPack {
     "q29_simhash" -> q29Sql,
     "q30_simhash_pairs" -> q30Sql,
     "q31_ngram_jaccard" -> q31Sql,
+    "q152_containment" -> q152Sql,
+    "q153_prefix_join" -> q153Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q76_dedup_survivors" -> q76Sql,
     "q77_contamination" -> q77Sql,

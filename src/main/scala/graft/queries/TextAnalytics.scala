@@ -630,7 +630,45 @@ object TextAnalytics extends QueryPack {
        SELECT * FROM (PIVOT t ON lang USING count(*) GROUP BY source_lang)
        ORDER BY source_lang"""
 
+  /** q154: Unicode canonicalization at ingest — the step that makes
+    * every downstream content hash (exact dedup q26, MinHash q27,
+    * fingerprints q25) byte-canonical. The corpus is synthetic ASCII,
+    * so the query first DECOMPOSES it (every `e` → `e` + U+0301
+    * combining acute — the crawl-reality mixed encoding), then runs the
+    * native [[graft.plans.NfcNormalizeExpr]] (`graft_nfc`); NFC must
+    * recompose to precomposed `é`, so n_nfc == n_raw while the
+    * decomposed length is larger, and the md5 of the normalized text is
+    * hash-checked against DuckDB's `nfc_normalize`. Per-row, shuffle-
+    * free, fused with the scan.
+    */
+  private def q154NfcNormalize(s: SparkSession, d: String): DataFrame = {
+    val dec = regexp_replace(col("text"), "e", "e\u0301")
+    docs(s, d)
+      .select(col("doc_id"), col("text"), dec.as("dec"))
+      .select(col("doc_id"), col("text"), col("dec"),
+        expr("graft_nfc(dec)").as("nrm"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(col("dec")).cast("long").as("n_decomposed"),
+        length(col("nrm")).cast("long").as("n_nfc"),
+        md5(col("nrm").cast("binary")).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q154Sql =
+    """WITH d AS (SELECT doc_id, text,
+             regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
+           FROM documents),
+       n AS (SELECT doc_id, text, dec, nfc_normalize(dec) AS nrm FROM d)
+       SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_raw,
+              CAST(length(dec) AS BIGINT) AS n_decomposed,
+              CAST(length(nrm) AS BIGINT) AS n_nfc,
+              md5(nrm) AS nfc_md5
+       FROM n ORDER BY doc_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_nfc_normalize" -> q154NfcNormalize,
     "q57_dynamic_crosstab" -> q57DynamicCrosstab,
     "q74_remove_others" -> q74RemoveOthers,
     "q83_hash_split" -> q83HashSplit,
@@ -663,6 +701,7 @@ object TextAnalytics extends QueryPack {
     "q94_subword_packing" -> q94Sql,
     "q19_word_counts_nostop" -> q19Sql,
     "q20_word_counts" -> q20Sql,
+    "q154_nfc_normalize" -> q154Sql,
     "q21_top_words_per_lang" -> q21Sql,
     "q22_token_stats" -> q22Sql,
     "q23_quality_score" -> q23Sql,

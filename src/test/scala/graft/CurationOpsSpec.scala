@@ -211,6 +211,38 @@ class CurationOpsSpec extends AnyFunSuite {
       s"second purge must remove nothing: $again")
   }
 
+  test("exactPrefixJoin equals brute-force pairs — no false negatives") {
+    // threshold 1/2 on the chained corpus: the prefix filter must
+    // reproduce the brute-force pair set EXACTLY, d1 < d2 normalized
+    val brute = CurationOps.exactJaccardPairs(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = CurationOps.exactPrefixJoin(docsDf,
+        thresholdNum = 1, thresholdDen = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pref === brute,
+      s"prefix-filtered join must be exact: pref=$pref brute=$brute")
+    assert(pref.nonEmpty, "fixture must produce at least one pair")
+    CurationOps.release()
+  }
+
+  test("exactPrefixJoin prefix math is exact at boundary sizes") {
+    val sq = spark
+    import sq.implicits._
+    // identical docs (J = 1.0) at token counts where ceil(t·n) hits an
+    // integer exactly — the case an FP ceil could round up and lose
+    val words = (1 to 15).map(i => s"w$i").mkString(" ")
+    val twins = Seq((1L, words), (2L, words),
+      (3L, (1 to 15).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val out = CurationOps.exactPrefixJoin(twins,
+        thresholdNum = 4, thresholdDen = 5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(out === Set((1L, 2L)),
+      s"exact twins must pair, disjoint doc must not: $out")
+    CurationOps.release()
+  }
+
   test("curate drops non-canonical dups AND low-quality docs, keeps schema") {
     val out = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.1)
     assert(out.columns.toSet === Set("doc_id", "quality"),

@@ -98,6 +98,29 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("graft_nfc matches java.text.Normalizer on adversarial inputs") {
+    val sq = spark
+    import sq.implicits._
+    val cases = Seq(
+      "plain ascii text",
+      "", // empty
+      "e\u0301", // decomposed acute, must compose to U+00E9
+      "\u00e9", // already composed - fast path returns it unchanged
+      "mixed e\u0301 and \u00e9 in one string",
+      "\ud83d\ude00 non-BMP then d\u0307\u0323 reorders to d\u0323\u0307",
+      "A\u0300\u0316 multi-combining")
+    val got = cases.toDF("s")
+      .selectExpr("graft_nfc(s) AS n").as[String].collect()
+    val want = cases.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq === want,
+      "codegen'd NFC must equal the JDK reference on every case")
+    // null-safety via the UnaryExpression null contract
+    val nulls = Seq[Option[String]](None, Some("é")).toDF("s")
+      .selectExpr("graft_nfc(s) AS n").collect().map(_.isNullAt(0))
+    assert(nulls.toSeq === Seq(true, false))
+  }
+
   test("minhashAll equals the K independent minhash expressions") {
     val sq = spark
     import sq.implicits._
