@@ -151,6 +151,67 @@ object GraphOps {
     out
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * of degree < k (and their incident edges) until a fixpoint — the
+    * standard "dense cohesive subgraph" extractor (spam rings in a
+    * link graph, template families in a near-dup graph, power cliques
+    * in an interaction graph) that connected components can't see:
+    * CC merges everything reachable; the k-core keeps only nodes with
+    * k WITNESSES each.
+    *
+    * Same distributed discipline as [[connectedComponents]]: each
+    * round is one degree aggregate + two semi-joins on uniform node
+    * keys, `localCheckpoint` truncates the per-round lineage, and the
+    * loop converges by edge-count equality — valid as set equality
+    * because each round's edge set is a SUBSET of the previous one
+    * (monotone peeling), so no checksum is needed. Loud failure at
+    * `maxIter` rather than silently returning an unpeeled graph.
+    *
+    * @param edges undirected edge list (dupes/reversed/self-loops
+    *              tolerated), integral node ids
+    * @return (node LONG, deg LONG) — k-core members with their degree
+    *         INSIDE the core (≥ k by construction)
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val base = edges.select(
+      col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+    var cur = base
+      .union(base.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = cur.count()
+    var converged = n == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = cur.groupBy(col("u"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u"))
+      val next = cur
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      cur = next
+      n = m
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter iterations — peeling " +
+          "removes >=1 node per non-final round, so raise maxIter for " +
+          "very deep cascade graphs")
+    cur.groupBy(col("u"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
+
   /** Large-star: for each node n, link every strictly-larger neighbor
     * to min(N(n) ∪ {n}). Neighborhoods come from symmetrizing the edge
     * list; the min is a groupBy aggregate joined back on the node id.

@@ -35,6 +35,11 @@ case class MediaFeatures(
     histogram: Array[Double],
     embedding: Array[Float])
 
+/** 64-bit perceptual fingerprint emitted by
+  * [[MultimodalOps.perceptualHashes]].
+  */
+case class MediaHash(doc_id: Long, format: String, phash: Long)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque
   * `binary` columns with typed metadata, decode/feature-extract in
   * partition-sized batches with REAL codecs — `javax.imageio` for
@@ -409,6 +414,128 @@ object MultimodalOps {
   /** RIFF/WAVE parse: validate magics, walk chunks to `fmt `/`data`,
     * histogram the 16-bit amplitudes.
     */
+  /** Cross-format transcode (images only): decode and re-encode in
+    * `format` — the lossy-twin generator for perceptual-dedup tests
+    * and the normalize-to-one-codec corpus step. Non-image assets pass
+    * through unchanged.
+    */
+  def transcode(assets: Dataset[MediaAsset],
+      format: String): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map {
+      case a if a.format == "png" || a.format == "jpeg" =>
+        val img = readImage(a)
+        // JPEG can't carry alpha — flatten like resizeOne does
+        val src =
+          if (format == "jpeg" && img.getColorModel.hasAlpha) {
+            val flat = new BufferedImage(img.getWidth, img.getHeight,
+              BufferedImage.TYPE_INT_RGB)
+            val g = flat.createGraphics(); g.drawImage(img, 0, 0, null)
+            g.dispose(); flat
+          } else img
+        MediaAsset(a.doc_id, format, a.width, a.height,
+          writeImage(src, format))
+      case a => a
+    })
+  }
+
+  /** 64-bit perceptual average-hash (aHash) per asset. Images: decode
+    * → 8×8 bilinear downscale → per-cell integer luminance (the same
+    * 299/587/114 formula as [[extractFeatures]]) → bit i set iff
+    * lum_i·64 > Σlum (exact integer compare, no FP mean). WAV: 64
+    * equal PCM segments, bit i set iff the segment's summed |amplitude|
+    * ·64 > the total (same exact-compare trick on the energy envelope).
+    *
+    * The point vs q60's md5: a PNG and a JPEG of the SAME pixels hash
+    * IDENTICALLY-or-within-a-few-bits (JPEG loss), so a banded Hamming
+    * join over these 64-bit hashes — the exact q30 SimHash machinery —
+    * finds cross-codec duplicate media that byte hashing can never
+    * see. Per-row, shuffle-free, `mapPartitions` like every codec
+    * stage.
+    */
+  def perceptualHashes(assets: Dataset[MediaAsset]): Dataset[MediaHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(phashOne))
+  }
+
+  private def phashOne(a: MediaAsset): MediaHash = a.format match {
+    case "png" | "jpeg" =>
+      val img = readImage(a)
+      val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+      g.dispose()
+      val lums = new Array[Long](64)
+      var sum = 0L
+      val row = new Array[Int](8)
+      var y = 0
+      while (y < 8) {
+        small.getRGB(0, y, 8, 1, row, 0, 8)
+        var x = 0
+        while (x < 8) {
+          val rgb = row(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          lums(y * 8 + x) = lum
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (lums(i) * 64L > sum) h |= (1L << i)
+        i += 1
+      }
+      MediaHash(a.doc_id, a.format, h)
+    case "wav" =>
+      val buf = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(tag() == "RIFF", s"not a RIFF payload (doc ${a.doc_id})")
+      buf.getInt
+      require(tag() == "WAVE", s"not a WAVE payload (doc ${a.doc_id})")
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8 && samples == null) {
+        val id = tag()
+        val size = buf.getInt
+        if (id == "data") {
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort; i += 1 }
+        } else buf.position(buf.position() + size + (size & 1))
+      }
+      require(samples != null && samples.length > 0,
+        s"no data chunk (doc ${a.doc_id})")
+      val seg = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      val n = samples.length
+      while (i < n) {
+        val e = math.abs(samples(i).toLong)
+        seg((i * 64L / n).toInt) += e
+        total += e
+        i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) {
+        if (seg(i) * 64L > total) h |= (1L << i)
+        i += 1
+      }
+      MediaHash(a.doc_id, a.format, h)
+    case other =>
+      throw new IllegalArgumentException(
+        s"no perceptual hash for format $other (doc ${a.doc_id})")
+  }
+
   private def decodeWav(a: MediaAsset): MediaFeatures = {
     val buf = ByteBuffer.wrap(a.content).order(ByteOrder.LITTLE_ENDIAN)
     def tag(): String = {

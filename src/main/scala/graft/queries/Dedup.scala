@@ -987,9 +987,56 @@ object Dedup extends QueryPack {
        WHERE n_shared / (n1 + n2 - n_shared) >= 0.8
        ORDER BY d1, d2"""
 
+  /** q155: 2-core of the RELAXED (threshold 0.5) near-dup graph —
+    * the template-family detector. Chains of pairwise-similar docs
+    * (A≈B≈C with A̸≈C) are what boilerplate templates look like in a
+    * near-dup graph; connected components (q75) merges the whole
+    * chain, while the 2-core keeps only docs with two independent
+    * similarity witnesses — the actual dense family, endpoints peeled.
+    * [[graft.ops.GraphOps.kCore]] runs peeling to a true fixpoint
+    * (loud failure otherwise); the oracle unrolls 6 peel rounds —
+    * more than this corpus needs, and extra rounds are no-ops once
+    * the fixpoint is reached, so the hash equality also certifies
+    * that convergence really happened within 6.
+    */
+  private def q155KCore(s: SparkSession, d: String): DataFrame = {
+    val edges = CurationOps.verifiedPairs(docs(s, d), threshold = 0.5)
+      .select(col("d1"), col("d2"))
+    graft.ops.GraphOps.kCore(edges, "d1", "d2", k = 2)
+      .orderBy(col("node"))
+  }
+
+  private val q155Sql = {
+    val verified05 =
+      """v05 AS (SELECT d1, d2 FROM withsets
+          WHERE n_shared / (n1 + n2 - n_shared) >= 0.5),
+        core0 AS (SELECT u, v FROM
+          (SELECT d1 AS u, d2 AS v FROM v05
+           UNION SELECT d2, d1 FROM v05)
+          WHERE u <> v)"""
+    // each round references the previous core exactly ONCE (window
+    // degrees over the SYMMETRIC edge list: partitioning on u counts
+    // deg(u), and symmetry makes the v-partition count deg(v)) — an
+    // IN-subquery formulation re-evaluates the whole upstream CTE
+    // chain per reference and goes exponential in the round count
+    val rounds = (1 to 6).map { i =>
+      s"""core$i AS (SELECT u, v FROM (
+            SELECT u, v,
+                   COUNT(*) OVER (PARTITION BY u) AS du,
+                   COUNT(*) OVER (PARTITION BY v) AS dv
+            FROM core${i - 1})
+          WHERE du >= 2 AND dv >= 2)"""
+    }.mkString(", ")
+    s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
+       $verified05, $rounds
+       SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       FROM core6 GROUP BY u ORDER BY node"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_containment" -> q152Containment,
     "q153_prefix_join" -> q153PrefixJoin,
+    "q155_neardup_kcore" -> q155KCore,
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
     "q29_simhash" -> q29Simhash,
@@ -1022,6 +1069,7 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31Sql,
     "q152_containment" -> q152Sql,
     "q153_prefix_join" -> q153Sql,
+    "q155_neardup_kcore" -> q155Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q76_dedup_survivors" -> q76Sql,
     "q77_contamination" -> q77Sql,

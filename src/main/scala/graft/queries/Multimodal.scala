@@ -111,7 +111,50 @@ object Multimodal extends QueryPack {
       .orderBy(col("format"))
   }
 
+  /** q157: cross-codec perceptual media dedup — every synthesized PNG
+    * gets a lossy JPEG twin (identical pixels, entirely different
+    * bytes, so q60's md5 can never pair them), then 64-bit aHashes
+    * ([[MultimodalOps.perceptualHashes]]) go through the exact q30
+    * SimHash machinery: 4×16-bit band keys → equi-join candidates →
+    * Hamming ≤ 6 verify. `matched_twin` marks pairs that are a
+    * PNG/JPEG rendering of the same source — the recall readout.
+    * Rows-only (codec bytes aren't SQL-expressible); MultimodalSpec
+    * pins twin recall = 100% on a fixture. WAV assets flow through the
+    * same hash (energy-envelope bits) exercising the audio path.
+    */
+  private def q157PhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val twinOffset = 10000000L
+    val base = MultimodalOps.synthesizeMedia(assets(s, d))
+    val twins = MultimodalOps
+      .transcode(base.filter(_.format == "png"), "jpeg")
+      .map(a => a.copy(doc_id = a.doc_id + twinOffset))
+    val hashes = MultimodalOps.perceptualHashes(base.union(twins))
+      .toDF().cache()
+    hashes.count() // materialize before the self-join (design rule 8)
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(phash, ${16 * b}) & 65535").as("key"))
+    }: _*)
+    val banded = hashes
+      .select(col("doc_id"), col("phash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .withColumn("matched_twin", col("d2") === col("d1") + twinOffset)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_phash_dedup" -> q157PhashDedup,
     "q60_media_stats" -> q60MediaStats,
     "q61_media_features" -> q61MediaFeatures,
     "q63_media_pipeline" -> q63MediaPipeline,

@@ -89,6 +89,50 @@ object Relational extends QueryPack {
        JOIN nation ON c_nationkey = n_nationkey
        GROUP BY n_name ORDER BY n_name"""
 
+  /** TPC-H Q5-style local-supplier revenue: the six-table join with
+    * the colocation predicate (customer and supplier in the SAME
+    * nation) that stresses join ORDER. Shape: the two fact tables
+    * (lineitem ⋈ orders, date-filtered at the scan) shuffle-join
+    * once; customer joins on custkey; supplier carries BOTH the
+    * suppkey equi-key and the c_nationkey = s_nationkey colocation
+    * filter; nation and the r_name-filtered region ride as broadcast
+    * dims. At 100 TB only the two fact joins shuffle — everything
+    * after is map-side.
+    */
+  private def q156TpchQ5Region(s: SparkSession, d: String): DataFrame = {
+    val cut0 = to_timestamp(lit("1996-01-01 00:00:00"))
+    val cut1 = to_timestamp(lit("1998-01-01 00:00:00"))
+    Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q156Sql =
+    s"""SELECT n_name, ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -699,6 +743,7 @@ object Relational extends QueryPack {
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_col_stats" -> q2ColStats,
     "q3_revenue_by_nation" -> q3RevenueByNation,
+    "q156_tpch_q5_region" -> q156TpchQ5Region,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -727,6 +772,7 @@ object Relational extends QueryPack {
     "q1_pricing_summary" -> q1Sql,
     "q2_col_stats" -> q2Sql,
     "q3_revenue_by_nation" -> q3Sql,
+    "q156_tpch_q5_region" -> q156Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,

@@ -37,6 +37,12 @@ case class DecayedTotal(
 /** Decayed-counter state: reference week + Q20 fixed-point total. */
 case class DecayState(ref_week: Long, total_q20: Long, n_events: Long)
 
+/** Transition edge emitted by [[StreamingOps.transitionsStream]]. */
+case class TransitionEdge(user_id: Long, prev_type: String, next_type: String)
+
+/** Last-seen-event state for [[StreamingOps.transitionsStream]]. */
+case class LastEventState(last_us: Long, last_type: String)
+
 /** Structured Streaming operators (SURVEY §2.11 — absent from the
   * reference, included as the engine's streaming seam; the batch twins
   * live in graft.queries.Events with identical semantics).
@@ -372,6 +378,49 @@ object StreamingOps {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming first-order transition edges — the stateful twin of the
+    * batch Markov matrix (q148): one small "last event" state per
+    * user, each arriving event emits its (prev_type → next_type) edge.
+    * Downstream, a plain streaming `groupBy(prev,next).count()` (or
+    * the batch q148 aggregation over the sink) turns edges into the
+    * matrix, so the heavy object — the per-user ordered pass — runs
+    * incrementally with O(users) state.
+    *
+    * Ordering contract: within a micro-batch events are processed in
+    * (event-time, event_id) order, exactly like the batch window. A
+    * cross-batch late event (still inside the watermark) is folded in
+    * ARRIVAL position — the standard streaming approximation; beyond
+    * the watermark it is dropped. On an in-order feed the emitted edge
+    * multiset equals the batch twin's exactly (spec-pinned).
+    */
+  def transitionsStream(
+      events: Dataset[StreamEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[TransitionEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEventState, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransitionEdge]
+          sorted.foreach { e =>
+            prev.foreach(p =>
+              out += TransitionEdge(userId, p.last_type, e.event_type))
+            prev = Some(LastEventState(us(e.ts), e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
       }
   }
 }

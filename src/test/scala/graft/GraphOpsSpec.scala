@@ -130,4 +130,29 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSeq === Seq(("a", "b", "c")))
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val sq = spark
+    import sq.implicits._
+    GraphOps.kCore(edges.toDF("a", "b"), "a", "b", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore keeps the triangle, peels the pendant and the chain") {
+    // triangle {1,2,3} + pendant 4 + disjoint chain 5-6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L))
+    assert(kcore(edges, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "2-core = the triangle with in-core degrees 2")
+    // k=1 keeps everything that has any edge
+    assert(kcore(edges, 1).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("kCore peeling cascades: a path empties, duplicates don't inflate") {
+    // path 1-2-3-4: endpoint removal re-exposes new endpoints until empty
+    assert(kcore(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2) === Map.empty)
+    // duplicate + reversed edges and a self-loop must not fake degree 2
+    assert(kcore(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)), 2)
+      === Map.empty)
+  }
 }

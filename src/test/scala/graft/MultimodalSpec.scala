@@ -166,4 +166,40 @@ class MultimodalSpec extends AnyFunSuite {
         (a.format, a.width, a.height, a.content.toSeq)).toMap
     assert(got === want, "ingested corpus differs from the written one")
   }
+
+  test("perceptual hash: codec-invariant for same pixels, twins within 6 bits") {
+    val sq = spark
+    import sq.implicits._
+    val docs = sq.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id < 30")
+    val base = MultimodalOps
+      .synthesizeMedia(MultimodalOps.assetsFromDocuments(docs))
+    val pngs = base.filter((a: graft.ops.MediaAsset) => a.format == "png")
+    // png → png transcode decodes and re-encodes losslessly: the hash
+    // must be IDENTICAL (it sees pixels, not bytes)
+    val h0 = MultimodalOps.perceptualHashes(pngs).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    val hPng = MultimodalOps
+      .perceptualHashes(MultimodalOps.transcode(pngs, "png")).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    assert(hPng === h0, "lossless transcode must not move the hash")
+    // png → jpeg is lossy: every twin must stay within Hamming 6
+    val hJpeg = MultimodalOps
+      .perceptualHashes(MultimodalOps.transcode(pngs, "jpeg")).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    val hams = h0.map { case (id, h) =>
+      id -> java.lang.Long.bitCount(h ^ hJpeg(id))
+    }
+    assert(hams.values.forall(_ <= 6),
+      s"jpeg twins must stay within 6 bits: $hams")
+    // the wav path is deterministic (a flat-envelope sine legitimately
+    // hashes to 0 — every segment sits at the mean, like aHash of a
+    // flat image)
+    val wavSrc = base.filter((a: graft.ops.MediaAsset) => a.format == "wav")
+    val wavs = MultimodalOps.perceptualHashes(wavSrc).collect()
+      .map(h => h.doc_id -> h.phash).sortBy(_._1)
+    val wavs2 = MultimodalOps.perceptualHashes(wavSrc).collect()
+      .map(h => h.doc_id -> h.phash).sortBy(_._1)
+    assert(wavs.nonEmpty && wavs.toSeq === wavs2.toSeq)
+  }
 }

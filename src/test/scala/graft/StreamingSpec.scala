@@ -333,4 +333,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(expected === math.round((2.0 / 4 + 3.0 / 4 + 1.0) * 100) << 20)
     } finally query.stop()
   }
+
+  test("streaming transitions equal the batch Markov edges across batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      // user 7: view→click within batch 1; user 8: single event (no edge)
+      input.addData(ev(1, 7, 100, "view"), ev(2, 7, 110, "click"),
+        ev(3, 8, 105, "view"))
+      query.processAllAvailable()
+      // batch 2 continues BOTH users across the batch boundary — the
+      // carried state must supply the prev side of the first new edge
+      input.addData(ev(4, 7, 120, "purchase"), ev(5, 8, 130, "error"))
+      query.processAllAvailable()
+      val got = spark.table("trans").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("prev_type"),
+          r.getAs[String]("next_type"))).toSet
+      val want = Set(
+        (7L, "view", "click"), (7L, "click", "purchase"),
+        (8L, "view", "error"))
+      assert(got === want, s"edge multiset must match batch twin: $got")
+    } finally query.stop()
+  }
 }
