@@ -17,6 +17,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -76,7 +77,12 @@ def main():
                 same = (x == y) or (
                     isinstance(x, float) and isinstance(y, float)
                     and math.isnan(x) and math.isnan(y)) or (
-                    x is None and y is None)
+                    x is None and y is None) or (
+                    # NaT / None / nan across object+datetime cols:
+                    # pandas NaT != NaT, so compare NA-ness explicitly
+                    not isinstance(x, (list, tuple))
+                    and not isinstance(y, (list, tuple))
+                    and pd.isna(x) is True and pd.isna(y) is True)
                 if not same:
                     mismatch = (c, i, x, y)
                     break

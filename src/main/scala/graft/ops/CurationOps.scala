@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -502,6 +502,31 @@ object CurationOps {
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as("doc_id"), col("cluster_size"))
+
+  /** One survivor per cluster chosen by PRIORITY rather than min-id:
+    * the highest `priority` (doc_id as the total tie-break) wins.
+    * This is the curation-realistic canonical selection — keep the
+    * best-quality copy of a near-dup family, not the one that crawled
+    * first. `priority` is any expression over `docs`' columns (e.g.
+    * the shared [[TextOps.qualityScore]]). One label join + one
+    * per-cluster WindowGroupLimit — same shuffle count as
+    * [[survivors]] at any scale.
+    */
+  def survivorsBy(docs: DataFrame, priority: Column,
+      threshold: Double = 0.8, textCol: String = "text"): DataFrame = {
+    val prioritized = docs.select(col("doc_id"), priority.as("priority"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    clusterLabels(docs, threshold, textCol)
+      .join(prioritized, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("canonical_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("priority"))
+  }
 
   /** End-to-end curation: keep each cluster's canonical doc, then cut
     * on the shared quality score ([[TextOps.qualityScore]]). Returns

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.{Exact, Tables}
+import graft.ops.ScdOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -700,6 +701,133 @@ object Analytics extends QueryPack {
        FROM m ORDER BY l_returnflag"""
   }
 
+  /** q162: SCD Type-2 dimension merge ([[graft.ops.ScdOps.scd2Apply]])
+    * — seed a version-1 history from the customer dimension, derive a
+    * deterministic "six months later" snapshot (balance credits for
+    * custkey%7, segment moves for %11, churned keys %97 dropped, new
+    * keys +1e6 for %13), and apply it. The output is the effective-
+    * dated history a point-in-time join consumes: closed + reopened
+    * rows for changes, closes for deletes, version-1 opens for
+    * inserts. The oracle mirrors the merge as two snapshot joins —
+    * divergence in ANY row's dating/versioning hash-fails. One
+    * full-outer PK join + explode at any scale; history passthrough
+    * never joins.
+    */
+  private def q162Scd2History(s: SparkSession, d: String): DataFrame =
+    scd2CustHistory(s, d, "2024-01-01 00:00:00", "2024-06-01 00:00:00")
+      // gate projection uses the conventional open-row sentinel (no
+      // NULL timestamps in compared output; the library keeps NULL)
+      .withColumn("valid_to", coalesce(col("valid_to"),
+        to_timestamp(lit("9999-12-31 00:00:00"))))
+      .orderBy(col("c_custkey"), col("version"))
+
+  /** The q162 merge scenario as DuckDB CTE text (`merged` = the SCD2
+    * history), parameterized on the two effective instants so q164's
+    * point-in-time consumer can replay it over the order date range.
+    */
+  private def scd2CustCte(t0: String, t1: String): String =
+    s"""snap1 AS (
+         SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+       snap2 AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                     ELSE c_acctbal END AS c_acctbal,
+                CASE WHEN c_custkey % 11 = 0 THEN 'MACHINERY'
+                     ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 97 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 13 = 0),
+       merged AS (
+         SELECT s1.c_custkey, s1.c_acctbal, s1.c_mktsegment,
+                TIMESTAMP '$t0' AS valid_from,
+                CASE WHEN s2.c_custkey IS NULL
+                       OR NOT (s1.c_acctbal IS NOT DISTINCT FROM s2.c_acctbal
+                           AND s1.c_mktsegment
+                               IS NOT DISTINCT FROM s2.c_mktsegment)
+                     THEN TIMESTAMP '$t1' END AS valid_to,
+                CAST(1 AS BIGINT) AS version
+         FROM snap1 s1 LEFT JOIN snap2 s2 ON s1.c_custkey = s2.c_custkey
+         UNION ALL
+         SELECT s2.c_custkey, s2.c_acctbal, s2.c_mktsegment,
+                TIMESTAMP '$t1', NULL,
+                CAST(CASE WHEN s1.c_custkey IS NULL THEN 1 ELSE 2 END
+                  AS BIGINT)
+         FROM snap2 s2 LEFT JOIN snap1 s1 ON s1.c_custkey = s2.c_custkey
+         WHERE s1.c_custkey IS NULL
+            OR NOT (s1.c_acctbal IS NOT DISTINCT FROM s2.c_acctbal
+                AND s1.c_mktsegment IS NOT DISTINCT FROM s2.c_mktsegment))"""
+
+  private val q162Sql =
+    s"""WITH ${scd2CustCte("2024-01-01 00:00:00", "2024-06-01 00:00:00")}
+       SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+              COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00')
+                AS valid_to,
+              version
+       FROM merged ORDER BY c_custkey, version"""
+
+  /** The q162 scenario as DataFrames, parameterized on the effective
+    * instants (shared by q162 and q164).
+    */
+  private def scd2CustHistory(
+      s: SparkSession, d: String, t0: String, t1: String): DataFrame = {
+    val cust = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val history = cust
+      .withColumn("valid_from", to_timestamp(lit(t0)))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+    val snapshot = cust
+      .filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("MACHINERY"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    ScdOps.scd2Apply(history, snapshot,
+      keys = Seq("c_custkey"), tracked = Seq("c_acctbal", "c_mktsegment"),
+      asOf = to_timestamp(lit(t1)))
+  }
+
+  /** q164: point-in-time (temporal) join — the consumption side of the
+    * q162 SCD2 history: each order joins the customer version that was
+    * CURRENT on its order date (`valid_from <= d < valid_to`), so
+    * revenue attributes to the segment the customer was in at order
+    * time, not today's. The join is hash-keyed on the dimension PK
+    * with the validity range as a residual predicate — per key there
+    * are O(versions) rows, so the probe stays bounded at any scale
+    * (never a range-only nested loop). Effective dates replay the
+    * q162 merge over the order-date range (v1 opens 1996-01-01,
+    * changes apply 1997-07-01).
+    */
+  private def q164PointInTimeJoin(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2CustHistory(s, d,
+      "1996-01-01 00:00:00", "1997-07-01 00:00:00")
+    Tables(s, d, "orders")
+      .join(hist,
+        col("o_custkey") === col("c_custkey") &&
+          col("valid_from") <= col("o_orderdate") &&
+          (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .groupBy(col("c_mktsegment"), col("version"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"), col("version"))
+  }
+
+  private val q164Sql =
+    s"""WITH ${scd2CustCte("1996-01-01 00:00:00", "1997-07-01 00:00:00")}
+       SELECT c_mktsegment, version, COUNT(*) AS n_orders,
+              ${Exact.sumFixedSql("o_totalprice", 2)} AS revenue
+       FROM orders JOIN merged
+         ON o_custkey = c_custkey
+        AND valid_from <= o_orderdate
+        AND (valid_to IS NULL OR o_orderdate < valid_to)
+       GROUP BY c_mktsegment, version
+       ORDER BY c_mktsegment, version"""
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -715,7 +843,9 @@ object Analytics extends QueryPack {
     "q143_association_rules" -> q143AssociationRules,
     "q145_rolling_active" -> q145RollingActive,
     "q146_exact_corr" -> q146ExactCorr,
-    "q147_exact_ols" -> q147ExactOls)
+    "q147_exact_ols" -> q147ExactOls,
+    "q162_scd2_history" -> q162Scd2History,
+    "q164_pit_join" -> q164PointInTimeJoin)
 
   def oracle: Map[String, String] = Map(
     "q124_winsorized_stats" -> q124Sql,
@@ -730,5 +860,7 @@ object Analytics extends QueryPack {
     "q143_association_rules" -> q143Sql,
     "q145_rolling_active" -> q145Sql,
     "q146_exact_corr" -> q146Sql,
-    "q147_exact_ols" -> q147Sql)
+    "q147_exact_ols" -> q147Sql,
+    "q162_scd2_history" -> q162Sql,
+    "q164_pit_join" -> q164Sql)
 }

@@ -210,6 +210,37 @@ object Dedup extends QueryPack {
     CurationOps.survivors(docs(s, d))
       .orderBy(col("doc_id"))
 
+  /** q165: PRIORITY canonical selection
+    * ([[graft.ops.CurationOps.survivorsBy]]) — q76's min-id survivor
+    * rule swapped for "keep the highest-quality copy" (the shared
+    * [[graft.ops.TextOps.qualityScore]], doc_id tie-break): the
+    * curation-realistic choice when a near-dup family spans a clean
+    * original and a boilerplate-wrapped mirror. Same cluster labels,
+    * one extra WindowGroupLimit per cluster; the oracle re-derives the
+    * winner with a window over the recursive-CTE closure, so a single
+    * flipped survivor hash-fails.
+    */
+  private def q165BestOfCluster(s: SparkSession, d: String): DataFrame =
+    CurationOps.survivorsBy(docs(s, d),
+        TextOps.qualityScore(TextOps.tokens(col("text"))))
+      .orderBy(col("comp"))
+
+  private val q165Sql = {
+    val qual = TextOps.qualityScoreSql(TextOps.tokensSql("text"))
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       prio AS (SELECT doc_id, $qual AS priority FROM documents),
+       ranked AS (
+         SELECT l.comp, l.doc_id, p.priority,
+                ROW_NUMBER() OVER (PARTITION BY l.comp
+                  ORDER BY p.priority DESC, l.doc_id ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY l.comp) AS cluster_size
+         FROM labels l JOIN prio p ON p.doc_id = l.doc_id)
+       SELECT comp, doc_id AS canonical_id,
+              CAST(cluster_size AS BIGINT) AS cluster_size, priority
+       FROM ranked WHERE rn = 1 ORDER BY comp"""
+  }
+
   private val q76Sql =
     s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
        $withsetsCte, $ccCtes
@@ -1044,6 +1075,7 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q75_neardup_clusters" -> q75NeardupClusters,
     "q76_dedup_survivors" -> q76DedupSurvivors,
+    "q165_best_of_cluster" -> q165BestOfCluster,
     "q77_contamination" -> q77Contamination,
     "q79_curated_corpus" -> q79CuratedCorpus,
     "q82_source_dup_rates" -> q82SourceDupRates,
@@ -1072,6 +1104,7 @@ object Dedup extends QueryPack {
     "q155_neardup_kcore" -> q155Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q76_dedup_survivors" -> q76Sql,
+    "q165_best_of_cluster" -> q165Sql,
     "q77_contamination" -> q77Sql,
     "q79_curated_corpus" -> q79Sql,
     "q82_source_dup_rates" -> q82Sql,

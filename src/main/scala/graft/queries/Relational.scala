@@ -133,6 +133,170 @@ object Relational extends QueryPack {
          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
+  /** q158: TPC-H Q17 shape — a CORRELATED SCALAR SUBQUERY ("lines with
+    * quantity below 20% of this part's average") decorrelated as a
+    * window aggregate: partition-by-partkey count/sum ride the SAME
+    * shuffle as the rows they qualify, so the classic subquery costs
+    * ONE exchange instead of a self-join against a re-aggregated scan.
+    * The brand filter prunes first through a broadcast dim, and the
+    * 20%-of-average threshold is exact integer math (q·5·cnt < Σq in
+    * fixed-point) — no float-boundary drift between engines.
+    */
+  private def q158SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val brandParts = Tables(s, d, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables(s, d, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("pq_cnt", count(lit(1)).over(w))
+      .withColumn("pq_sum", sum(Exact.fixed(col("l_quantity"), 2)).over(w))
+      .filter(
+        Exact.fixed(col("l_quantity"), 2) * lit(5L) * col("pq_cnt") <
+          col("pq_sum"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        (Exact.sumFixed(col("l_extendedprice"), 2) / lit(7.0))
+          .as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q158Sql =
+    s"""WITH pruned AS (
+         SELECT p_brand, l_quantity, l_extendedprice,
+                COUNT(*) OVER (PARTITION BY l_partkey) AS pq_cnt,
+                SUM(${Exact.fixedSql("l_quantity", 2)})
+                  OVER (PARTITION BY l_partkey) AS pq_sum
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3'))
+       SELECT p_brand, COUNT(*) AS n_small_lines,
+              ${Exact.sumFixedSql("l_extendedprice", 2)}/7.0 AS avg_yearly
+       FROM pruned
+       WHERE ${Exact.fixedSql("l_quantity", 2)} * 5 * pq_cnt < pq_sum
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  /** q159: TPC-H Q18 shape — large-volume orders via an aggregate
+    * HAVING subquery. The per-order quantity aggregate is map-side
+    * partial; the surviving order set is tiny (top ~1% of orders), so
+    * AQE broadcasts it into the orders/customer joins at runtime —
+    * the 100 TB plan is one fact shuffle plus two broadcast probes.
+    * Threshold compares in exact fixed-point (Σq > 250.00).
+    */
+  private def q159LargeVolumeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Exact.fixed(col("l_quantity"), 2)).as("qty_fixed"))
+      .filter(col("qty_fixed") > lit(25000L))
+      .select(col("l_orderkey"),
+        (col("qty_fixed").cast("double") / 100.0).as("total_qty"))
+    Tables(s, d, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val q159Sql =
+    s"""WITH big AS (
+         SELECT l_orderkey,
+                SUM(${Exact.fixedSql("l_quantity", 2)}) AS qty_fixed
+         FROM lineitem GROUP BY l_orderkey
+         HAVING SUM(${Exact.fixedSql("l_quantity", 2)}) > 25000)
+       SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+              CAST(qty_fixed AS DOUBLE)/100.0 AS total_qty
+       FROM big JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey"""
+
+  /** q160: TPC-H Q21 shape — correlated EXISTS + NOT EXISTS, entered as
+    * SQL so Catalyst's `RewritePredicateSubquery` does the
+    * decorrelation: the EXISTS becomes a left-semi and the NOT EXISTS
+    * a left-anti join, both hash-keyed on `l_orderkey` (the non-equi
+    * suppkey/shipdate conjuncts ride as join residuals). Semantics on
+    * this schema: in multi-supplier finished orders, the supplier
+    * whose line shipped strictly last held the order up — count such
+    * orders per supplier. No nested-loop anywhere; the cartesian lint
+    * stays green because every subquery carries the orderkey equi-key.
+    */
+  private def q160SupplierWaiting(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "supplier").createOrReplaceTempView("g160_supplier")
+    Tables(s, d, "lineitem").createOrReplaceTempView("g160_lineitem")
+    Tables(s, d, "orders").createOrReplaceTempView("g160_orders")
+    s.sql("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM g160_supplier
+      JOIN g160_lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN g160_orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM g160_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM g160_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")
+  }
+
+  private val q160Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > l1.l_shipdate)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name"""
+
+  /** q161: TPC-H Q22 shape — an uncorrelated SCALAR subquery (global
+    * positive-balance average) plus a correlated NOT EXISTS. The
+    * scalar side is a one-row aggregate broadcast into every row (the
+    * q12 global-stat pattern); the NOT EXISTS plans as a left-anti
+    * join against the status-filtered orders. "Above two-thirds of
+    * the positive average" is exact integer math (bal·3·cnt > 2·Σbal
+    * fixed-point), so the float threshold can never flip a boundary
+    * row between engines.
+    */
+  private def q161AcctbalProspects(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables(s, d, "customer")
+    val thresh = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("tp_cnt"),
+        sum(Exact.fixed(col("c_acctbal"), 2)).as("tp_sum"))
+    val finished = Tables(s, d, "orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    cust.crossJoin(broadcast(thresh))
+      .filter(
+        Exact.fixed(col("c_acctbal"), 2) * lit(3L) * col("tp_cnt") >
+          col("tp_sum") * lit(2L))
+      .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.sumFixed(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q161Sql =
+    s"""WITH t AS (SELECT COUNT(*) AS tp_cnt,
+                SUM(${Exact.fixedSql("c_acctbal", 2)}) AS tp_sum
+         FROM customer WHERE c_acctbal > 0)
+       SELECT c_mktsegment, COUNT(*) AS numcust,
+              ${Exact.sumFixedSql("c_acctbal", 2)} AS totacctbal
+       FROM customer, t
+       WHERE ${Exact.fixedSql("c_acctbal", 2)} * 3 * tp_cnt > tp_sum * 2
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderstatus = 'F')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -744,6 +908,10 @@ object Relational extends QueryPack {
     "q2_col_stats" -> q2ColStats,
     "q3_revenue_by_nation" -> q3RevenueByNation,
     "q156_tpch_q5_region" -> q156TpchQ5Region,
+    "q158_small_qty_revenue" -> q158SmallQtyRevenue,
+    "q159_large_volume_orders" -> q159LargeVolumeOrders,
+    "q160_supplier_waiting" -> q160SupplierWaiting,
+    "q161_acctbal_prospects" -> q161AcctbalProspects,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -773,6 +941,10 @@ object Relational extends QueryPack {
     "q2_col_stats" -> q2Sql,
     "q3_revenue_by_nation" -> q3Sql,
     "q156_tpch_q5_region" -> q156Sql,
+    "q158_small_qty_revenue" -> q158Sql,
+    "q159_large_volume_orders" -> q159Sql,
+    "q160_supplier_waiting" -> q160Sql,
+    "q161_acctbal_prospects" -> q161Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,

@@ -667,6 +667,41 @@ object TextAnalytics extends QueryPack {
               md5(nrm) AS nfc_md5
        FROM n ORDER BY doc_id"""
 
+  /** q163: quality-weighted Bernoulli sample — each doc admitted
+    * independently with probability proportional to its (shared,
+    * audited) quality score, the way corpus-mixture builders
+    * up-sample high-quality sources without a global sort or
+    * cumulative-weight pass. Randomness is the deterministic 60-bit
+    * md5 hash (run/engine/ingest-order stable, like q83's split), the
+    * admission test is pure integer math — u·2·wmax < w·2^52 with
+    * weight w = ⌊quality·10⌋+1 ∈ [1,11] and u uniform on 2^52 — so
+    * the expected rate is w/22 and the decision can never drift on a
+    * float boundary. Per-row, shuffle-free, linear at any scale; the
+    * weighted twin of q17 (uniform), q83 (splits), q88 (stratified).
+    */
+  private def q163WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val u52 = pmod(TextOps.tokenHash(
+      concat(lit("wsamp:"), col("doc_id").cast("string"))), lit(1L << 52))
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        (floor(TextOps.qualityScore(toks) * 10) + 1L).cast("long")
+          .as("weight"),
+        u52.as("u52"))
+      .filter(col("u52") * 22L < col("weight") * lit(1L << 52))
+      .select(col("doc_id"), col("source"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q163Sql = {
+    val hash = TextOps.tokenHashSql("('wsamp:' || CAST(doc_id AS VARCHAR))")
+    val w = s"CAST(FLOOR(${TextOps.qualityScoreSql(toksSql)} * 10) + 1" +
+      " AS BIGINT)"
+    s"""SELECT doc_id, source, $w AS weight
+       FROM documents
+       WHERE ($hash % 4503599627370496) * 22 < $w * 4503599627370496
+       ORDER BY doc_id"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_nfc_normalize" -> q154NfcNormalize,
     "q57_dynamic_crosstab" -> q57DynamicCrosstab,
@@ -674,6 +709,7 @@ object TextAnalytics extends QueryPack {
     "q83_hash_split" -> q83HashSplit,
     "q84_length_buckets" -> q84LengthBuckets,
     "q88_stratified_sample" -> q88StratifiedSample,
+    "q163_weighted_sample" -> q163WeightedSample,
     "q90_repetition" -> q90Repetition,
     "q93_subword_tokens" -> q93SubwordTokens,
     "q94_subword_packing" -> q94SubwordPacking,
@@ -696,6 +732,7 @@ object TextAnalytics extends QueryPack {
     "q83_hash_split" -> q83Sql,
     "q84_length_buckets" -> q84Sql,
     "q88_stratified_sample" -> q88Sql,
+    "q163_weighted_sample" -> q163Sql,
     "q90_repetition" -> q90Sql,
     "q93_subword_tokens" -> q93Sql,
     "q94_subword_packing" -> q94Sql,

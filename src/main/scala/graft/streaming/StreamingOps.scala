@@ -236,6 +236,79 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming SCD Type-2 maintenance — the continuous twin of
+    * [[graft.ops.ScdOps.scd2Apply]] (q162): each micro-batch is a full
+    * dimension snapshot (CDC-compacted upstream), applied to the
+    * effective-dated history with the batch's max `effectiveCol` as
+    * the as-of instant. The history lives in versioned parquet dirs
+    * keyed by batch id (`writeBatchIdempotent` recipe), so a REPLAYED
+    * batch after a crash rewrites its own version dir instead of
+    * double-applying — the read side ([[readScd2History]]) always
+    * resolves the highest completed version. Per batch the cost is
+    * one full-outer PK join of current-vs-snapshot; closed history
+    * passes through (ScdOps contract), so state growth is the change
+    * rate, not the batch rate.
+    */
+  def scd2Sink(
+      snapshots: DataFrame,
+      historyDir: String,
+      checkpoint: String,
+      keys: Seq[String],
+      tracked: Seq[String],
+      effectiveCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // one-row driver edge: the batch's effective instant
+          val asOf = batch.agg(max(col(effectiveCol))).head.get(0)
+          val snap = batch.drop(effectiveCol)
+          // resolve strictly BELOW this batch id: a replayed batch must
+          // apply against its predecessor's history, never read the
+          // partial output it wrote before the crash
+          val hist = readScd2History(spark, historyDir,
+              maxExclusive = Some(batchId)).getOrElse {
+            // bootstrap: an empty history with the right shape — every
+            // first-batch key inserts at version 1
+            snap.limit(0)
+              .withColumn("valid_from",
+                lit(null).cast("timestamp"))
+              .withColumn("valid_to", lit(null).cast("timestamp"))
+              .withColumn("version", lit(1L))
+          }
+          graft.ops.ScdOps
+            .scd2Apply(hist, snap, keys, tracked, lit(asOf))
+            .write.mode("overwrite")
+            .parquet(s"$historyDir/v=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Latest completed SCD2 history under `historyDir`, if any —
+    * resolves the highest `v=<batchId>` version dir (the idempotent-
+    * replay convention of [[scd2Sink]]).
+    */
+  def readScd2History(
+      spark: SparkSession, historyDir: String,
+      maxExclusive: Option[Long] = None): Option[DataFrame] = {
+    // Hadoop FS, not java.io — the history dir may be HDFS/S3/…
+    val root = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val versions = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("v=").toLong)
+          .toOption.map(_ -> st.getPath))
+        .filter { case (v, _) => maxExclusive.forall(v < _) }
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+    }
+  }
+
   /** Stream-stream interval join — the streaming twin of
     * q64_interval_join: for each purchase, the views by the same user
     * in the preceding `lookback` window, matched as the two streams

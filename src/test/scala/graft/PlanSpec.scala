@@ -245,6 +245,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Filter"), p.take(3000))
   }
 
+  test("q160 EXISTS/NOT EXISTS decorrelate to hash semi/anti joins") {
+    val p = planOf(Relational.all("q160_supplier_waiting")(spark, sf))
+    // Catalyst's RewritePredicateSubquery must turn both correlated
+    // subqueries into orderkey-hashed semi/anti joins — a leftover
+    // nested loop here would be O(|lineitem|²) at scale
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"subqueries must not plan as nested loops:\n${p.take(4000)}")
+  }
+
+  test("q158 correlated scalar subquery rides one partkey window, no self-join") {
+    val p = planOf(Relational.all("q158_small_qty_revenue")(spark, sf))
+    // decorrelated-by-window: the per-part avg must NOT re-aggregate
+    // and re-join the fact table — one broadcast (brand dim) join only
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q158 must not self-join the fact table:\n${p.take(4000)}")
+  }
+
+  test("q162 SCD2 merge joins current-vs-snapshot once, full outer") {
+    val p = planOf(Analytics.all("q162_scd2_history")(spark, sf))
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
+  test("q163 weighted sample is a shuffle-free per-row admission test") {
+    val p = planOf(TextAnalytics.all("q163_weighted_sample")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"admission must not shuffle:\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("q142 streak windows stay partitioned by user (no global window)") {
     val p = planOf(Analytics.all("q142_longest_streak")(spark, sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))

@@ -334,6 +334,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming SCD2 sink applies snapshot batches and survives replay") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("scd2sink").toString
+    val input = MemoryStream[(Long, String, Double, Timestamp)]
+    val snaps = input.toDF().toDF("id", "seg", "bal", "eff_ts")
+    val query = StreamingOps.scd2Sink(snaps, s"$dir/hist", s"$dir/ckpt",
+      keys = Seq("id"), tracked = Seq("seg", "bal"), effectiveCol = "eff_ts")
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    try {
+      // batch 0: bootstrap — both keys open at version 1
+      input.addData((1L, "A", 10.0, t(1)), (2L, "B", 20.0, t(1)))
+      query.processAllAvailable()
+      // batch 1: key 1 changes segment, key 2 vanishes, key 3 appears
+      input.addData((1L, "A2", 10.0, t(9)), (3L, "C", 30.0, t(9)))
+      query.processAllAvailable()
+      val hist = StreamingOps.readScd2History(spark, s"$dir/hist").get
+      val got = hist
+        .select(col("id"), col("seg"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("vf"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("vt"),
+          col("version"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)), r.getLong(4)))
+        .toSet
+      assert(got === Set(
+        (1L, "A", "2024-01-01", Some("2024-01-09"), 1L),
+        (1L, "A2", "2024-01-09", None, 2L),
+        (2L, "B", "2024-01-01", Some("2024-01-09"), 1L),
+        (3L, "C", "2024-01-09", None, 1L)))
+      val histCount = hist.count()
+      // replay: re-running batch 1's apply reads the history BELOW its
+      // own id (never its pre-crash partial output) and overwrites its
+      // version dir — idempotent
+      val v0 = StreamingOps
+        .readScd2History(spark, s"$dir/hist", maxExclusive = Some(1L)).get
+      graft.ops.ScdOps.scd2Apply(v0,
+          Seq((1L, "A2", 10.0), (3L, "C", 30.0)).toDF("id", "seg", "bal"),
+          Seq("id"), Seq("seg", "bal"), lit(t(9)))
+        .write.mode("overwrite").parquet(s"$dir/hist/v=1")
+      val replayed = StreamingOps.readScd2History(spark, s"$dir/hist").get
+      assert(replayed.count() === histCount)
+    } finally query.stop()
+  }
+
   test("streaming transitions equal the batch Markov edges across batches") {
     val sq = spark
     import sq.implicits._
