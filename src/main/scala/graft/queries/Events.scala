@@ -363,6 +363,114 @@ object Events extends QueryPack {
             AND v.v_us <= p.p_us
        GROUP BY p.p_id ORDER BY p.p_id"""
 
+  /** q166: U-shaped (position-based) multi-touch attribution — each
+    * purchase's value splits across the user's view/click touches in
+    * the preceding 7 days: 40% to the first touch, 40% to the last,
+    * the middle 20% spread evenly (solo touch takes all; a pair
+    * splits 50/50). The touch match rides the SAME binned interval
+    * join as q64 (user+bin equi-keys, no nested loop); per-purchase
+    * position weights come from one window over the bounded touch set.
+    * Credits are rounded to fixed 6dp BEFORE summing, so the
+    * aggregation is order-independent exact integer math — the
+    * attribution report is bit-stable at any parallelism.
+    */
+  private def q166Attribution(s: SparkSession, d: String): DataFrame = {
+    val WEEK_US = 7L * 86400L * 1000000L
+    val purchases = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("value"), tsUs.as("p_us"))
+      .withColumn("lo", col("p_us") - WEEK_US)
+    val touches = ev(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("t_id"), col("user_id"),
+        col("event_type").as("touch_type"), tsUs.as("t_us"))
+    val wN = Window.partitionBy(col("p_id"))
+    val wOrd = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us"), col("t_id"))
+    graft.ops.RangeOps
+      .intervalJoin(purchases, touches, Seq("user_id"),
+        lo = "lo", hi = "p_us", p = "t_us", binWidth = WEEK_US)
+      .filter(col("t_us") < col("p_us")) // strictly before the purchase
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("w",
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - lit(2L))))
+      .withColumn("credit_f",
+        round(col("value") * col("w") * 1e6).cast("long"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        (sum(col("credit_f")).cast("double") / 1e6).as("credit"))
+      .orderBy(col("touch_type"))
+  }
+
+  private val q166Sql =
+    s"""WITH p AS (SELECT event_id AS p_id, user_id, value,
+                $tsUsSql AS p_us
+         FROM events WHERE event_type = 'purchase'),
+       t AS (SELECT event_id AS t_id, user_id,
+                event_type AS touch_type, $tsUsSql AS t_us
+         FROM events WHERE event_type IN ('view', 'click')),
+       m AS (SELECT p.p_id, p.value, t.touch_type, t.t_us, t.t_id
+         FROM p JOIN t ON t.user_id = p.user_id
+           AND t.t_us >= p.p_us - ${7L * 86400L * 1000000L}
+           AND t.t_us < p.p_us),
+       a AS (SELECT *,
+                COUNT(*) OVER (PARTITION BY p_id) AS n,
+                ROW_NUMBER() OVER (PARTITION BY p_id
+                  ORDER BY t_us, t_id) AS rn
+         FROM m),
+       c AS (SELECT touch_type, p_id,
+                CAST(ROUND(value * (CASE
+                    WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END) * 1000000) AS BIGINT)
+                  AS credit_f
+         FROM a)
+       SELECT touch_type, COUNT(*) AS n_touches,
+              COUNT(DISTINCT p_id) AS n_purchases,
+              CAST(SUM(credit_f) AS DOUBLE) / 1000000 AS credit
+       FROM c GROUP BY touch_type ORDER BY touch_type"""
+
+  /** q168: nested collect aggregation — per-user event-type histogram
+    * materialized as a SORTED array of (t, n) structs: the "profile
+    * column" shape feature stores and doc metadata use (one row per
+    * entity, nested stats inside). Two grouped aggregations (uniform
+    * keys), then `sort_array` makes the nested order deterministic so
+    * the struct array hash-compares across engines. At scale this is
+    * the standard pre-aggregated profile build: no collect to the
+    * driver, bounded per-user array (≤ |event types|).
+    */
+  private def q168UserTypeHistogram(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("event_type").as("t"), col("n")))).as("hist"))
+      // gate edge: nested arrays don't hash-compare across engines —
+      // serialize the (already sorted) profile canonically; the plan
+      // above is the real nested collect aggregation
+      .select(col("user_id"),
+        expr("array_join(transform(hist," +
+          " x -> concat(x.t, ':', CAST(x.n AS STRING))), ',')")
+          .as("hist"))
+      .orderBy(col("user_id"))
+
+  private val q168Sql =
+    """SELECT user_id,
+              array_to_string(list_transform(
+                list_sort(list({'t': event_type, 'n': n})),
+                x -> x.t || ':' || CAST(x.n AS VARCHAR)), ',') AS hist
+       FROM (SELECT user_id, event_type, COUNT(*) AS n
+             FROM events GROUP BY user_id, event_type)
+       GROUP BY user_id ORDER BY user_id"""
+
   /** q117: algebraic partial-aggregate MERGE — the incremental-
     * materialized-view pattern: daily partials (count / exact
     * fixed-point sum / min / max per event_type × day) merged into
@@ -573,6 +681,8 @@ object Events extends QueryPack {
     "q41_sessionization" -> q41Sessionization,
     "q42_json_props" -> q42JsonProps,
     "q43_funnel" -> q43Funnel,
+    "q166_attribution" -> q166Attribution,
+    "q168_user_type_histogram" -> q168UserTypeHistogram,
     "q44_bucket_averages" -> q44BucketAverages,
     "q45_moving_avg" -> q45MovingAvg,
     "q46_gap_stats" -> q46GapStats,
@@ -593,6 +703,8 @@ object Events extends QueryPack {
     "q41_sessionization" -> q41Sql,
     "q42_json_props" -> q42Sql,
     "q43_funnel" -> q43Sql,
+    "q166_attribution" -> q166Sql,
+    "q168_user_type_histogram" -> q168Sql,
     "q44_bucket_averages" -> q44Sql,
     "q45_moving_avg" -> q45Sql,
     "q46_gap_stats" -> q46Sql,

@@ -493,6 +493,36 @@ object Relational extends QueryPack {
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
        ORDER BY status, priority"""
 
+  /** q167: CUBE — the last member of the grouping family (rollup q13,
+    * grouping sets q81): all four (status, priority) marginal
+    * combinations in one pass. Like ROLLUP it plans as a single
+    * Expand + aggregate — the 4× row expansion happens map-side and
+    * partial-aggregates before the shuffle, so the cost at scale is
+    * one fact pass, not four queries. `grouping_id` disambiguates a
+    * genuine NULL key from a subtotal row.
+    */
+  private def q167Cube(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  private val q167Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus) * 2
+                   + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+              COUNT(*) AS n_orders,
+              ${Exact.sumFixedSql("o_totalprice", 2)} AS revenue
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY gid, status, priority"""
+
   /** q87: PII-style masking — the scrub step a training-data pipeline
     * runs over identifier-bearing columns before anything leaves the
     * trust boundary: flag values matching the ID pattern, count the
@@ -923,6 +953,7 @@ object Relational extends QueryPack {
     "q12_minmax_normalize" -> q12MinmaxNormalize,
     "q13_rollup" -> q13Rollup,
     "q81_grouping_sets" -> q81GroupingSets,
+    "q167_cube" -> q167Cube,
     "q87_pii_mask" -> q87PiiMask,
     "q92_pii_scrub" -> q92PiiScrub,
     "q14_shipping_priority" -> q14ShippingPriority,
@@ -956,6 +987,7 @@ object Relational extends QueryPack {
     "q12_minmax_normalize" -> q12Sql,
     "q13_rollup" -> q13Sql,
     "q81_grouping_sets" -> q81Sql,
+    "q167_cube" -> q167Sql,
     "q87_pii_mask" -> q87Sql,
     "q92_pii_scrub" -> q92Sql,
     "q14_shipping_priority" -> q14Sql,
