@@ -471,6 +471,43 @@ object Events extends QueryPack {
              FROM events GROUP BY user_id, event_type)
        GROUP BY user_id ORDER BY user_id"""
 
+  /** q171: conversion-path mining — each user's first 20 events in
+    * time order collapse to a `a>b>c` journey string, then the top-10
+    * most common journeys. The ordered sequence is
+    * `sort_array(collect_list(struct(ts, id, type)))` per user (the
+    * event_id tie-break makes the order total — never rely on
+    * collect_list's arrival order, which is partition-racy), sliced
+    * to 20 hops so the path string stays bounded at any scale. One
+    * user-keyed aggregate + one path-keyed count; the final top-10
+    * plans as TakeOrderedAndProject.
+    */
+  private def q171TopPaths(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        slice(
+          expr("transform(sort_array(collect_list(" +
+            "struct(ts DIV 1000 AS u, event_id AS e, event_type AS t)))," +
+            " x -> x.t)"),
+          1, 20),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+
+  private val q171Sql =
+    s"""WITH per_user AS (
+         SELECT user_id,
+                array_to_string(list_transform(
+                  list_sort(list({'u': $tsUsSql, 'e': event_id,
+                    't': event_type}))[1:20],
+                  x -> x.t), '>') AS path
+         FROM events GROUP BY user_id)
+       SELECT path, COUNT(*) AS n_users
+       FROM per_user GROUP BY path
+       ORDER BY n_users DESC, path LIMIT 10"""
+
   /** q117: algebraic partial-aggregate MERGE — the incremental-
     * materialized-view pattern: daily partials (count / exact
     * fixed-point sum / min / max per event_type × day) merged into
@@ -683,6 +720,7 @@ object Events extends QueryPack {
     "q43_funnel" -> q43Funnel,
     "q166_attribution" -> q166Attribution,
     "q168_user_type_histogram" -> q168UserTypeHistogram,
+    "q171_top_paths" -> q171TopPaths,
     "q44_bucket_averages" -> q44BucketAverages,
     "q45_moving_avg" -> q45MovingAvg,
     "q46_gap_stats" -> q46GapStats,
@@ -705,6 +743,7 @@ object Events extends QueryPack {
     "q43_funnel" -> q43Sql,
     "q166_attribution" -> q166Sql,
     "q168_user_type_histogram" -> q168Sql,
+    "q171_top_paths" -> q171Sql,
     "q44_bucket_averages" -> q44Sql,
     "q45_moving_avg" -> q45Sql,
     "q46_gap_stats" -> q46Sql,

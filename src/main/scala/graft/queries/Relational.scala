@@ -523,6 +523,46 @@ object Relational extends QueryPack {
        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        ORDER BY gid, status, priority"""
 
+  /** q169: UNPIVOT/melt — the inverse of q8's pivot, as the
+    * first-class `Dataset.unpivot` operator (Spark ≥3.4): the four
+    * lineitem measures melt into (measure, value) long form, then a
+    * per-measure stats pass. Unpivot is a zero-shuffle row generator
+    * (each input row emits |measures| rows map-side), so melt + agg
+    * costs one fact pass — the long-form reshape feeding generic
+    * per-metric monitoring without |measures| separate scans.
+    */
+  private def q169Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumFixed(col("value"), 6).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("measure"))
+
+  private val q169Sql =
+    s"""WITH long AS (
+         SELECT 'l_quantity' AS measure, l_quantity AS value
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', l_tax FROM lineitem)
+       SELECT measure, COUNT(*) AS n,
+              ${Exact.sumFixedSql("value", 6)} AS sum_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+       FROM long GROUP BY measure ORDER BY measure"""
+
   /** q87: PII-style masking — the scrub step a training-data pipeline
     * runs over identifier-bearing columns before anything leaves the
     * trust boundary: flag values matching the ID pattern, count the
@@ -954,6 +994,7 @@ object Relational extends QueryPack {
     "q13_rollup" -> q13Rollup,
     "q81_grouping_sets" -> q81GroupingSets,
     "q167_cube" -> q167Cube,
+    "q169_unpivot" -> q169Unpivot,
     "q87_pii_mask" -> q87PiiMask,
     "q92_pii_scrub" -> q92PiiScrub,
     "q14_shipping_priority" -> q14ShippingPriority,
@@ -988,6 +1029,7 @@ object Relational extends QueryPack {
     "q13_rollup" -> q13Sql,
     "q81_grouping_sets" -> q81Sql,
     "q167_cube" -> q167Sql,
+    "q169_unpivot" -> q169Sql,
     "q87_pii_mask" -> q87Sql,
     "q92_pii_scrub" -> q92Sql,
     "q14_shipping_priority" -> q14Sql,
