@@ -471,6 +471,47 @@ object Events extends QueryPack {
              FROM events GROUP BY user_id, event_type)
        GROUP BY user_id ORDER BY user_id"""
 
+  /** q170: MAP-typed profile column (SURVEY §2.8 noted map functions
+    * absent in the reference — covered here as an extension): the
+    * q168 histogram lifted into a real `MapType` via
+    * `map_from_entries`, probed with `element_at` to derive
+    * engagement ratios. The map stays intra-plan (bounded per-key,
+    * never driver-side); the gate output is the scalar probes, since
+    * map columns don't hash-compare across engines. Ratio rounds the
+    * deterministic IEEE quotient to 6dp so both engines emit the
+    * same double.
+    */
+  private def q170MapProfile(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L))
+          .as("n_purchase"))
+      .withColumn("click_view_ratio",
+        when(col("n_view") > 0,
+          round(col("n_click").cast("double") / col("n_view"), 6)))
+      .orderBy(col("user_id"))
+
+  private val q170Sql =
+    """SELECT user_id,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+              COUNT(*) FILTER (WHERE event_type = 'purchase')
+                AS n_purchase,
+              CASE WHEN COUNT(*) FILTER (WHERE event_type = 'view') > 0
+                   THEN ROUND(
+                     CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                       AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE event_type = 'view'), 6)
+              END AS click_view_ratio
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   /** q171: conversion-path mining — each user's first 20 events in
     * time order collapse to a `a>b>c` journey string, then the top-10
     * most common journeys. The ordered sequence is
@@ -720,6 +761,7 @@ object Events extends QueryPack {
     "q43_funnel" -> q43Funnel,
     "q166_attribution" -> q166Attribution,
     "q168_user_type_histogram" -> q168UserTypeHistogram,
+    "q170_map_profile" -> q170MapProfile,
     "q171_top_paths" -> q171TopPaths,
     "q44_bucket_averages" -> q44BucketAverages,
     "q45_moving_avg" -> q45MovingAvg,
@@ -743,6 +785,7 @@ object Events extends QueryPack {
     "q43_funnel" -> q43Sql,
     "q166_attribution" -> q166Sql,
     "q168_user_type_histogram" -> q168Sql,
+    "q170_map_profile" -> q170Sql,
     "q171_top_paths" -> q171Sql,
     "q44_bucket_averages" -> q44Sql,
     "q45_moving_avg" -> q45Sql,

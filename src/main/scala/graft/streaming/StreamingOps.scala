@@ -286,6 +286,30 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Point-in-time stream enrichment — the streaming twin of the
+    * q164 temporal join: each event joins the dimension version that
+    * was CURRENT at its event time (`valid_from <= ts < valid_to`,
+    * open rows match onward). A stream-static LEFT join on the
+    * dimension key with the validity range as a residual: the static
+    * side re-plans per micro-batch (so a refreshed history is picked
+    * up), the probe stays hash-keyed — O(versions) residual rows per
+    * key, never a range scan. Events with no dimension row (or
+    * before its first version) pass through with NULL attributes
+    * rather than silently dropping.
+    */
+  def enrichPointInTime(
+      events: DataFrame,
+      history: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      eventTime: String = "ts"): DataFrame =
+    events.join(history,
+      events(eventKey) === history(dimKey) &&
+        history("valid_from") <= events(eventTime) &&
+        (history("valid_to").isNull ||
+          events(eventTime) < history("valid_to")),
+      "left")
+
   /** Latest completed SCD2 history under `historyDir`, if any —
     * resolves the highest `v=<batchId>` version dir (the idempotent-
     * replay convention of [[scd2Sink]]).

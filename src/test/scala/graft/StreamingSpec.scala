@@ -382,6 +382,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("point-in-time enrichment joins the version current at event time") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    import org.apache.spark.sql.functions._
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // two-version history for key 1; key 2 opens at day 9; key 3 absent
+    val history = Seq(
+      (1L, "A", t(1), Some(t(9)), 1L),
+      (1L, "A2", t(9), None, 2L),
+      (2L, "B", t(9), None, 1L))
+      .toDF("id", "seg", "valid_from", "valid_to", "version")
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "uid", "ts")
+    val out = StreamingOps.enrichPointInTime(
+      events, history, eventKey = "uid", dimKey = "id")
+    val query = out.writeStream.format("memory").queryName("pit")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, 1L, t(5)),  // key 1 during v1 -> A
+        (11L, 1L, t(20)), // key 1 after the change -> A2
+        (12L, 2L, t(5)),  // key 2 before its first version -> NULL
+        (13L, 2L, t(10)), // key 2 during v1 -> B
+        (14L, 3L, t(5)))  // unknown key -> NULL
+      query.processAllAvailable()
+      val got = spark.table("pit")
+        .select(col("event_id"), col("seg"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got === Set(
+        (10L, Some("A")), (11L, Some("A2")), (12L, None),
+        (13L, Some("B")), (14L, None)))
+    } finally query.stop()
+  }
+
   test("streaming transitions equal the batch Markov edges across batches") {
     val sq = spark
     import sq.implicits._
