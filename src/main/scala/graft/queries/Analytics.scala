@@ -828,6 +828,74 @@ object Analytics extends QueryPack {
        GROUP BY c_mktsegment, version
        ORDER BY c_mktsegment, version"""
 
+  /** q173: cross-table reconciliation — does each order's header
+    * total agree with the sum of its line revenues within 5%? The
+    * financial-close audit CheckOps' single-table constraints can't
+    * express: one per-order aggregate (map-side partial) + one PK
+    * join + integer fixed-point tolerance test (|Σline − total|·20 >
+    * total ⇔ deviation > 5%, no float boundary). Reported per status
+    * so a systematic breakage localizes.
+    */
+  private def q173Reconciliation(s: SparkSession, d: String): DataFrame = {
+    val lineRev = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Exact.fixed(col("l_extendedprice"), 2)).as("sl"))
+    Tables(s, d, "orders")
+      .join(lineRev, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderstatus"),
+        (abs(col("sl") - Exact.fixed(col("o_totalprice"), 2)) * 20L >
+          Exact.fixed(col("o_totalprice"), 2)).as("off"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("off"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q173Sql = {
+    val so = Exact.fixedSql("o_totalprice", 2)
+    s"""WITH lr AS (SELECT l_orderkey,
+           SUM(${Exact.fixedSql("l_extendedprice", 2)}) AS sl
+         FROM lineitem GROUP BY l_orderkey)
+       SELECT o_orderstatus, COUNT(*) AS n_orders,
+              CAST(SUM(CASE WHEN ABS(sl - $so) * 20 > $so
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       FROM orders JOIN lr ON o_orderkey = l_orderkey
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
+  /** q174: equi-width numeric histogram — 10 bins over the exact
+    * global [min, max] of `o_totalprice` (the distribution panel of a
+    * dataset card, beside q136's scalar profile). Bounds come from a
+    * one-row aggregate broadcast into the scan (the q12 pattern), the
+    * bin index is the same IEEE arithmetic on both engines, and the
+    * max lands in bin 9 via `least`. Two passes over the fact table,
+    * both map-side-partial — no sort, no shuffle wider than 10 rows.
+    */
+  private def q174ValueHistogram(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables(s, d, "orders")
+      .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    Tables(s, d, "orders")
+      .crossJoin(broadcast(stats))
+      .select(least(floor((col("o_totalprice") - col("mn")) * 10.0 /
+          (col("mx") - col("mn"))), lit(9L)).cast("long").as("bin"),
+        col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  private val q174Sql =
+    """SELECT LEAST(CAST(FLOOR((o_totalprice - mn) * 10.0 / (mx - mn))
+                AS BIGINT), 9) AS bin,
+              COUNT(*) AS n_orders,
+              MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       FROM orders,
+            (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+             FROM orders)
+       GROUP BY bin ORDER BY bin"""
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -845,7 +913,9 @@ object Analytics extends QueryPack {
     "q146_exact_corr" -> q146ExactCorr,
     "q147_exact_ols" -> q147ExactOls,
     "q162_scd2_history" -> q162Scd2History,
-    "q164_pit_join" -> q164PointInTimeJoin)
+    "q164_pit_join" -> q164PointInTimeJoin,
+    "q173_reconciliation" -> q173Reconciliation,
+    "q174_value_histogram" -> q174ValueHistogram)
 
   def oracle: Map[String, String] = Map(
     "q124_winsorized_stats" -> q124Sql,
@@ -862,5 +932,7 @@ object Analytics extends QueryPack {
     "q146_exact_corr" -> q146Sql,
     "q147_exact_ols" -> q147Sql,
     "q162_scd2_history" -> q162Sql,
-    "q164_pit_join" -> q164Sql)
+    "q164_pit_join" -> q164Sql,
+    "q173_reconciliation" -> q173Sql,
+    "q174_value_histogram" -> q174Sql)
 }

@@ -702,6 +702,41 @@ object TextAnalytics extends QueryPack {
        ORDER BY doc_id"""
   }
 
+  /** q172: deterministic exact-k per-group sample — exactly 5 docs
+    * per source, chosen by md5-hash rank (a random oracle, so the
+    * draw is uniform-without-replacement) with doc_id tie-break.
+    * Unlike q88's every-5th systematic draw this guarantees EXACT k
+    * per group whatever the group sizes — the "show me 5 examples
+    * from every source" sampler dataset cards need. rank<=k over a
+    * hash-ordered window plans as WindowGroupLimit: each mapper
+    * pre-limits its groups before the shuffle, so the cost at 100 TB
+    * is a scan + one bounded shuffle, never a global sort.
+    */
+  private def q172ReservoirPerSource(
+      s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.tokenHash(
+      concat(lit("rsv:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val q172Sql = {
+    val hash = TextOps.tokenHashSql("('rsv:' || CAST(doc_id AS VARCHAR))")
+    s"""SELECT source, rn, doc_id FROM (
+         SELECT source, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY $hash, doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 5 ORDER BY source, rn"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_nfc_normalize" -> q154NfcNormalize,
     "q57_dynamic_crosstab" -> q57DynamicCrosstab,
@@ -710,6 +745,7 @@ object TextAnalytics extends QueryPack {
     "q84_length_buckets" -> q84LengthBuckets,
     "q88_stratified_sample" -> q88StratifiedSample,
     "q163_weighted_sample" -> q163WeightedSample,
+    "q172_reservoir_per_source" -> q172ReservoirPerSource,
     "q90_repetition" -> q90Repetition,
     "q93_subword_tokens" -> q93SubwordTokens,
     "q94_subword_packing" -> q94SubwordPacking,
@@ -733,6 +769,7 @@ object TextAnalytics extends QueryPack {
     "q84_length_buckets" -> q84Sql,
     "q88_stratified_sample" -> q88Sql,
     "q163_weighted_sample" -> q163Sql,
+    "q172_reservoir_per_source" -> q172Sql,
     "q90_repetition" -> q90Sql,
     "q93_subword_tokens" -> q93Sql,
     "q94_subword_packing" -> q94Sql,
