@@ -277,6 +277,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("q172 exact-k sample plans as WindowGroupLimit per source") {
+    val p = planOf(TextAnalytics.all("q172_reservoir_per_source")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("q142 streak windows stay partitioned by user (no global window)") {
     val p = planOf(Analytics.all("q142_longest_streak")(spark, sf))
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))
