@@ -896,6 +896,56 @@ object Analytics extends QueryPack {
              FROM orders)
        GROUP BY bin ORDER BY bin"""
 
+  /** q176: revenue concentration (Gini coefficient) per market
+    * segment — the inequality metric that tells a pipeline whether
+    * volume (or, for corpora, a source mix) is dominated by a few
+    * heavy keys. Closed form over the in-segment ascending rank:
+    * G = (2·Σi·xᵢ)/(n·Σx) − (n+1)/n, with x in 2-dp fixed point and
+    * the rank from a PARTITIONED window (orderkey tie-break) — so
+    * both Σ terms are exact integers and the two final divisions are
+    * the same IEEE ops on both engines. One per-segment sort + one
+    * aggregate; the windows distribute across segments (never a
+    * global sort). Σi·x stays < 2⁶³ up to ~10⁹ rows/segment at this
+    * value scale — beyond that, rescale the fixed point first.
+    */
+  private def q176RevenueGini(s: SparkSession, d: String): DataFrame = {
+    val xf = Exact.fixed(col("o_totalprice"), 2)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(xf).as("s0"), sum(col("rn") * xf).as("s1"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round((col("s1").cast("double") * 2.0 /
+          (col("n_orders") * col("s0")).cast("double")) -
+          ((col("n_orders") + 1L).cast("double") /
+            col("n_orders").cast("double")), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q176Sql = {
+    val xf = Exact.fixedSql("o_totalprice", 2)
+    s"""WITH ranked AS (
+         SELECT c_mktsegment, $xf AS xf,
+                CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       agg AS (
+         SELECT c_mktsegment, COUNT(*) AS n_orders,
+                SUM(xf) AS s0, SUM(rn * xf) AS s1
+         FROM ranked GROUP BY c_mktsegment)
+       SELECT c_mktsegment, n_orders,
+              ROUND(CAST(s1 AS DOUBLE) * 2.0
+                  / CAST(n_orders * s0 AS DOUBLE)
+                - CAST(n_orders + 1 AS DOUBLE)
+                  / CAST(n_orders AS DOUBLE), 6) AS gini
+       FROM agg ORDER BY c_mktsegment"""
+  }
+
   // ------------------------------------------------------------ wiring
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -915,7 +965,8 @@ object Analytics extends QueryPack {
     "q162_scd2_history" -> q162Scd2History,
     "q164_pit_join" -> q164PointInTimeJoin,
     "q173_reconciliation" -> q173Reconciliation,
-    "q174_value_histogram" -> q174ValueHistogram)
+    "q174_value_histogram" -> q174ValueHistogram,
+    "q176_revenue_gini" -> q176RevenueGini)
 
   def oracle: Map[String, String] = Map(
     "q124_winsorized_stats" -> q124Sql,
@@ -934,5 +985,6 @@ object Analytics extends QueryPack {
     "q162_scd2_history" -> q162Sql,
     "q164_pit_join" -> q164Sql,
     "q173_reconciliation" -> q173Sql,
-    "q174_value_histogram" -> q174Sql)
+    "q174_value_histogram" -> q174Sql,
+    "q176_revenue_gini" -> q176Sql)
 }

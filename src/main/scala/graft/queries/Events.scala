@@ -512,6 +512,94 @@ object Events extends QueryPack {
               END AS click_view_ratio
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** q175: strict-sequence funnel — view →(≤1h)→ click →(≤1h)→
+    * purchase, each hop matched to the LATEST qualifying predecessor
+    * (a two-hop chained as-of). Unlike q43's loose first-touch
+    * ordering this enforces per-hop time bounds, the
+    * MATCH_RECOGNIZE-style pattern. Each hop is the q64 binned
+    * interval join (user+bin equi-keys) + a per-event top-1 window
+    * (WindowGroupLimit) — two bounded shuffles per hop, no nested
+    * loop, no per-user state blowup. One summary row: purchases,
+    * click-matched, full chains, and the exact mean hop latencies
+    * over matched pairs (fixed-point µs, rounded at the edge).
+    */
+  private def q175StrictFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HOUR_US = 3600L * 1000000L
+    def typed(t: String, idAs: String, tsAs: String) =
+      ev(s, d).filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs), tsUs.as(tsAs))
+    // hop 2: latest click within the hour before each purchase
+    val purchases = typed("purchase", "p_id", "p_us")
+      .withColumn("p_lo", col("p_us") - HOUR_US)
+    val clicks = typed("click", "c_id", "c_us")
+    val pc = graft.ops.RangeOps
+      .intervalJoin(purchases, clicks, Seq("user_id"),
+        lo = "p_lo", hi = "p_us", p = "c_us", binWidth = HOUR_US)
+      .filter(col("c_us") < col("p_us"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("p_id"))
+        .orderBy(col("c_us").desc, col("c_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p_id"), col("p_us"),
+        col("c_id"), col("c_us"))
+    // hop 1: latest view within the hour before that click
+    val views = typed("view", "v_id", "v_us")
+    val pcv = graft.ops.RangeOps
+      .intervalJoin(pc.withColumn("c_lo", col("c_us") - HOUR_US),
+        views, Seq("user_id"),
+        lo = "c_lo", hi = "c_us", p = "v_us", binWidth = HOUR_US)
+      .filter(col("v_us") < col("c_us"))
+      .withColumn("rn2", row_number().over(Window.partitionBy(col("p_id"))
+        .orderBy(col("v_us").desc, col("v_id").desc)))
+      .filter(col("rn2") === 1)
+      .select(col("p_id"), (col("p_us") - col("c_us")).as("cp_us"),
+        (col("c_us") - col("v_us")).as("vc_us"))
+    val nPurchases = purchases.select(col("p_id"))
+    nPurchases
+      .join(pc.select(col("p_id"), (col("p_us") - col("c_us"))
+        .as("cp_all_us")), Seq("p_id"), "left")
+      .join(pcv, Seq("p_id"), "left")
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("cp_all_us")).as("n_with_click"),
+        count(col("cp_us")).as("n_full_chain"),
+        (sum(col("cp_us")).cast("double") /
+          count(col("cp_us")) / 1e6).as("mean_click_to_buy_sec"),
+        (sum(col("vc_us")).cast("double") /
+          count(col("vc_us")) / 1e6).as("mean_view_to_click_sec"))
+  }
+
+  private val q175Sql =
+    s"""WITH p AS (SELECT user_id, event_id AS p_id, $tsUsSql AS p_us
+           FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, event_id AS c_id, $tsUsSql AS c_us
+           FROM events WHERE event_type = 'click'),
+       v AS (SELECT user_id, event_id AS v_id, $tsUsSql AS v_us
+           FROM events WHERE event_type = 'view'),
+       pc AS (SELECT * FROM (
+           SELECT p.user_id, p.p_id, p.p_us, c.c_id, c.c_us,
+                  ROW_NUMBER() OVER (PARTITION BY p.p_id
+                    ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+           FROM p JOIN c ON c.user_id = p.user_id
+             AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us)
+         WHERE rn = 1),
+       pcv AS (SELECT * FROM (
+           SELECT pc.p_id, pc.p_us - pc.c_us AS cp_us,
+                  pc.c_us - v.v_us AS vc_us,
+                  ROW_NUMBER() OVER (PARTITION BY pc.p_id
+                    ORDER BY v.v_us DESC, v.v_id DESC) AS rn2
+           FROM pc JOIN v ON v.user_id = pc.user_id
+             AND v.v_us >= pc.c_us - 3600000000 AND v.v_us < pc.c_us)
+         WHERE rn2 = 1)
+       SELECT COUNT(*) AS n_purchases,
+              COUNT(pc.c_id) AS n_with_click,
+              COUNT(pcv.cp_us) AS n_full_chain,
+              CAST(SUM(pcv.cp_us) AS DOUBLE) / COUNT(pcv.cp_us) / 1000000
+                AS mean_click_to_buy_sec,
+              CAST(SUM(pcv.vc_us) AS DOUBLE) / COUNT(pcv.vc_us) / 1000000
+                AS mean_view_to_click_sec
+       FROM p LEFT JOIN pc ON pc.p_id = p.p_id
+       LEFT JOIN pcv ON pcv.p_id = p.p_id"""
+
   /** q171: conversion-path mining — each user's first 20 events in
     * time order collapse to a `a>b>c` journey string, then the top-10
     * most common journeys. The ordered sequence is
@@ -763,6 +851,7 @@ object Events extends QueryPack {
     "q168_user_type_histogram" -> q168UserTypeHistogram,
     "q170_map_profile" -> q170MapProfile,
     "q171_top_paths" -> q171TopPaths,
+    "q175_strict_funnel" -> q175StrictFunnel,
     "q44_bucket_averages" -> q44BucketAverages,
     "q45_moving_avg" -> q45MovingAvg,
     "q46_gap_stats" -> q46GapStats,
@@ -787,6 +876,7 @@ object Events extends QueryPack {
     "q168_user_type_histogram" -> q168Sql,
     "q170_map_profile" -> q170Sql,
     "q171_top_paths" -> q171Sql,
+    "q175_strict_funnel" -> q175Sql,
     "q44_bucket_averages" -> q44Sql,
     "q45_moving_avg" -> q45Sql,
     "q46_gap_stats" -> q46Sql,
