@@ -277,6 +277,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    // The runtime half of partition pruning: the dim-side filter is
+    // only known at execution, so Catalyst injects a DPP subquery
+    // that prunes the fact's col=value partitions before the scan —
+    // at 100 TB the difference between reading one status partition
+    // and all of them. Static pruning (PartitionFilters from literal
+    // predicates) is covered in SourcesSpec.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    graft.sources.Sources.writePartitionedParquet(
+      graft.core.Tables(spark, sf, "orders"), dir, Seq("o_orderstatus"))
+    val fact = spark.read.parquet(dir)
+    // the dim filter must be on an AGGREGATE (not the join key) so the
+    // surviving key set is only known at runtime — a literal key filter
+    // would be statically propagated into PartitionFilters instead
+    // (also a pruning win, asserted implicitly by its absence here)
+    val dim = graft.core.Tables(spark, sf, "orders")
+      .groupBy(col("o_orderstatus").as("d_status"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 100L)
+    // broadcast the dim: DPP's default reuseBroadcastOnly mode prunes
+    // by reusing the dim's broadcast exchange as the subquery
+    val joined = fact
+      .join(broadcast(dim), col("o_orderstatus") === col("d_status"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val p = planOf(joined)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP subquery on the partition column:\n${p.take(4000)}")
+  }
+
   test("q172 exact-k sample plans as WindowGroupLimit per source") {
     val p = planOf(TextAnalytics.all("q172_reservoir_per_source")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p.take(3000))
