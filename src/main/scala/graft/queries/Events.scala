@@ -512,6 +512,34 @@ object Events extends QueryPack {
               END AS click_view_ratio
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** q177: incremental distinct counting — the q117
+    * partial-aggregate-merge pattern for DISTINCTs, which plain
+    * counters can't do: per-(day, type) Datasketches HLL partials,
+    * merged with `hll_union_agg` into per-type totals. At 100 TB the
+    * daily partials are WHAT YOU STORE — any window's distinct-user
+    * count is then a union over tiny sketches, never a recount of
+    * raw events (exact countDistinct re-shuffles the world every
+    * question). Output pairs the merged estimate with the exact
+    * count; rows-only check (sketch registers aren't
+    * oracle-mirrorable — DuckDB's HLL differs), the merge
+    * correctness is spec-pinned instead (SketchMergeSpec: union of
+    * partials == direct sketch, estimate within HLL error of exact).
+    */
+  private def q177IncrementalDistinct(
+      s: SparkSession, d: String): DataFrame = {
+    val DAY_NS = 86400L * 1000000000L
+    val daily = ev(s, d)
+      .groupBy(expr(s"ts DIV $DAY_NS").as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+    val exact = ev(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
   /** q175: strict-sequence funnel — view →(≤1h)→ click →(≤1h)→
     * purchase, each hop matched to the LATEST qualifying predecessor
     * (a two-hop chained as-of). Unlike q43's loose first-touch
@@ -852,6 +880,7 @@ object Events extends QueryPack {
     "q170_map_profile" -> q170MapProfile,
     "q171_top_paths" -> q171TopPaths,
     "q175_strict_funnel" -> q175StrictFunnel,
+    "q177_incremental_distinct" -> q177IncrementalDistinct,
     "q44_bucket_averages" -> q44BucketAverages,
     "q45_moving_avg" -> q45MovingAvg,
     "q46_gap_stats" -> q46GapStats,
