@@ -18,6 +18,65 @@ object Corpus extends QueryPack {
   private val toks = TextOps.tokens(col("text"))
   private val toksSql = TextOps.tokensSql("text")
 
+  /** q178: exact token-budget apportionment — split a fixed training
+    * budget (1M tokens) across sources proportionally to their
+    * available tokens using Hamilton's largest-remainder method: base
+    * quota = ⌊T·srcᵢ/total⌋, then the leftover T−Σbase seats go to
+    * the largest remainders (source-name tie-break). All integer
+    * math, so quotas are exact, sum to T precisely, and never drift
+    * between engines — the step that turns q98's mixture WEIGHTS
+    * into integer token QUOTAS a sampler can enforce. Per-source
+    * totals are one map-side-partial aggregate; the apportionment
+    * runs over the |sources|-row summary (broadcast scalars + one
+    * tiny window), never over the corpus.
+    */
+  private def q178TokenQuotas(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val T = 1000000L
+    val perSrc = docs(s, d)
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tok"))
+    // two broadcast scalars: the grand total, then the base-quota sum
+    val withTot = perSrc.crossJoin(
+      broadcast(perSrc.agg(sum(col("tok")).as("tot"))))
+      .withColumn("base", expr(s"($T * tok) div tot"))
+      .withColumn("rem", expr(s"($T * tok) % tot"))
+    val deficit = withTot
+      .agg((lit(T) - sum(col("base"))).as("deficit"))
+    withTot.crossJoin(broadcast(deficit))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("tok"),
+        (col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val q178Sql = {
+    val T = 1000000L
+    s"""WITH per_src AS (
+         SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS tok
+         FROM documents GROUP BY source),
+       wt AS (SELECT source, tok,
+                CAST(($T * tok)
+                  // (SELECT CAST(SUM(tok) AS BIGINT) FROM per_src)
+                  AS BIGINT) AS base,
+                CAST(($T * tok)
+                  % (SELECT CAST(SUM(tok) AS BIGINT) FROM per_src)
+                  AS BIGINT) AS rem
+         FROM per_src),
+       rr AS (SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                  AS BIGINT) AS rr,
+                (SELECT CAST($T - SUM(base) AS BIGINT) FROM wt) AS deficit
+         FROM wt)
+       SELECT source, tok,
+              CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+       FROM rr ORDER BY source"""
+  }
+
   /** q96: C4/CCNet-style boilerplate removal. Segments here are
     * fixed-width 4-token windows (the synthetic corpus has no newline
     * structure; a real corpus passes `split(text, '\n')` into the same
@@ -547,6 +606,7 @@ object Corpus extends QueryPack {
     "q96_line_dedup" -> q96LineDedup,
     "q97_source_caps" -> q97SourceCaps,
     "q98_mixture_epochs" -> q98MixtureEpochs,
+    "q178_token_quotas" -> q178TokenQuotas,
     "q99_context_chunks" -> q99ContextChunks,
     "q100_tfidf_keywords" -> q100TfidfKeywords,
     "q101_textrank" -> q101Textrank,
@@ -561,6 +621,7 @@ object Corpus extends QueryPack {
     "q96_line_dedup" -> q96Sql,
     "q97_source_caps" -> q97Sql,
     "q98_mixture_epochs" -> q98Sql,
+    "q178_token_quotas" -> q178Sql,
     "q99_context_chunks" -> q99Sql,
     "q100_tfidf_keywords" -> q100Sql,
     "q101_textrank" -> q101Sql,
