@@ -30,9 +30,8 @@ object Corpus extends QueryPack {
     * runs over the |sources|-row summary (broadcast scalars + one
     * tiny window), never over the corpus.
     */
-  private def q178TokenQuotas(s: SparkSession, d: String): DataFrame = {
+  private def tokenQuotas(s: SparkSession, d: String, T: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val T = 1000000L
     val perSrc = docs(s, d)
       .select(col("source"), size(toks).cast("long").as("n"))
       .groupBy(col("source"))
@@ -53,9 +52,14 @@ object Corpus extends QueryPack {
       .orderBy(col("source"))
   }
 
-  private val q178Sql = {
-    val T = 1000000L
-    s"""WITH per_src AS (
+  private def q178TokenQuotas(s: SparkSession, d: String): DataFrame =
+    tokenQuotas(s, d, 1000000L)
+
+  /** The q178 apportionment as reusable DuckDB CTEs ending in
+    * `quota(source, tok, quota)` — shared by q178 and q179.
+    */
+  private def quotaCtes(T: Long): String =
+    s"""per_src AS (
          SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS tok
          FROM documents GROUP BY source),
        wt AS (SELECT source, tok,
@@ -70,11 +74,68 @@ object Corpus extends QueryPack {
                 CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
                   AS BIGINT) AS rr,
                 (SELECT CAST($T - SUM(base) AS BIGINT) FROM wt) AS deficit
-         FROM wt)
-       SELECT source, tok,
-              CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
-                AS BIGINT) AS quota
-       FROM rr ORDER BY source"""
+         FROM wt),
+       quota AS (SELECT source, tok,
+                CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+         FROM rr)"""
+
+  private val q178Sql =
+    s"""WITH ${quotaCtes(1000000L)}
+       SELECT source, tok, quota FROM quota ORDER BY source"""
+
+  /** q179: quota-filled corpus draw — consume the q178 quotas: within
+    * each source, order documents by a stable content-free hash and
+    * keep the greedy prefix whose cumulative token count stays within
+    * that source's quota (budget 10k tokens here so the cut bites at
+    * every SF). Prefix-fill is the deterministic contract: the kept
+    * set is identical across runs, engines, and ingest order, and a
+    * re-draw after appending new docs only ever APPENDS to a source's
+    * kept set if the hash order places them later. One broadcast join
+    * against the 20-row quota table + one per-source window — the
+    * cumulative sum distributes across sources; no global sort.
+    */
+  private def q179QuotaDraw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = tokenQuotas(s, d, 10000L).select(col("source"), col("quota"))
+    val perDoc = docs(s, d).select(col("source"), col("doc_id"),
+      size(toks).cast("long").as("n"),
+      TextOps.tokenHash(concat(lit("draw:"), col("doc_id").cast("string")))
+        .as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = perDoc.join(broadcast(quotas), Seq("source"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .where(col("cum") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_kept"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("quota"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q179Sql = {
+    val hash = TextOps.tokenHashSql("('draw:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH ${quotaCtes(10000L)},
+       perdoc AS (SELECT source, doc_id,
+              CAST(len($toksSql) AS BIGINT) AS n, $hash AS h
+         FROM documents),
+       cums AS (SELECT p.source, p.n, q.quota,
+              SUM(p.n) OVER (PARTITION BY p.source
+                             ORDER BY p.h ASC, p.doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM perdoc p JOIN quota q USING (source)),
+       kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS tok_kept
+         FROM cums WHERE cum <= quota GROUP BY source)
+       SELECT q.source, q.quota,
+              CAST(COALESCE(k.n_docs, 0) AS BIGINT) AS n_docs,
+              CAST(COALESCE(k.tok_kept, 0) AS BIGINT) AS tok_kept
+       FROM quota q LEFT JOIN kept k USING (source)
+       ORDER BY q.source"""
   }
 
   /** q96: C4/CCNet-style boilerplate removal. Segments here are
@@ -607,6 +668,7 @@ object Corpus extends QueryPack {
     "q97_source_caps" -> q97SourceCaps,
     "q98_mixture_epochs" -> q98MixtureEpochs,
     "q178_token_quotas" -> q178TokenQuotas,
+    "q179_quota_draw" -> q179QuotaDraw,
     "q99_context_chunks" -> q99ContextChunks,
     "q100_tfidf_keywords" -> q100TfidfKeywords,
     "q101_textrank" -> q101Textrank,
@@ -622,6 +684,7 @@ object Corpus extends QueryPack {
     "q97_source_caps" -> q97Sql,
     "q98_mixture_epochs" -> q98Sql,
     "q178_token_quotas" -> q178Sql,
+    "q179_quota_draw" -> q179Sql,
     "q99_context_chunks" -> q99Sql,
     "q100_tfidf_keywords" -> q100Sql,
     "q101_textrank" -> q101Sql,
