@@ -43,6 +43,16 @@ case class TransitionEdge(user_id: Long, prev_type: String, next_type: String)
 /** Last-seen-event state for [[StreamingOps.transitionsStream]]. */
 case class LastEventState(last_us: Long, last_type: String)
 
+/** Incoming document as seen by [[StreamingOps.quotaAdmissionStream]]. */
+case class DocIngest(doc_id: Long, source: String, n_tokens: Long)
+
+/** Per-source budget state: tokens SEEN (in processing order) so far. */
+case class QuotaState(seen: Long)
+
+/** Admitted document emitted by [[StreamingOps.quotaAdmissionStream]]. */
+case class AdmittedDoc(
+    source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+
 /** Structured Streaming operators (SURVEY §2.11 — absent from the
   * reference, included as the engine's streaming seam; the batch twins
   * live in graft.queries.Events with identical semantics).
@@ -475,6 +485,49 @@ object StreamingOps {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming token-quota admission — the continuous twin of the
+    * batch quota-filled draw (q179): each source owns a fixed token
+    * budget; arriving documents are admitted while the source's
+    * cumulative token count stays within it. State is ONE counter per
+    * source (tokens seen), so the operator scales with |sources|, not
+    * |docs|, and distributes on the source grouping key.
+    *
+    * Semantics mirror the batch draw's strict PREFIX fill: the counter
+    * advances for every document processed, admitted or not, so one
+    * oversized document at the boundary closes the budget exactly as
+    * the batch cumulative-sum cut does. Within a micro-batch documents
+    * are processed in the batch twin's (stable draw-hash, doc_id)
+    * order; across batches, arrival order stands in for hash order —
+    * on a feed that arrives in draw order the admitted set equals the
+    * batch q179 draw exactly (spec-pinned).
+    */
+  def quotaAdmissionStream(
+      docs: Dataset[DocIngest], quota: Long): Dataset[AdmittedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def drawHash(docId: Long): Long =
+      graft.plans.Md5PrefixLongExpr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"draw:$docId"))
+
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, batch, state) =>
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          val out = Seq.newBuilder[AdmittedDoc]
+          batch.toSeq.sortBy(d => (drawHash(d.doc_id), d.doc_id)).foreach {
+            d =>
+              seen += d.n_tokens
+              if (seen <= quota)
+                out += AdmittedDoc(source, d.doc_id, d.n_tokens, seen)
+          }
+          state.update(QuotaState(seen))
+          out.result().iterator
       }
   }
 

@@ -443,4 +443,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === want, s"edge multiset must match batch twin: $got")
     } finally query.stop()
   }
+
+  test("quota admission stream equals the batch prefix draw on an ordered feed") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    def drawHash(id: Long): Long = graft.plans.Md5PrefixLongExpr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"draw:$id"))
+
+    val quota = 100L
+    val docs = (1L to 10L).map(i =>
+      graft.streaming.DocIngest(i, if (i % 2 == 0) "a" else "b", 10L + i * 3L))
+
+    // batch twin: per-source (hash, id) order, cumulative sum, keep <= quota
+    val want = docs.groupBy(_.source).flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (drawHash(d.doc_id), d.doc_id))
+      val cums = ordered.scanLeft(0L)(_ + _.n_tokens).tail
+      ordered.zip(cums).takeWhile(_._2 <= quota)
+        .map { case (d, c) => (src, d.doc_id, d.n_tokens, c) }
+    }.toSet
+    assert(want.nonEmpty && want.size < docs.size,
+      "fixture must exercise the quota boundary")
+
+    val input = MemoryStream[graft.streaming.DocIngest]
+    val query = graft.streaming.StreamingOps
+      .quotaAdmissionStream(input.toDS(), quota)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      // feed in draw order, split across two micro-batches per source
+      val bySrc = docs.groupBy(_.source).view.mapValues(
+        _.sortBy(d => (drawHash(d.doc_id), d.doc_id))).toMap
+      input.addData(bySrc.values.flatMap(_.take(2)).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(bySrc.values.flatMap(_.drop(2)).toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("quota").as[graft.streaming.AdmittedDoc]
+        .collect().map(a => (a.source, a.doc_id, a.n_tokens, a.cum_tokens))
+        .toSet
+      assert(got === want, s"admitted set must match the batch draw: $got")
+      assert(got.forall(_._4 <= quota), "running totals must respect quota")
+    } finally query.stop()
+  }
 }
