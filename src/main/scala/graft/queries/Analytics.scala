@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{Exact, Tables}
-import graft.ops.ScdOps
+import graft.ops.{GraphOps, ScdOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -382,14 +382,26 @@ object Analytics extends QueryPack {
     * distinct-name relation is vocabulary-sized; each block is an
     * equi-join on a uniform key; Levenshtein runs on candidates only.
     */
-  private def q141FuzzyNames(s: SparkSession, d: String): DataFrame = {
+  /** Distinct part names with their part count and blocking keys,
+    * cached (feeds both block self-joins, twice for q180). Shared by
+    * q141 and q180.
+    */
+  private def fuzzyNameTable(s: SparkSession, d: String): DataFrame = {
     val names = Tables(s, d, "part")
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .select(col("p_name"), col("n_parts"),
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"),
+        min(col("p_partkey")).cast("long").as("nid"))
+      .select(col("p_name"), col("n_parts"), col("nid"),
         expr("split(p_name, ' ')[0]").as("adj"),
         expr("element_at(split(p_name, ' '), -1)").as("noun"))
-      .cache() // feeds both block self-joins
+      .cache()
     names.count()
+    names
+  }
+
+  /** Blocked fuzzy name pairs (Levenshtein ≤ 2) over `names` — the
+    * shared candidate discipline documented at q141.
+    */
+  private def fuzzyNamePairs(names: DataFrame): DataFrame = {
     def block(key: String): DataFrame =
       names.as("a").join(names.as("b"),
         col(s"a.$key") === col(s"b.$key") &&
@@ -398,9 +410,12 @@ object Analytics extends QueryPack {
     block("adj").unionByName(block("noun")).distinct()
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("lev") <= 2)
+  }
+
+  private def q141FuzzyNames(s: SparkSession, d: String): DataFrame =
+    fuzzyNamePairs(fuzzyNameTable(s, d))
       .select(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"))
       .orderBy(col("name_a"), col("name_b"))
-  }
 
   private val q141Sql =
     s"""WITH names AS (
@@ -419,6 +434,71 @@ object Analytics extends QueryPack {
               CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
        FROM cand WHERE levenshtein(name_a, name_b) <= 2
        ORDER BY name_a, name_b"""
+
+  // ---------------------------------------------------------------- q180
+
+  /** q180: entity resolution end-to-end — q141's fuzzy pairs promoted
+    * to ENTITIES: each distinct name gets a stable integral id (its
+    * minimum p_partkey), the pair list becomes an edge list, and the
+    * shared distributed connected-components machinery
+    * ([[graft.ops.GraphOps.connectedComponents]] — the same
+    * large-star/small-star loop behind near-dup clustering q75) folds
+    * transitive matches (A~B, B~C ⇒ {A,B,C}) into one entity per
+    * component. Output is the per-entity ledger: member-name count,
+    * canonical (lexicographically smallest) name, and total parts
+    * absorbed. Singleton names never enter the edge list and are
+    * excluded by contract — the report lists MERGED entities. The
+    * oracle re-derives the closure with a recursive CTE, so one wrong
+    * merge or label hash-fails.
+    */
+  private def q180EntityClusters(s: SparkSession, d: String): DataFrame = {
+    val names = fuzzyNameTable(s, d)
+    val edges = fuzzyNamePairs(names)
+      .join(names.select(col("p_name").as("name_a"), col("nid").as("ida")),
+        "name_a")
+      .join(names.select(col("p_name").as("name_b"), col("nid").as("idb")),
+        "name_b")
+      .select(col("ida"), col("idb"))
+    GraphOps.connectedComponents(edges, "ida", "idb")
+      .join(names.select(col("nid").as("id"), col("p_name"), col("n_parts")),
+        "id")
+      .groupBy(col("comp").as("entity_id"))
+      .agg(count(lit(1)).as("n_names"),
+        min(col("p_name")).as("canonical_name"),
+        sum(col("n_parts")).as("n_parts"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val q180Sql =
+    s"""WITH RECURSIVE names AS (
+         SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(MIN(p_partkey) AS BIGINT) AS nid,
+                string_split(p_name, ' ')[1] AS adj,
+                string_split(p_name, ' ')[-1] AS noun
+         FROM part GROUP BY p_name),
+       cand AS (
+         SELECT a.p_name AS na, b.p_name AS nb, a.nid AS ida, b.nid AS idb
+         FROM names a JOIN names b
+           ON a.adj = b.adj AND a.p_name < b.p_name
+         UNION
+         SELECT a.p_name, b.p_name, a.nid, b.nid
+         FROM names a JOIN names b
+           ON a.noun = b.noun AND a.p_name < b.p_name),
+       fuzzy AS (SELECT DISTINCT ida, idb FROM cand
+                 WHERE levenshtein(na, nb) <= 2),
+       sym AS (SELECT ida AS u, idb AS v FROM fuzzy
+               UNION SELECT idb, ida FROM fuzzy),
+       reach(u, v) AS (
+         SELECT u, v FROM sym
+         UNION
+         SELECT r.u, s.v FROM reach r JOIN sym s
+           ON r.v = s.u WHERE s.v <> r.u),
+       cmp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+       SELECT c.comp AS entity_id, CAST(count(*) AS BIGINT) AS n_names,
+              MIN(n.p_name) AS canonical_name,
+              CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+       FROM cmp c JOIN names n ON n.nid = c.u
+       GROUP BY c.comp ORDER BY entity_id"""
 
   // ---------------------------------------------------------------- q142
 
@@ -957,6 +1037,7 @@ object Analytics extends QueryPack {
     "q137_skyline_parts" -> q137SkylineParts,
     "q140_bloom_join" -> q140BloomJoin,
     "q141_fuzzy_names" -> q141FuzzyNames,
+    "q180_entity_clusters" -> q180EntityClusters,
     "q142_longest_streak" -> q142LongestStreak,
     "q143_association_rules" -> q143AssociationRules,
     "q145_rolling_active" -> q145RollingActive,
@@ -977,6 +1058,7 @@ object Analytics extends QueryPack {
     "q137_skyline_parts" -> q137Sql,
     "q140_bloom_join" -> q140Sql,
     "q141_fuzzy_names" -> q141Sql,
+    "q180_entity_clusters" -> q180Sql,
     "q142_longest_streak" -> q142Sql,
     "q143_association_rules" -> q143Sql,
     "q145_rolling_active" -> q145Sql,
