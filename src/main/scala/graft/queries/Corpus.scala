@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.ops.{CorpusOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-shaping pack — the training-data operations that sit between
@@ -267,6 +267,57 @@ object Corpus extends QueryPack {
                 list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
                 ' ') AS chunk_text
        FROM st ORDER BY doc_id, chunk_idx"""
+
+  /** q181: deterministic MLM masking prep (BERT-style span
+    * corruption): each token position is masked iff a stable per-
+    * (doc, position) hash lands under 15%, producing the
+    * (masked_text, targets) training pair plus the mask ledger. RNG-
+    * free — the SAME positions mask on every run, engine, and
+    * partitioning, so the training set is reproducible end-to-end and
+    * the oracle can hash-match it. Everything is one per-row
+    * projection (token array pinned first — HOF lambdas must not
+    * re-derive it per element); no shuffle at all before the gate's
+    * ORDER BY.
+    */
+  private def q181MlmMasking(s: SparkSession, d: String): DataFrame = {
+    def maskCond(i: Column, docId: Column): Column =
+      TextOps.tokenHash(concat(lit("mlm:"), docId.cast("string"),
+        lit(":"), i.cast("string"))) % 100 < 15
+    docs(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        filter(col("t"), (_, i) => maskCond(i, col("doc_id")))
+          .as("masked_toks"),
+        array_join(transform(col("t"),
+          (w, i) => when(maskCond(i, col("doc_id")), lit("[MASK]"))
+            .otherwise(w)), " ").as("masked_text"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("masked_toks")).cast("long").as("n_masked"),
+        array_join(col("masked_toks"), " ").as("targets"),
+        col("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q181Sql = {
+    def cond(i: String) = "CAST(('0x' || substr(md5('mlm:' || " +
+      s"CAST(doc_id AS VARCHAR) || ':' || CAST($i AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 100 < 15"
+    s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+       m AS (SELECT doc_id, t,
+               list_filter(range(len(t)), i -> ${cond("i")}) AS mpos
+             FROM base)
+       SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              CAST(len(mpos) AS BIGINT) AS n_masked,
+              -- duckdb array_to_string([]) is NULL, spark's is ''
+              COALESCE(array_to_string(
+                list_transform(mpos, i -> t[i + 1]), ' '), '') AS targets,
+              array_to_string(
+                list_transform(range(len(t)),
+                  i -> CASE WHEN ${cond("i")}
+                       THEN '[MASK]' ELSE t[i + 1] END), ' ') AS masked_text
+       FROM m ORDER BY doc_id"""
+  }
 
   /** q100: TF-IDF keyword extraction, top-3 terms per document. The
     * idf is exact integer fixed-point — `(1e6 · N) div df` — so the
@@ -669,6 +720,7 @@ object Corpus extends QueryPack {
     "q98_mixture_epochs" -> q98MixtureEpochs,
     "q178_token_quotas" -> q178TokenQuotas,
     "q179_quota_draw" -> q179QuotaDraw,
+    "q181_mlm_masking" -> q181MlmMasking,
     "q99_context_chunks" -> q99ContextChunks,
     "q100_tfidf_keywords" -> q100TfidfKeywords,
     "q101_textrank" -> q101Textrank,
@@ -685,6 +737,7 @@ object Corpus extends QueryPack {
     "q98_mixture_epochs" -> q98Sql,
     "q178_token_quotas" -> q178Sql,
     "q179_quota_draw" -> q179Sql,
+    "q181_mlm_masking" -> q181Sql,
     "q99_context_chunks" -> q99Sql,
     "q100_tfidf_keywords" -> q100Sql,
     "q101_textrank" -> q101Sql,
