@@ -200,6 +200,56 @@ object Dedup extends QueryPack {
        $withsetsCte, $ccCtes
        SELECT doc_id, comp FROM labels ORDER BY doc_id"""
 
+  /** q182: split-leakage audit + the cluster-keyed fix — the check an
+    * eval pipeline runs BEFORE trusting held-out numbers: a near-dup
+    * cluster whose members land in different q83 hash splits leaks
+    * training text into valid/test. One row per MULTI-doc cluster:
+    * how many doc-level splits it straddles (`n_splits` > 1 = leak)
+    * and the `split_safe` assignment — the same 80/10/10 hash keyed by
+    * the CLUSTER label instead of the doc id, which puts every member
+    * in one split by construction (and keeps each min-id survivor
+    * exactly where doc-level hashing already placed it, so switching
+    * to cluster-keyed splitting never moves a deduplicated corpus).
+    * Cost on top of q75's labels: one groupBy over |docs|.
+    */
+  private def q182SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(TextOps.tokenHash(
+        concat(lit("split:"), c.cast("string"))), lit(100L))
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test")
+    }
+    CurationOps.clusterLabels(docs(s, d))
+      .withColumn("split", splitOf(col("doc_id")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).cast("long").as("n_splits"),
+        array_join(sort_array(collect_set(col("split"))), ",")
+          .as("splits_doc"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("split_safe", splitOf(col("comp")))
+      .orderBy(col("comp"))
+  }
+
+  private val q182Sql = {
+    def splitOf(x: String) = {
+      val h = TextOps.tokenHashSql(s"('split:' || CAST($x AS VARCHAR))")
+      s"""CASE WHEN $h % 100 < 80 THEN 'train'
+              WHEN $h % 100 < 90 THEN 'valid'
+              ELSE 'test' END"""
+    }
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       lab AS (SELECT doc_id, comp, ${splitOf("doc_id")} AS split
+               FROM labels)
+       SELECT comp, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+              array_to_string(list_sort(list(DISTINCT split)), ',')
+                AS splits_doc,
+              ${splitOf("comp")} AS split_safe
+       FROM lab GROUP BY comp HAVING count(*) >= 2 ORDER BY comp"""
+  }
+
   /** q76: canonical-document selection + purge summary — one survivor
     * per cluster (the minimum doc_id, which is the component label by
     * construction) with the cluster size it absorbed. The purged corpus
@@ -1074,6 +1124,7 @@ object Dedup extends QueryPack {
     "q30_simhash_pairs" -> q30SimhashPairs,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q75_neardup_clusters" -> q75NeardupClusters,
+    "q182_split_leakage" -> q182SplitLeakage,
     "q76_dedup_survivors" -> q76DedupSurvivors,
     "q165_best_of_cluster" -> q165BestOfCluster,
     "q77_contamination" -> q77Contamination,
@@ -1103,6 +1154,7 @@ object Dedup extends QueryPack {
     "q153_prefix_join" -> q153Sql,
     "q155_neardup_kcore" -> q155Sql,
     "q75_neardup_clusters" -> q75Sql,
+    "q182_split_leakage" -> q182Sql,
     "q76_dedup_survivors" -> q76Sql,
     "q165_best_of_cluster" -> q165Sql,
     "q77_contamination" -> q77Sql,
