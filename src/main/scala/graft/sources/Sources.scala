@@ -264,6 +264,29 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Bucketed-table sink — the storage-layout lever for repeated
+    * LARGE-large joins at 100 TB: both sides written with
+    * `bucketBy(n, key)` + `sortBy(key)` land co-partitioned AND
+    * pre-sorted on disk, so a later sort-merge join on the key needs
+    * NO shuffle exchange and no sort on either side (PlanSpec pins
+    * this; eliding the SORTS additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` —
+    * since 3.1 Spark only advertises bucket-file ordering under that
+    * flag — while the exchange elision is unconditional). Broadcast covers small dims; bucketing covers the
+    * fact-to-fact case (orders⋈lineitem every night) where a 100 TB
+    * shuffle per run is the dominant cost — pay the shuffle once at
+    * write time, amortize it over every subsequent join. Bucket count
+    * is a real knob: files-per-write = partitions × buckets, so
+    * callers repartition on the bucket key first (done here) to keep
+    * one file per bucket.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.repartition(buckets, df.col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Fixed-width source — mainframe/export layouts where each field
     * lives at a declared 1-based (start, length) offset. One text scan +
     * per-row substring projection (codegen'd, shuffle-free); short rows

@@ -319,4 +319,44 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Exchange SinglePartition\n   +- Window"),
       s"streak window must not single-partition:\n${p.take(3000)}")
   }
+
+  test("bucketed tables sort-merge join with no exchange and no sort") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the bucketing (not a broadcast) carries the join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one file per bucket (writeBucketed repartitions to guarantee
+      // it) + this flag lets the scan advertise the sortBy ordering,
+      // eliding the per-side SMJ sorts as well as the exchanges
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val items = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      graft.sources.Sources.writeBucketed(
+        orders, "bkt_orders", "o_orderkey", 8)
+      graft.sources.Sources.writeBucketed(
+        items.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem", "o_orderkey", 8)
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_lineitem"), "o_orderkey")
+      val p = planOf(joined)
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n${p.take(3000)}")
+      assert(!p.contains(" Sort "),
+        s"bucket sortBy must satisfy the SMJ ordering (no Sort node):\n${
+          p.take(3000)}")
+      // the layout must also be CORRECT, not just exchange-free
+      val n = joined.count()
+      val expect = items.count()
+      assert(n === expect, s"bucketed join row count $n != $expect")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }
