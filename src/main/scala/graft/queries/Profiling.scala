@@ -377,6 +377,76 @@ object Profiling extends QueryPack {
        SELECT source, term, c_st, c_t, lift_e3, rk FROM r
        WHERE rk <= 5 ORDER BY source, rk"""
 
+  // ---------------------------------------------------------------- q183
+
+  /** q183: train-vs-eval token-distribution drift — the monitor that
+    * catches a skewed eval set (or a corpus refresh that moved the
+    * language) BEFORE it poisons a benchmark number: token share in
+    * the q83 train split vs the held-out rest, ranked by exact
+    * integer share difference `|c₁·10⁶ div N₁ − c₂·10⁶ div N₂|` (e6
+    * fixed point on COUNT×CONSTANT only — safe until a single token
+    * exceeds 9.2e12 occurrences per side, far beyond a 100 TB corpus;
+    * the count×total cross-product form q133 avoids would overflow
+    * here too). One grouped count over (term), conditional sums
+    * map-side-combined; the two totals are one broadcast scalar row;
+    * top-20 via TakeOrderedAndProject. Rare terms (<20 occurrences
+    * combined) are excluded — their shares are noise at any scale.
+    */
+  private def q183TokenDrift(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(TextOps.tokenHash(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val tok = docs(s, d)
+      .select(when(bucket < 80, "train").otherwise("eval").as("side"),
+        explode(toks).as("term"))
+    val counts = tok.groupBy(col("term")).agg(
+      sum(when(col("side") === "train", 1L).otherwise(0L)).as("c_train"),
+      sum(when(col("side") === "eval", 1L).otherwise(0L)).as("c_eval"))
+    val tots = tok.agg(
+      sum(when(col("side") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("side") === "eval", 1L).otherwise(0L)).as("n_eval"))
+    counts.filter(col("c_train") + col("c_eval") >= 20L)
+      .crossJoin(broadcast(tots))
+      .select(col("term"), col("c_train"), col("c_eval"),
+        expr("(c_train * 1000000) div n_train").as("share_train_e6"),
+        expr("(c_eval * 1000000) div n_eval").as("share_eval_e6"))
+      .withColumn("drift_e6",
+        abs(col("share_train_e6") - col("share_eval_e6")))
+      .orderBy(col("drift_e6").desc, col("term").asc)
+      .limit(20)
+  }
+
+  private val q183Sql = {
+    val hash = TextOps.tokenHashSql("('split:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH tok AS (
+         SELECT CASE WHEN $hash % 100 < 80 THEN 'train' ELSE 'eval' END
+                  AS side,
+                unnest($toksSql) AS term
+         FROM documents),
+       counts AS (
+         SELECT term,
+                CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_train,
+                CAST(SUM(CASE WHEN side = 'eval' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_eval
+         FROM tok GROUP BY term),
+       tots AS (
+         SELECT CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+                CAST(SUM(CASE WHEN side = 'eval' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval
+         FROM tok),
+       shares AS (
+         SELECT term, c_train, c_eval,
+                (c_train * 1000000) // n_train AS share_train_e6,
+                (c_eval * 1000000) // n_eval AS share_eval_e6
+         FROM counts CROSS JOIN tots
+         WHERE c_train + c_eval >= 20)
+       SELECT term, c_train, c_eval, share_train_e6, share_eval_e6,
+              abs(share_train_e6 - share_eval_e6) AS drift_e6
+       FROM shares
+       ORDER BY drift_e6 DESC, term ASC LIMIT 20"""
+  }
+
   // ---------------------------------------------------------------- q138
 
   /** q138: dataset card — the one-row data sheet a corpus release
@@ -577,6 +647,7 @@ object Profiling extends QueryPack {
     "q131_token_diversity" -> q131TokenDiversity,
     "q132_inverted_index" -> q132InvertedIndex,
     "q133_distinctive_tokens" -> q133DistinctiveTokens,
+    "q183_token_drift" -> q183TokenDrift,
     "q138_dataset_card" -> q138DatasetCard,
     "q139_snapshot_diff" -> q139SnapshotDiff,
     "q144_sample_sheet" -> q144SampleSheet)
@@ -589,6 +660,7 @@ object Profiling extends QueryPack {
     "q131_token_diversity" -> q131Sql,
     "q132_inverted_index" -> q132Sql,
     "q133_distinctive_tokens" -> q133Sql,
+    "q183_token_drift" -> q183Sql,
     "q138_dataset_card" -> q138Sql,
     "q139_snapshot_diff" -> q139Sql,
     "q144_sample_sheet" -> q144Sql)
