@@ -447,6 +447,58 @@ object Profiling extends QueryPack {
        ORDER BY drift_e6 DESC, term ASC LIMIT 20"""
   }
 
+  // ---------------------------------------------------------------- q184
+
+  /** q184: vocabulary growth curve (Heaps' law, measured exactly) —
+    * how many NEW distinct tokens each decile of the corpus (in
+    * doc_id ingest order) contributes, plus the running vocabulary
+    * size. The corpus-planning readout: a flattening curve says more
+    * of the same source adds volume, not diversity. Each token's
+    * first-seen doc is one grouped MIN over the exploded stream
+    * (combiner-friendly — no distinct needed first); deciles come
+    * from the contiguous doc_id space against one broadcast count;
+    * the cumulative sum runs over the 10-row summary only.
+    */
+  private def q184VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs_total"))
+    val firstSeen = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val newPerDecile = firstSeen.crossJoin(broadcast(n))
+      .select(expr("(first_doc * 10) div n_docs_total").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_terms"))
+    val docsPerDecile = docs(s, d).crossJoin(broadcast(n))
+      .select(expr("(doc_id * 10) div n_docs_total").as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    docsPerDecile.join(newPerDecile, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("decile"))
+  }
+
+  private val q184Sql =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+                   FROM documents),
+       fs AS (SELECT term, MIN(doc_id) AS first_doc
+              FROM (SELECT doc_id, unnest($toksSql) AS term
+                    FROM documents)
+              GROUP BY term),
+       nd AS (SELECT (first_doc * 10) // n_docs_total AS decile,
+                     CAST(count(*) AS BIGINT) AS new_terms
+              FROM fs CROSS JOIN n GROUP BY 1),
+       dd AS (SELECT (doc_id * 10) // n_docs_total AS decile,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents CROSS JOIN n GROUP BY 1)
+       SELECT d.decile, d.n_docs,
+              CAST(COALESCE(nd.new_terms, 0) AS BIGINT) AS new_terms,
+              CAST(SUM(COALESCE(nd.new_terms, 0)) OVER (ORDER BY d.decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+       FROM dd d LEFT JOIN nd USING (decile) ORDER BY decile"""
+
   // ---------------------------------------------------------------- q138
 
   /** q138: dataset card — the one-row data sheet a corpus release
@@ -648,6 +700,7 @@ object Profiling extends QueryPack {
     "q132_inverted_index" -> q132InvertedIndex,
     "q133_distinctive_tokens" -> q133DistinctiveTokens,
     "q183_token_drift" -> q183TokenDrift,
+    "q184_vocab_growth" -> q184VocabGrowth,
     "q138_dataset_card" -> q138DatasetCard,
     "q139_snapshot_diff" -> q139SnapshotDiff,
     "q144_sample_sheet" -> q144SampleSheet)
@@ -661,6 +714,7 @@ object Profiling extends QueryPack {
     "q132_inverted_index" -> q132Sql,
     "q133_distinctive_tokens" -> q133Sql,
     "q183_token_drift" -> q183Sql,
+    "q184_vocab_growth" -> q184Sql,
     "q138_dataset_card" -> q138Sql,
     "q139_snapshot_diff" -> q139Sql,
     "q144_sample_sheet" -> q144Sql)
