@@ -319,6 +319,54 @@ object Corpus extends QueryPack {
        FROM m ORDER BY doc_id"""
   }
 
+  /** q185: deterministic negative sampling — contrastive-training
+    * prep: each anchor document draws k=3 candidate negatives by
+    * stable hash into the contiguous doc_id space, then keeps only
+    * CROSS-SOURCE draws (a same-source or self draw is discarded, not
+    * re-drawn — the documented, engine-exact contract; with 20 sources
+    * the expected yield is ~95% of 3k). RNG-free: the same anchor
+    * always gets the same negatives, so a resumed or re-run training
+    * job sees an identical pair set. The draw is a per-row expression;
+    * resolving each draw's source is one equi-join on the uniform
+    * hash-picked id — no cartesian anywhere.
+    */
+  private def q185NegativeSamples(s: SparkSession, d: String): DataFrame = {
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs_total"))
+    val picks = docs(s, d).select(col("doc_id"), col("source").as("src_a"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("src_a"), col("n_docs_total"),
+        explode(sequence(lit(0L), lit(2L))).as("draw_idx"))
+      .withColumn("neg_id", pmod(TextOps.tokenHash(
+        concat(lit("neg:"), col("doc_id").cast("string"),
+          lit(":"), col("draw_idx").cast("string"))), col("n_docs_total")))
+    picks.join(docs(s, d).select(col("doc_id").as("neg_id"),
+        col("source").as("src_n")), "neg_id")
+      .filter(col("src_n") =!= col("src_a") &&
+        col("neg_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("draw_idx"), col("neg_id"),
+        col("src_a"), col("src_n"))
+      .orderBy(col("doc_id"), col("draw_idx"))
+  }
+
+  private val q185Sql = {
+    val hash = TextOps.tokenHashSql(
+      "('neg:' || CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(draw_idx AS VARCHAR))")
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+                   FROM documents),
+       draws AS (SELECT doc_id, source AS src_a,
+                        unnest(range(0, 3)) AS draw_idx
+                 FROM documents),
+       picks AS (SELECT doc_id, src_a, draw_idx,
+                        $hash % n_docs_total AS neg_id
+                 FROM draws CROSS JOIN n)
+       SELECT p.doc_id, p.draw_idx, p.neg_id, p.src_a,
+              d.source AS src_n
+       FROM picks p JOIN documents d ON d.doc_id = p.neg_id
+       WHERE d.source <> p.src_a AND p.neg_id <> p.doc_id
+       ORDER BY p.doc_id, p.draw_idx"""
+  }
+
   /** q100: TF-IDF keyword extraction, top-3 terms per document. The
     * idf is exact integer fixed-point — `(1e6 · N) div df` — so the
     * score is order-independent integer math that hash-matches across
@@ -721,6 +769,7 @@ object Corpus extends QueryPack {
     "q178_token_quotas" -> q178TokenQuotas,
     "q179_quota_draw" -> q179QuotaDraw,
     "q181_mlm_masking" -> q181MlmMasking,
+    "q185_negative_samples" -> q185NegativeSamples,
     "q99_context_chunks" -> q99ContextChunks,
     "q100_tfidf_keywords" -> q100TfidfKeywords,
     "q101_textrank" -> q101Textrank,
@@ -738,6 +787,7 @@ object Corpus extends QueryPack {
     "q178_token_quotas" -> q178Sql,
     "q179_quota_draw" -> q179Sql,
     "q181_mlm_masking" -> q181Sql,
+    "q185_negative_samples" -> q185Sql,
     "q99_context_chunks" -> q99Sql,
     "q100_tfidf_keywords" -> q100Sql,
     "q101_textrank" -> q101Sql,
