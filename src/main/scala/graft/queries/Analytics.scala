@@ -976,6 +976,85 @@ object Analytics extends QueryPack {
              FROM orders)
        GROUP BY bin ORDER BY bin"""
 
+  /** q186: mergeable histogram-quantile partials — q177's
+    * store-partials-not-raw pattern for QUANTILES: per-priority
+    * (bin, count) histograms over `o_totalprice` in exact cents are
+    * what each ingest batch persists; merging is integer count
+    * addition (associative by construction), and any window's
+    * p50/p90/p99 comes off the merged 64-bin histogram with error
+    * bounded by one bin width — never a re-sort of raw data. The
+    * type-1 quantile estimate (smallest bin whose cumulative count
+    * reaches ⌈p·N/100⌉) and its ±bin-width bound are ALL integer
+    * math on both engines. Two map-side-partial aggregates over the
+    * fact table; everything after is 64-row arithmetic (the tiny
+    * cumulative window mirrors q178). SketchMergeSpec pins the
+    * estimator quality: the exact k-th smallest provably lies in the
+    * hit bin, so est ≥ exact and est − exact < err_cents.
+    */
+  private def q186QuantilePartials(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sq = s
+    import sq.implicits._
+    val cents = Exact.fixed(col("o_totalprice"), 2)
+    val stats = Tables(s, d, "orders").agg(
+      min(cents).as("mn_c"), max(cents).as("mx_c"),
+      count(lit(1)).as("n_total"))
+    // per-priority partials: the batch-persisted object
+    val partials = Tables(s, d, "orders")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", cents)
+      .withColumn("w", expr("(mx_c - mn_c + 64) div 64"))
+      .withColumn("bin", expr("(c - mn_c) div w"))
+      .groupBy(col("o_orderpriority"), col("w"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    // merge = integer addition per bin; then the 64-row cumulative
+    val merged = partials.groupBy(col("w"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    Seq(50L, 90L, 99L).toDF("p")
+      .crossJoin(broadcast(stats))
+      .withColumn("k", expr("(p * n_total + 99) div 100"))
+      .join(merged, col("cum") >= col("k"))
+      .groupBy(col("p"), col("k"), col("n_total"), col("mn_c"),
+        col("mx_c"))
+      .agg(min(col("bin")).as("bin"), min(col("w")).as("w"))
+      .select(col("p"), col("k"), col("n_total"), col("bin"),
+        least(col("mn_c") + (col("bin") + 1L) * col("w") - 1L,
+          col("mx_c")).as("est_cents"),
+        col("w").as("err_cents"))
+      .orderBy(col("p"))
+  }
+
+  private val q186Sql = {
+    val cents = Exact.fixedSql("o_totalprice", 2)
+    s"""WITH stats AS (SELECT MIN($cents) AS mn_c, MAX($cents) AS mx_c,
+              CAST(count(*) AS BIGINT) AS n_total FROM orders),
+       partials AS (
+         SELECT o_orderpriority, (mx_c - mn_c + 64) // 64 AS w,
+                ($cents - mn_c) // ((mx_c - mn_c + 64) // 64) AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders CROSS JOIN stats
+         GROUP BY 1, 2, 3),
+       merged AS (
+         SELECT w, bin, CAST(SUM(n) AS BIGINT) AS n,
+                CAST(SUM(SUM(n)) OVER (ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM partials GROUP BY w, bin),
+       ps AS (SELECT unnest([50, 90, 99]) AS p),
+       ks AS (SELECT p, (p * n_total + 99) // 100 AS k, n_total
+              FROM ps CROSS JOIN stats),
+       hit AS (SELECT ks.p, ks.k, ks.n_total,
+                      MIN(m.bin) AS bin, MIN(m.w) AS w
+               FROM ks JOIN merged m ON m.cum >= ks.k
+               GROUP BY ks.p, ks.k, ks.n_total)
+       SELECT CAST(p AS BIGINT) AS p, hit.k, hit.n_total, hit.bin,
+              LEAST(stats.mn_c + (hit.bin + 1) * hit.w - 1, stats.mx_c)
+                AS est_cents,
+              hit.w AS err_cents
+       FROM hit CROSS JOIN stats ORDER BY p"""
+  }
+
   /** q176: revenue concentration (Gini coefficient) per market
     * segment — the inequality metric that tells a pipeline whether
     * volume (or, for corpora, a source mix) is dominated by a few
@@ -1047,6 +1126,7 @@ object Analytics extends QueryPack {
     "q164_pit_join" -> q164PointInTimeJoin,
     "q173_reconciliation" -> q173Reconciliation,
     "q174_value_histogram" -> q174ValueHistogram,
+    "q186_quantile_partials" -> q186QuantilePartials,
     "q176_revenue_gini" -> q176RevenueGini)
 
   def oracle: Map[String, String] = Map(
@@ -1068,5 +1148,6 @@ object Analytics extends QueryPack {
     "q164_pit_join" -> q164Sql,
     "q173_reconciliation" -> q173Sql,
     "q174_value_histogram" -> q174Sql,
+    "q186_quantile_partials" -> q186Sql,
     "q176_revenue_gini" -> q176Sql)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.GraftSession
+import graft.queries.Analytics
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -51,5 +52,26 @@ class SketchMergeSpec extends AnyFunSuite {
     // default lgK=12 → relative error ~1.6%; allow 5%
     assert(math.abs(merged - exact) <= math.max(1L, exact / 20),
       s"estimate $merged vs exact $exact")
+  }
+
+  test("q186 histogram quantiles: merged == direct, error within one bin") {
+    val sf = "/root/testdata/sf0.001"
+    val est = Analytics.all("q186_quantile_partials")(spark, sf).collect()
+    // exact k-th smallest in cents (type-1 quantile), small-data sort
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .select(graft.core.Exact.fixed(col("o_totalprice"), 2).as("c"))
+      .orderBy(col("c")).collect().map(_.getLong(0))
+    est.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val exact = cents(k.toInt - 1)
+      val e = r.getAs[Long]("est_cents")
+      val err = r.getAs[Long]("err_cents")
+      // the estimate is the hit bin's inclusive upper edge: exact lies
+      // in that bin, so est >= exact and est - exact < bin width
+      assert(e >= exact && e - exact < err,
+        s"p=${r.getAs[Long]("p")}: est $e exact $exact err $err")
+    }
+    assert(est.map(_.getAs[Long]("n_total")).distinct.sameElements(
+      Array(cents.length.toLong)))
   }
 }
