@@ -138,6 +138,54 @@ object CorpusOps {
       .filter(col("rk") <= cap)
   }
 
+  /** Hamilton largest-remainder apportionment of an integer budget
+    * `T` across the rows of `perSrc` (`source`, `tok`), proportional
+    * to `tok`: base quota = ⌊T·tokᵢ/Σtok⌋, leftover seats to the
+    * largest remainders (source-name tie-break). All integer math —
+    * quotas sum to T exactly and never drift between engines. Runs
+    * on the |sources|-row summary only (two broadcast scalars + one
+    * tiny window).
+    */
+  def hamiltonQuotas(perSrc: DataFrame, T: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTot = perSrc.crossJoin(
+      broadcast(perSrc.agg(sum(col("tok")).as("tot"))))
+      .withColumn("base", expr(s"($T * tok) div tot"))
+      .withColumn("rem", expr(s"($T * tok) % tot"))
+    val deficit = withTot
+      .agg((lit(T) - sum(col("base"))).as("deficit"))
+    withTot.crossJoin(broadcast(deficit))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .select(col("source"), col("tok"),
+        (col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
+  /** Greedy prefix draw against per-source quotas: within each
+    * source, documents are taken in stable draw-hash order while the
+    * cumulative token count stays within that source's quota. The
+    * kept set is identical across runs, engines, and ingest order;
+    * appending new docs only ever APPENDS to a source's kept prefix
+    * if the hash order places them later. One broadcast join against
+    * the quota table + one per-source window (distributes across
+    * sources, no global sort). Returns the kept docs with their
+    * running total.
+    */
+  def prefixDraw(docs: DataFrame, quotas: DataFrame, idCol: String,
+      sourceCol: String, nTokensCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.tokenHash(
+      concat(lit("draw:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(quotas.select(col(sourceCol), col("quota"))),
+        Seq(sourceCol))
+      .withColumn("cum", sum(col(nTokensCol)).over(w))
+      .where(col("cum") <= col("quota"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a literal bag of query
     * terms, in EXACT integer fixed-point so the ranking is
     * bit-reproducible across engines and runs (k1 = 1.2, b = 0.75;

@@ -30,38 +30,25 @@ object Corpus extends QueryPack {
     * runs over the |sources|-row summary (broadcast scalars + one
     * tiny window), never over the corpus.
     */
-  private def tokenQuotas(s: SparkSession, d: String, T: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perSrc = docs(s, d)
-      .select(col("source"), size(toks).cast("long").as("n"))
-      .groupBy(col("source"))
-      .agg(sum(col("n")).as("tok"))
-    // two broadcast scalars: the grand total, then the base-quota sum
-    val withTot = perSrc.crossJoin(
-      broadcast(perSrc.agg(sum(col("tok")).as("tot"))))
-      .withColumn("base", expr(s"($T * tok) div tot"))
-      .withColumn("rem", expr(s"($T * tok) % tot"))
-    val deficit = withTot
-      .agg((lit(T) - sum(col("base"))).as("deficit"))
-    withTot.crossJoin(broadcast(deficit))
-      .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
-      .select(col("source"), col("tok"),
-        (col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
-          .as("quota"))
-      .orderBy(col("source"))
-  }
+  private def tokenQuotas(s: SparkSession, d: String, T: Long): DataFrame =
+    CorpusOps.hamiltonQuotas(
+      docs(s, d)
+        .select(col("source"), size(toks).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("tok")),
+      T).orderBy(col("source"))
 
   private def q178TokenQuotas(s: SparkSession, d: String): DataFrame =
     tokenQuotas(s, d, 1000000L)
 
   /** The q178 apportionment as reusable DuckDB CTEs ending in
-    * `quota(source, tok, quota)` — shared by q178 and q179.
+    * `quota(source, tok, quota)` — shared by q178, q179, and (over
+    * the survivor relation) Dedup's q187 manifest.
     */
-  private def quotaCtes(T: Long): String =
+  private[queries] def quotaCtes(T: Long, rel: String = "documents"): String =
     s"""per_src AS (
          SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS tok
-         FROM documents GROUP BY source),
+         FROM $rel GROUP BY source),
        wt AS (SELECT source, tok,
                 CAST(($T * tok)
                   // (SELECT CAST(SUM(tok) AS BIGINT) FROM per_src)
@@ -96,18 +83,10 @@ object Corpus extends QueryPack {
     * cumulative sum distributes across sources; no global sort.
     */
   private def q179QuotaDraw(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quotas = tokenQuotas(s, d, 10000L).select(col("source"), col("quota"))
     val perDoc = docs(s, d).select(col("source"), col("doc_id"),
-      size(toks).cast("long").as("n"),
-      TextOps.tokenHash(concat(lit("draw:"), col("doc_id").cast("string")))
-        .as("h"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = perDoc.join(broadcast(quotas), Seq("source"))
-      .withColumn("cum", sum(col("n")).over(w))
-      .where(col("cum") <= col("quota"))
+      size(toks).cast("long").as("n"))
+    val kept = CorpusOps.prefixDraw(perDoc, quotas, "doc_id", "source", "n")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_kept"))
     quotas.join(kept, Seq("source"), "left")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.{CurationOps, DedupOps, TextOps}
+import graft.ops.{CorpusOps, CurationOps, DedupOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,67 @@ object Dedup extends QueryPack {
                 AS splits_doc,
               ${splitOf("comp")} AS split_safe
        FROM lab GROUP BY comp HAVING count(*) >= 2 ORDER BY comp"""
+  }
+
+  /** q187: training-data manifest — the factory's final ledger, four
+    * stages composed end-to-end from the PUBLIC ops the gate already
+    * verifies one at a time: near-dup survivors
+    * ([[CurationOps.survivors]], q76) → Hamilton token quotas over
+    * the SURVIVING tokens ([[graft.ops.CorpusOps.hamiltonQuotas]],
+    * q178, 10k budget) → per-source prefix draw
+    * ([[graft.ops.CorpusOps.prefixDraw]], q179) → 80/10/10 hash
+    * split (q83). Because each survivor is its cluster's min-id
+    * label, the doc-keyed split here IS the cluster-keyed q182
+    * `split_safe` — the manifest is leakage-free by construction.
+    * One row per (source, split): documents drawn and tokens
+    * shipped. The oracle recomputes the whole chain (recursive-CTE
+    * closure + quota CTEs over the survivor relation), so a drift in
+    * ANY stage hash-fails the manifest.
+    */
+  private def q187TrainingManifest(s: SparkSession, d: String): DataFrame = {
+    val surv = CurationOps.survivors(docs(s, d)).select(col("doc_id"))
+    val sd = docs(s, d).join(surv, "doc_id")
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val quotas = CorpusOps.hamiltonQuotas(
+      sd.groupBy(col("source")).agg(sum(col("n")).as("tok")), 10000L)
+    val bucket = pmod(TextOps.tokenHash(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    CorpusOps.prefixDraw(sd, quotas, "doc_id", "source", "n")
+      .withColumn("split", when(bucket < 80, "train")
+        .when(bucket < 90, "valid").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_kept"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val q187Sql = {
+    val splitHash =
+      TextOps.tokenHashSql("('split:' || CAST(doc_id AS VARCHAR))")
+    val drawHash =
+      TextOps.tokenHashSql("('draw:' || CAST(p.doc_id AS VARCHAR))")
+    s"""WITH RECURSIVE $hashedCte, $sigsCte, $bandsCte, $pairsCte,
+       $withsetsCte, $ccCtes,
+       surv_docs AS (
+         SELECT d.* FROM documents d
+         JOIN (SELECT DISTINCT comp FROM labels) s ON d.doc_id = s.comp),
+       ${Corpus.quotaCtes(10000L, "surv_docs")},
+       perdoc AS (SELECT source, doc_id,
+              CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n
+         FROM surv_docs),
+       cums AS (SELECT p.source, p.doc_id, p.n, q.quota,
+              SUM(p.n) OVER (PARTITION BY p.source
+                             ORDER BY $drawHash ASC, p.doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM perdoc p JOIN quota q USING (source))
+       SELECT source,
+              CASE WHEN $splitHash % 100 < 80 THEN 'train'
+                   WHEN $splitHash % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS tok_kept
+       FROM cums WHERE cum <= quota
+       GROUP BY source, split ORDER BY source, split"""
   }
 
   /** q76: canonical-document selection + purge summary — one survivor
@@ -1125,6 +1186,7 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q75_neardup_clusters" -> q75NeardupClusters,
     "q182_split_leakage" -> q182SplitLeakage,
+    "q187_training_manifest" -> q187TrainingManifest,
     "q76_dedup_survivors" -> q76DedupSurvivors,
     "q165_best_of_cluster" -> q165BestOfCluster,
     "q77_contamination" -> q77Contamination,
@@ -1155,6 +1217,7 @@ object Dedup extends QueryPack {
     "q155_neardup_kcore" -> q155Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q182_split_leakage" -> q182Sql,
+    "q187_training_manifest" -> q187Sql,
     "q76_dedup_survivors" -> q76Sql,
     "q165_best_of_cluster" -> q165Sql,
     "q77_contamination" -> q77Sql,
