@@ -176,6 +176,44 @@ object Relational extends QueryPack {
        WHERE ${Exact.fixedSql("l_quantity", 2)} * 5 * pq_cnt < pq_sum
        GROUP BY p_brand ORDER BY p_brand"""
 
+  /** q188: TPC-H Q19 shape — revenue under an OR-of-ANDs predicate
+    * that SPANS the join (each disjunct constrains both part
+    * attributes and line quantity). The optimizer lesson this pins:
+    * Catalyst extracts the per-side implications of the disjunction
+    * (`(brandA ∧ size≤5) ∨ (brandB ∧ size≤10) ∨ …` onto the part
+    * scan, the quantity-range union onto lineitem) and pushes them
+    * below the join, so the parquet scans carry Or-filters and the
+    * join probes only plausible rows — the residual cross-side OR
+    * evaluates on the survivors. PlanSpec asserts the pushed Or on
+    * BOTH scans; at 100 TB that per-side pruning is the difference
+    * between scanning three brands' rows and scanning every line.
+    * Revenue in exact fixed-point; part side broadcasts.
+    */
+  private def q188DisjunctiveRevenue(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .join(broadcast(Tables(s, d, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q188Sql =
+    s"""SELECT ${Exact.sumFixedSql(revSql, 4)} AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)"""
+
   /** q159: TPC-H Q18 shape — large-volume orders via an aggregate
     * HAVING subquery. The per-order quantity aggregate is map-side
     * partial; the surviving order set is tiny (top ~1% of orders), so
@@ -979,6 +1017,7 @@ object Relational extends QueryPack {
     "q3_revenue_by_nation" -> q3RevenueByNation,
     "q156_tpch_q5_region" -> q156TpchQ5Region,
     "q158_small_qty_revenue" -> q158SmallQtyRevenue,
+    "q188_disjunctive_revenue" -> q188DisjunctiveRevenue,
     "q159_large_volume_orders" -> q159LargeVolumeOrders,
     "q160_supplier_waiting" -> q160SupplierWaiting,
     "q161_acctbal_prospects" -> q161AcctbalProspects,
@@ -1014,6 +1053,7 @@ object Relational extends QueryPack {
     "q3_revenue_by_nation" -> q3Sql,
     "q156_tpch_q5_region" -> q156Sql,
     "q158_small_qty_revenue" -> q158Sql,
+    "q188_disjunctive_revenue" -> q188Sql,
     "q159_large_volume_orders" -> q159Sql,
     "q160_supplier_waiting" -> q160Sql,
     "q161_acctbal_prospects" -> q161Sql,

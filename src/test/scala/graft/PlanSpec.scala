@@ -320,6 +320,14 @@ class PlanSpec extends AnyFunSuite {
       s"streak window must not single-partition:\n${p.take(3000)}")
   }
 
+  test("q188 pushes per-side Or-filters of the cross-join disjunction") {
+    val p = planOf(Relational.all("q188_disjunctive_revenue")(spark, sf))
+    // part side: (brand,size) OR-combination reaches the scan
+    assert("PushedFilters: \\[[^\\]]*Or".r.findAllIn(p).size >= 2,
+      s"both scans must carry a pushed Or filter:\n${p.take(4000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("bucketed tables sort-merge join with no exchange and no sort") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
