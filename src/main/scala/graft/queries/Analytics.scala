@@ -1055,6 +1055,37 @@ object Analytics extends QueryPack {
        FROM hit CROSS JOIN stats ORDER BY p"""
   }
 
+  /** q190: join-explosion pre-flight audit — the EXACT output
+    * cardinality of a prospective self-join (here lineitem⋈lineitem
+    * on l_partkey, the q7-style theta-join input) computed WITHOUT
+    * running the join: Σ c(k)² over the per-key counts, plus the
+    * top-5 heaviest keys and each key's pair contribution. This is
+    * the skew check that decides between a plain shuffle join,
+    * salting (q39), or a key blacklist BEFORE a 100 TB join
+    * explodes an executor. One map-side-partial count per key, a
+    * one-row broadcast total; top-5 via TakeOrderedAndProject.
+    */
+  private def q190JoinExplosion(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables(s, d, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .withColumn("c2", col("c") * col("c"))
+    val tot = perKey.agg(sum(col("c2")).as("total_pairs"))
+    perKey.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("c"), col("c2"), col("total_pairs"))
+      .orderBy(col("c").desc, col("l_partkey").asc)
+      .limit(5)
+  }
+
+  private val q190Sql =
+    """WITH per_key AS (
+         SELECT l_partkey, CAST(count(*) AS BIGINT) AS c,
+                CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS c2
+         FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS total_pairs FROM per_key)
+       SELECT l_partkey, c, c2, total_pairs
+       FROM per_key CROSS JOIN tot
+       ORDER BY c DESC, l_partkey ASC LIMIT 5"""
+
   /** q176: revenue concentration (Gini coefficient) per market
     * segment — the inequality metric that tells a pipeline whether
     * volume (or, for corpora, a source mix) is dominated by a few
@@ -1127,6 +1158,7 @@ object Analytics extends QueryPack {
     "q173_reconciliation" -> q173Reconciliation,
     "q174_value_histogram" -> q174ValueHistogram,
     "q186_quantile_partials" -> q186QuantilePartials,
+    "q190_join_explosion" -> q190JoinExplosion,
     "q176_revenue_gini" -> q176RevenueGini)
 
   def oracle: Map[String, String] = Map(
@@ -1149,5 +1181,6 @@ object Analytics extends QueryPack {
     "q173_reconciliation" -> q173Sql,
     "q174_value_histogram" -> q174Sql,
     "q186_quantile_partials" -> q186Sql,
+    "q190_join_explosion" -> q190Sql,
     "q176_revenue_gini" -> q176Sql)
 }

@@ -499,6 +499,52 @@ object Profiling extends QueryPack {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
        FROM dd d LEFT JOIN nd USING (decile) ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q189
+
+  /** q189: duplication pressure by corpus decile — q184's ingest-
+    * health twin for EXACT duplicates: per decile of the doc_id
+    * ingest order, how many documents repeat content already seen
+    * earlier (q26's cleaned-content md5, first occurrence = the
+    * group's min id — no per-row "earlier than me" scan). A rising
+    * curve is the crawler-revisiting-itself signal that says further
+    * crawling buys duplicates, not data. One grouped min join back to
+    * the per-doc hashes (uniform md5 key), one 10-row summary; rate
+    * in e6 fixed point.
+    */
+  private def q189DupPressure(s: SparkSession, d: String): DataFrame = {
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs_total"))
+    val hashed = docs(s, d)
+      .select(col("doc_id"), md5(TextOps.clean(col("text"))).as("h"))
+    val firstSeen = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    hashed.join(firstSeen, "h")
+      .crossJoin(broadcast(n))
+      .select(expr("(doc_id * 10) div n_docs_total").as("decile"),
+        when(col("doc_id") > col("first_doc"), 1L).otherwise(0L)
+          .as("is_dup"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .withColumn("dup_rate_e6",
+        expr("(n_dups * 1000000) div n_docs"))
+      .orderBy(col("decile"))
+  }
+
+  private val q189Sql =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+                   FROM documents),
+       hashed AS (SELECT doc_id, md5(${TextOps.cleanSql("text")}) AS h
+                  FROM documents),
+       fs AS (SELECT h, MIN(doc_id) AS first_doc FROM hashed GROUP BY h),
+       flagged AS (SELECT (doc_id * 10) // n_docs_total AS decile,
+                     CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END
+                       AS is_dup
+                   FROM hashed JOIN fs USING (h) CROSS JOIN n)
+       SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+              (CAST(SUM(is_dup) AS BIGINT) * 1000000)
+                // CAST(count(*) AS BIGINT) AS dup_rate_e6
+       FROM flagged GROUP BY decile ORDER BY decile"""
+
   // ---------------------------------------------------------------- q138
 
   /** q138: dataset card — the one-row data sheet a corpus release
@@ -701,6 +747,7 @@ object Profiling extends QueryPack {
     "q133_distinctive_tokens" -> q133DistinctiveTokens,
     "q183_token_drift" -> q183TokenDrift,
     "q184_vocab_growth" -> q184VocabGrowth,
+    "q189_dup_pressure" -> q189DupPressure,
     "q138_dataset_card" -> q138DatasetCard,
     "q139_snapshot_diff" -> q139SnapshotDiff,
     "q144_sample_sheet" -> q144SampleSheet)
@@ -715,6 +762,7 @@ object Profiling extends QueryPack {
     "q133_distinctive_tokens" -> q133Sql,
     "q183_token_drift" -> q183Sql,
     "q184_vocab_growth" -> q184Sql,
+    "q189_dup_pressure" -> q189Sql,
     "q138_dataset_card" -> q138Sql,
     "q139_snapshot_diff" -> q139Sql,
     "q144_sample_sheet" -> q144Sql)

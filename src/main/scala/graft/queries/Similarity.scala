@@ -561,8 +561,50 @@ object Similarity extends QueryPack {
     RerankOps.mmr(cands, pairSims, k = 5, lambda = 0.5)
   }
 
+  /** q191: embedding outlier detection — top-10 vectors by EXACT
+    * squared distance to their own label's centroid, the anomaly
+    * audit that surfaces mislabeled or off-distribution embeddings
+    * before they seed bad ANN cells (q37) or poison a semantic-dedup
+    * pass (q112). Everything is integer: values in e7 fixed point,
+    * centroid = Σv div n (integer division — no float mean to drift),
+    * distance = Σ(v−c)² exact in e14 units (≤2.6e16 at 64 dims, well
+    * inside long). The (label,dim) centroid table is tiny →
+    * broadcast; top-10 via TakeOrderedAndProject.
+    */
+  private def q191CentroidOutliers(s: SparkSession, d: String): DataFrame = {
+    val expl = emb(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(VectorOps.toDouble(col("embedding")))
+          .as(Seq("dim", "val")))
+      .withColumn("v7", Exact.fixed(col("val"), 7))
+    val cent = expl.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(v7) div count(1)").as("c7"))
+    expl.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("dd", (col("v7") - col("c7")) * (col("v7") - col("c7")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dd")).as("dist_e14"))
+      .orderBy(col("dist_e14").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val q191Sql =
+    s"""WITH expl AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           unnest(${VectorOps.toDoubleSql("embedding")}) AS val,
+           unnest(range(0, len(embedding))) AS dim
+         FROM embeddings),
+       f AS (SELECT vec_id, label, dim,
+               ${Exact.fixedSql("val", 7)} AS v7 FROM expl),
+       cent AS (SELECT label, dim,
+                  CAST(SUM(v7) // COUNT(*) AS BIGINT) AS c7
+                FROM f GROUP BY 1, 2)
+       SELECT f.vec_id, f.label,
+              CAST(SUM((v7 - c7) * (v7 - c7)) AS BIGINT) AS dist_e14
+       FROM f JOIN cent USING (label, dim)
+       GROUP BY 1, 2 ORDER BY dist_e14 DESC, vec_id ASC LIMIT 10"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_cosine_topk" -> q32CosineTopk,
+    "q191_centroid_outliers" -> q191CentroidOutliers,
     "q129_mmr_rerank" -> q129MmrRerank,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q112_semantic_dedup" -> q112SemanticDedup,
@@ -575,6 +617,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q191_centroid_outliers" -> q191Sql,
     "q37_ivf_ann" -> q37Sql,
     "q85_ivf_nprobe" -> q85Sql,
     "q32_cosine_topk" -> q32Sql,
