@@ -688,6 +688,92 @@ object Corpus extends QueryPack {
        FROM m"""
   }
 
+  /** nDCG@10 discount table: round(1e6 / log2(rank+1)) for ranks
+    * 1..10, and its prefix sums for the ideal DCG. CONSTANTS, not
+    * runtime logs — the only irrational inputs enter as the same
+    * integer literals in both engines, so the metric stays gate-exact
+    * (the q121 house rule: no transcendental evaluation inside the
+    * query).
+    */
+  private val ndcgDisc = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  private val ndcgCum = ndcgDisc.scanLeft(0L)(_ + _).tail
+
+  /** q197: nDCG@10 of the BM25 ranking (q110) against q121's
+    * deterministic relevance oracle — the rank-position-weighted
+    * scorecard that P@k misses (a relevant doc at rank 1 vs rank 10
+    * scores 3.5× more). DCG sums the discount of each relevant ranked
+    * doc; ideal DCG is the discount prefix-sum at min(|relevant|, 10);
+    * everything is BIGINT against the constant table. Same scale shape
+    * as q121: the only corpus-scale work is the relevance scan and the
+    * bounded BM25 top-k.
+    */
+  private def q197Ndcg(s: SparkSession, d: String): DataFrame = {
+    val rel = docs(s, d)
+      .filter(array_contains(TextOps.tokens(col("text")), "dup"))
+      .select(col("doc_id")).withColumn("is_rel", lit(1L))
+    val disc = array(ndcgDisc.map(lit): _*)
+    val cum = array(ndcgCum.map(lit): _*)
+    rankedTop(CorpusOps.bm25TopK(docs(s, d), q110Terms, topK = 10))
+      .join(rel, Seq("doc_id"), "left")
+      .agg(sum(coalesce(col("is_rel"), lit(0L)) *
+        element_at(disc, col("rnk").cast("int"))).as("dcg_e6"))
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+      .select(col("n_relevant"), col("dcg_e6"),
+        element_at(cum, least(col("n_relevant"), lit(10L)).cast("int"))
+          .as("idcg_e6"))
+      .withColumn("ndcg_e6", expr(
+        """CASE WHEN n_relevant = 0 THEN 0
+           ELSE (dcg_e6 * 1000000) div idcg_e6 END"""))
+  }
+
+  private val q197Sql = {
+    val terms = q110Terms.map(t => s"'$t'").mkString(", ")
+    val discL = ndcgDisc.mkString("[", ", ", "]")
+    val cumL = ndcgCum.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       rel AS (SELECT doc_id, CAST(1 AS BIGINT) AS is_rel FROM t
+               WHERE list_contains(toks, 'dup')),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+              WHERE word IN ($terms) GROUP BY doc_id, word),
+       dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY word),
+       tots AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(dl) AS BIGINT) AS tok_total FROM dl),
+       sc0 AS (SELECT tf.doc_id, tf.tf, dl.dl, dfq.df, n_total, tok_total
+               FROM tf JOIN dl USING (doc_id) JOIN dfq USING (word)
+               CROSS JOIN tots),
+       sc1 AS (SELECT *, (1000 * tok_total) // n_total AS avgdl_e3
+               FROM sc0),
+       sc2 AS (SELECT *,
+                 250 + (750 * ((1000000 * dl) // avgdl_e3)) // 1000
+                   AS norm_e3,
+                 (1000000 * n_total) // df AS idf_e6 FROM sc1),
+       sc3 AS (SELECT doc_id,
+                 (idf_e6 * tf * 22000) // (tf * 10000 + 12 * norm_e3)
+                   AS contrib_e6 FROM sc2),
+       bm AS (SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+              FROM sc3 GROUP BY doc_id),
+       bmr AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rnk
+           FROM bm) WHERE rnk <= 10),
+       dcg AS (SELECT CAST(SUM(COALESCE(r.is_rel, 0) *
+                 ($discL)[CAST(b.rnk AS INT)]) AS BIGINT) AS dcg_e6
+               FROM bmr b LEFT JOIN rel r ON r.doc_id = b.doc_id),
+       nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel)
+       SELECT n_relevant, dcg_e6,
+         CAST(($cumL)[CAST(LEAST(n_relevant, 10) AS INT)] AS BIGINT)
+           AS idcg_e6,
+         CASE WHEN n_relevant = 0 THEN 0
+              ELSE (dcg_e6 * 1000000) //
+                CAST(($cumL)[CAST(LEAST(n_relevant, 10) AS INT)]
+                  AS BIGINT) END AS ndcg_e6
+       FROM dcg CROSS JOIN nr"""
+  }
+
   /** q111: deterministic global training shuffle
     * ([[CorpusOps.trainingShards]]): every document's (shard, pos)
     * under a seeded stable hash, 16 shards. Reproducible across
@@ -756,7 +842,8 @@ object Corpus extends QueryPack {
     "q111_training_shards" -> q111TrainingShards,
     "q113_hybrid_fusion" -> q113HybridFusion,
     "q114_sequence_packing" -> q114SequencePacking,
-    "q121_retrieval_eval" -> q121RetrievalEval)
+    "q121_retrieval_eval" -> q121RetrievalEval,
+    "q197_ndcg" -> q197Ndcg)
 
   override val oracle: Map[String, String] = Map(
     "q151_quality_percentile_cut" -> q151Sql,
@@ -774,5 +861,6 @@ object Corpus extends QueryPack {
     "q111_training_shards" -> q111Sql,
     "q113_hybrid_fusion" -> q113Sql,
     "q114_sequence_packing" -> q114Sql,
-    "q121_retrieval_eval" -> q121Sql)
+    "q121_retrieval_eval" -> q121Sql,
+    "q197_ndcg" -> q197Sql)
 }

@@ -867,6 +867,66 @@ object Events extends QueryPack {
        WHERE ABS(e.value - s.mean_value) > 2.5 * s.std_value
        ORDER BY event_id"""
 
+  /** q194: robust (MAD) anomaly flags — q150's z-score twin for
+    * heavy-tailed metrics, where outliers inflate the mean/σ they are
+    * judged against and hide themselves. Median and
+    * median-absolute-deviation per event type via the q72 exact
+    * row_number median (values in e2 fixed point so every comparison
+    * is integer), then flag events with |x−med| > 3.5·MAD and score
+    * them in e3. The two medians are per-type windows — exact, fine
+    * to millions of rows per type; at 100 TB the same query swaps in
+    * the mergeable quantile partials (q186) for the med/MAD inputs.
+    * Top-50 by score via TakeOrderedAndProject.
+    */
+  private def q194MadAnomalies(s: SparkSession, d: String): DataFrame = {
+    val base = ev(s, d).select(col("event_id"), col("event_type"),
+      Exact.fixed(col("value"), 2).as("v2"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wVal = wAll.orderBy(col("v2"), col("event_id"))
+    val med = base.withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("v2").as("med2"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("v2") - col("med2")))
+    val wDev = wAll.orderBy(col("ad"), col("event_id"))
+    val mad = dev.withColumn("rn", row_number().over(wDev))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("ad").as("mad2"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad2") > 0L && col("ad") * lit(1000L) >
+        col("mad2") * lit(3500L))
+      .select(col("event_id"), col("event_type"), col("v2"), col("med2"),
+        col("mad2"), expr("(ad * 1000) div mad2").as("score_e3"))
+      .orderBy(col("score_e3").desc, col("event_id"))
+      .limit(50)
+  }
+
+  private val q194Sql =
+    s"""WITH base AS (SELECT event_id, event_type,
+             ${Exact.fixedSql("value", 2)} AS v2 FROM events),
+       med AS (SELECT event_type, v2 AS med2 FROM (
+           SELECT event_type, v2,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY v2, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM base)
+         WHERE rn = (n + 1) // 2),
+       dev AS (SELECT b.event_id, b.event_type, b.v2, m.med2,
+                 ABS(b.v2 - m.med2) AS ad
+               FROM base b JOIN med m USING (event_type)),
+       mad AS (SELECT event_type, ad AS mad2 FROM (
+           SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ad, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev)
+         WHERE rn = (n + 1) // 2)
+       SELECT d.event_id, d.event_type, d.v2, d.med2, mad.mad2,
+              (d.ad * 1000) // mad.mad2 AS score_e3
+       FROM dev d JOIN mad USING (event_type)
+       WHERE mad.mad2 > 0 AND d.ad * 1000 > mad.mad2 * 3500
+       ORDER BY score_e3 DESC, event_id LIMIT 50"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -890,7 +950,8 @@ object Events extends QueryPack {
     "q80_rank_distributions" -> q80RankDistributions,
     "q148_markov_transitions" -> q148MarkovTransitions,
     "q149_gap_fill_daily" -> q149GapFillDaily,
-    "q150_zscore_anomalies" -> q150ZscoreAnomalies)
+    "q150_zscore_anomalies" -> q150ZscoreAnomalies,
+    "q194_mad_anomalies" -> q194MadAnomalies)
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
@@ -913,5 +974,6 @@ object Events extends QueryPack {
     "q62_asof_view_purchase" -> q62Sql,
     "q148_markov_transitions" -> q148Sql,
     "q149_gap_fill_daily" -> q149Sql,
-    "q150_zscore_anomalies" -> q150Sql)
+    "q150_zscore_anomalies" -> q150Sql,
+    "q194_mad_anomalies" -> q194Sql)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.core.Tables
+import graft.core.{Exact, Tables}
 import graft.ops.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -545,6 +545,155 @@ object Profiling extends QueryPack {
                 // CAST(count(*) AS BIGINT) AS dup_rate_e6
        FROM flagged GROUP BY decile ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q192
+
+  /** q192: dup×quality independence test — a per-source 2×2 chi-square
+    * asking whether exact-duplicate membership (q26's cleaned-md5
+    * groups) is independent of passing the shared quality cut
+    * ([[TextOps.qualityScore]] ≥ 0.5). A big statistic means the
+    * source's duplicates are systematically low- (or high-) quality,
+    * so dedup and the quality filter double-count (or miss) each
+    * other's work there — exactly what q102's calibration tunes. The
+    * statistic n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is computed entirely
+    * in BIGINT with a pinned division order (guarded against empty
+    * margins), so both engines floor identically; the successive-div
+    * bound is safe to ~1e5 docs/source — beyond that the same algebra
+    * lifts to decimal. One hash groupBy + one source groupBy; the
+    * heavy lexical scoring is per-row in the scan.
+    */
+  private def q192ChiSquare(s: SparkSession, d: String): DataFrame = {
+    val hashed = docs(s, d).select(col("source"),
+      md5(TextOps.clean(col("text"))).as("h"),
+      (TextOps.qualityScore(toks) >= 0.5).as("hi_q"))
+    val groupSz = hashed.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    hashed.join(groupSz, "h")
+      .select(col("source"), col("hi_q"), (col("nh") > 1L).as("is_dup"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("is_dup") && col("hi_q"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("is_dup") && !col("hi_q"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("is_dup") && col("hi_q"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("is_dup") && !col("hi_q"), 1L).otherwise(0L)).as("d"))
+      .withColumn("chi2_e3", expr(
+        """CASE WHEN (a+b)=0 OR (c+d)=0 OR (a+c)=0 OR (b+d)=0 THEN 0
+           ELSE ((((a*d - b*c)*(a*d - b*c) div (a+b)) * 1000 div (c+d))
+                 * (a+b+c+d)) div ((a+c)*(b+d)) END"""))
+      .orderBy(col("source"))
+  }
+
+  private val q192Sql =
+    s"""WITH hashed AS (SELECT source, md5(${TextOps.cleanSql("text")}) AS h,
+           (${TextOps.qualityScoreSql(toksSql)}) >= 0.5 AS hi_q
+         FROM documents),
+       gs AS (SELECT h, count(*) AS nh FROM hashed GROUP BY h),
+       cells AS (SELECT source,
+           CAST(SUM(CASE WHEN nh > 1 AND hi_q THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN nh > 1 AND NOT hi_q THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN nh <= 1 AND hi_q THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN nh <= 1 AND NOT hi_q THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+         FROM hashed JOIN gs USING (h) GROUP BY source)
+       SELECT source, a, b, c, d,
+         CASE WHEN (a+b)=0 OR (c+d)=0 OR (a+c)=0 OR (b+d)=0 THEN 0
+         ELSE ((((a*d - b*c)*(a*d - b*c) // (a+b)) * 1000 // (c+d))
+               * (a+b+c+d)) // ((a+c)*(b+d)) END AS chi2_e3
+       FROM cells ORDER BY source"""
+
+  // ---------------------------------------------------------------- q195
+
+  /** q195: token-frequency magnitude profile — the Zipf/power-law
+    * diagnostic: bucket every vocabulary type by the DECIMAL DIGIT
+    * COUNT of its corpus frequency (an exact integer stand-in for
+    * ⌊log10 f⌋+1 — no transcendental log in the gate) and report types
+    * per bucket plus each bucket's share of total token mass. A
+    * healthy natural-language corpus shows types falling ~10× per
+    * bucket while mass stays spread; a template-heavy crawl piles
+    * mass into the top bucket. One token groupBy (uniform key) + a
+    * ≤20-row digit groupBy; total mass is a one-row broadcast.
+    */
+  private def q195FreqMagnitude(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d).select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val tot = tf.agg(sum(col("freq")).as("total_occ"))
+    tf.select(length(col("freq").cast("string")).cast("long")
+        .as("magnitude"), col("freq"))
+      .groupBy(col("magnitude"))
+      .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occ"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mass_share_e6", expr("(n_occ * 1000000) div total_occ"))
+      .select(col("magnitude"), col("n_types"), col("n_occ"),
+        col("mass_share_e6"))
+      .orderBy(col("magnitude"))
+  }
+
+  private val q195Sql =
+    s"""WITH tf AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS freq
+         FROM documents, unnest($toksSql) AS t(tok) GROUP BY t.tok),
+       tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_occ FROM tf)
+       SELECT CAST(length(CAST(freq AS VARCHAR)) AS BIGINT) AS magnitude,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(freq) AS BIGINT) AS n_occ,
+         (CAST(SUM(freq) AS BIGINT) * 1000000) // total_occ
+           AS mass_share_e6
+       FROM tf CROSS JOIN tot
+       GROUP BY magnitude, total_occ ORDER BY magnitude"""
+
+  // ---------------------------------------------------------------- q196
+
+  /** q196: does SOURCE explain quality? One-way ANOVA of the shared
+    * quality score across sources, entirely in integer algebra:
+    * scores in e3 fixed point, sum-of-squares via the Σx²−T²/N
+    * identity with a pinned floor-division order (SSW derived from
+    * the SAME floored pieces, so SSB+SSW=SST exactly), F in e3. A
+    * large F says the source label carries real quality signal — cut
+    * or reweight whole sources (q97's caps) before paying for
+    * per-document filtering; F≈0 says per-doc filters (q122) are the
+    * only lever. One per-source agg + a k-row fold; the e3 lift keeps
+    * T² inside long to ~10^9 docs — past that the identity moves to
+    * decimal or a centered two-pass.
+    */
+  private def q196AnovaQuality(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d).select(col("source"),
+      Exact.fixed(TextOps.qualityScore(toks), 3).as("q3"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"), sum(col("q3")).as("tg"),
+        sum(col("q3") * col("q3")).as("sg"))
+      .agg(count(lit(1)).as("k_sources"), sum(col("ng")).as("n_docs"),
+        sum(col("tg")).as("t"), sum(col("sg")).as("s"),
+        sum(expr("(tg*tg) div ng")).as("ssb_part"))
+      .select(col("k_sources"), col("n_docs"),
+        expr("ssb_part - (t*t div n_docs)").as("ssb"),
+        expr("s - ssb_part").as("ssw"),
+        expr("""CASE WHEN k_sources > 1 AND s - ssb_part > 0
+             THEN ((ssb_part - (t*t div n_docs)) div (k_sources - 1)
+                   * (n_docs - k_sources) * 1000) div (s - ssb_part)
+             ELSE 0 END""").as("f_e3"))
+  }
+
+  private val q196Sql =
+    s"""WITH scored AS (SELECT source,
+           ${Exact.fixedSql(TextOps.qualityScoreSql(toksSql), 3)} AS q3
+         FROM documents),
+       per AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+           CAST(SUM(q3) AS BIGINT) AS tg,
+           CAST(SUM(q3*q3) AS BIGINT) AS sg
+         FROM scored GROUP BY source),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS k_sources,
+           CAST(SUM(ng) AS BIGINT) AS n_docs,
+           CAST(SUM(tg) AS BIGINT) AS t, CAST(SUM(sg) AS BIGINT) AS s,
+           CAST(SUM((tg*tg) // ng) AS BIGINT) AS ssb_part FROM per)
+       SELECT k_sources, n_docs,
+         ssb_part - (t*t // n_docs) AS ssb,
+         s - ssb_part AS ssw,
+         CASE WHEN k_sources > 1 AND s - ssb_part > 0
+           THEN ((ssb_part - (t*t // n_docs)) // (k_sources - 1)
+                 * (n_docs - k_sources) * 1000) // (s - ssb_part)
+           ELSE 0 END AS f_e3
+       FROM g"""
+
   // ---------------------------------------------------------------- q138
 
   /** q138: dataset card — the one-row data sheet a corpus release
@@ -748,6 +897,9 @@ object Profiling extends QueryPack {
     "q183_token_drift" -> q183TokenDrift,
     "q184_vocab_growth" -> q184VocabGrowth,
     "q189_dup_pressure" -> q189DupPressure,
+    "q192_chi_square" -> q192ChiSquare,
+    "q195_freq_magnitude" -> q195FreqMagnitude,
+    "q196_anova_quality" -> q196AnovaQuality,
     "q138_dataset_card" -> q138DatasetCard,
     "q139_snapshot_diff" -> q139SnapshotDiff,
     "q144_sample_sheet" -> q144SampleSheet)
@@ -763,6 +915,9 @@ object Profiling extends QueryPack {
     "q183_token_drift" -> q183Sql,
     "q184_vocab_growth" -> q184Sql,
     "q189_dup_pressure" -> q189Sql,
+    "q192_chi_square" -> q192Sql,
+    "q195_freq_magnitude" -> q195Sql,
+    "q196_anova_quality" -> q196Sql,
     "q138_dataset_card" -> q138Sql,
     "q139_snapshot_diff" -> q139Sql,
     "q144_sample_sheet" -> q144Sql)
