@@ -927,6 +927,90 @@ object Events extends QueryPack {
        WHERE mad.mad2 > 0 AND d.ad * 1000 > mad.mad2 * 3500
        ORDER BY score_e3 DESC, event_id LIMIT 50"""
 
+  /** q198: day-of-week seasonality index — per event type, each
+    * weekday's event count and value-weighted index vs the type's own
+    * all-week average (1000 = flat). The capacity-planning profile
+    * behind batch scheduling ("ingest dips 40% on Sundays — run the
+    * compaction then"). Weekday is pure integer epoch-day arithmetic
+    * ((days+4)%7, 0=Sunday) — no calendar/timezone functions whose
+    * engine defaults could disagree; the index is a pinned-order
+    * integer division chain on e2 fixed-point sums. Two map-side
+    * combined aggregates, ≤|types|·7 rows joined on a broadcast.
+    */
+  private def q198DowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val DAY_NS = 86400L * 1000000000L
+    val base = ev(s, d).select(col("event_type"),
+      expr(s"(ts DIV $DAY_NS + 4) % 7").as("dow"),
+      Exact.fixed(col("value"), 2).as("v2"))
+    val per = base.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("v2")).as("s2"))
+    val tot = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_all"), sum(col("v2")).as("s2_all"))
+    per.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(n * 7000) div n_all").as("count_idx_e3"),
+        expr("""CASE WHEN s2_all = 0 THEN 0
+             ELSE ((s2 * 1000 div n) * n_all) div s2_all END""")
+          .as("value_idx_e3"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val q198Sql = {
+    val dayNs = 86400L * 1000000000L
+    s"""WITH base AS (SELECT event_type,
+             (epoch_ns(ts) // $dayNs + 4) % 7 AS dow,
+             ${Exact.fixedSql("value", 2)} AS v2 FROM events),
+       per AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v2) AS BIGINT) AS s2
+               FROM base GROUP BY 1, 2),
+       tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(SUM(v2) AS BIGINT) AS s2_all
+               FROM base GROUP BY 1)
+       SELECT event_type, dow, n,
+         (n * 7000) // n_all AS count_idx_e3,
+         CASE WHEN s2_all = 0 THEN 0
+              ELSE ((s2 * 1000 // n) * n_all) // s2_all END
+           AS value_idx_e3
+       FROM per JOIN tot USING (event_type)
+       ORDER BY event_type, dow"""
+  }
+
+  /** q199: forward-fill (last-observation-carried-forward) — the
+    * imputation every feature pipeline needs when a reading exists
+    * only on some rows: here the purchase amount is the "sensor", and
+    * every event carries the user's most recent purchase value (−1
+    * before the first). `last(..., ignoreNulls)` over an unbounded
+    * running frame is Spark's native LOCF — one shuffle on user_id,
+    * no self-join, no driver loop; values are COPIED, never
+    * recomputed, so doubles stay bit-exact. The running frame is
+    * sequential per user — fine at any corpus width since users
+    * partition it.
+    */
+  private def q199ForwardFill(s: SparkSession, d: String): DataFrame = {
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "purchase", col("value")).as("reading"))
+      .withColumn("filled_value",
+        coalesce(last(col("reading"), ignoreNulls = true).over(wRun),
+          lit(-1.0)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("filled_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q199Sql =
+    """SELECT event_id, user_id, event_type,
+         COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase'
+             THEN value END IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+           AS filled_value
+       FROM events ORDER BY event_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -951,7 +1035,9 @@ object Events extends QueryPack {
     "q148_markov_transitions" -> q148MarkovTransitions,
     "q149_gap_fill_daily" -> q149GapFillDaily,
     "q150_zscore_anomalies" -> q150ZscoreAnomalies,
-    "q194_mad_anomalies" -> q194MadAnomalies)
+    "q194_mad_anomalies" -> q194MadAnomalies,
+    "q198_dow_seasonality" -> q198DowSeasonality,
+    "q199_forward_fill" -> q199ForwardFill)
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
@@ -975,5 +1061,7 @@ object Events extends QueryPack {
     "q148_markov_transitions" -> q148Sql,
     "q149_gap_fill_daily" -> q149Sql,
     "q150_zscore_anomalies" -> q150Sql,
-    "q194_mad_anomalies" -> q194Sql)
+    "q194_mad_anomalies" -> q194Sql,
+    "q198_dow_seasonality" -> q198Sql,
+    "q199_forward_fill" -> q199Sql)
 }
