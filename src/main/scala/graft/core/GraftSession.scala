@@ -24,9 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read it as LONG nanoseconds and do exact integer time
-      // arithmetic (see graft.queries.Events).
+      // some testdata generations carry TIMESTAMP(NANOS), which Spark 4
+      // rejects by default; this surfaces those as LONG nanoseconds.
+      // Tables.normalizeEventTime canonicalizes the other generations
+      // (TIMESTAMP(MICROS)/NTZ) to the same LONG-nanos representation.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // dogfood the cartesian/nested-loop lint on every engine query

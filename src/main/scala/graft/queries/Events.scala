@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * window/session semantics, so a Structured Streaming deployment
   * reuses the logic with a watermark.
   *
-  * Time handling: events.parquet stores TIMESTAMP(NANOS), which Spark 4
-  * rejects; with `spark.sql.legacy.parquet.nanosAsLong` the column
-  * arrives as LONG nanoseconds and ALL time math here is exact integer
-  * DIV/% arithmetic — no doubles (2^53 < 1.7e18 ns would lose
-  * precision), no timestamp-type comparisons between engines. The
-  * DuckDB mirrors use `epoch_ns(ts) // k` for the same exact integers.
+  * Time handling: [[graft.core.Tables]] normalizes `events.ts` to LONG
+  * nanoseconds-since-epoch regardless of the parquet physical encoding
+  * (nanos-as-long vs TIMESTAMP(MICROS) — both have shipped in the
+  * driver testdata), so ALL time math here is exact integer DIV/%
+  * arithmetic — no doubles (2^53 < 1.7e18 ns would lose precision),
+  * no timestamp-type comparisons between engines. The DuckDB mirrors
+  * use `epoch_ns(ts) // k` for the same exact integers (`epoch_ns` on
+  * a timestamp column is encoding-independent on the oracle side).
   */
 object Events extends QueryPack {
 

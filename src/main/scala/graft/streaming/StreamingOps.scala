@@ -65,25 +65,35 @@ case class AdmittedDoc(
   */
 object StreamingOps {
 
-  /** Schema of events.parquet with nanosecond timestamps surfaced as
-    * LONG (matches `spark.sql.legacy.parquet.nanosAsLong=true`).
+  /** File-source stream over an events-shaped parquet path, with
+    * event-time lifted to TimestampType for watermarking. Streaming
+    * readers cannot infer schemas, so the physical schema is sniffed
+    * with ONE driver-side batch footer read of the same path; the
+    * `ts` lift then adapts to whichever encoding the files carry
+    * (nanos-as-LONG vs TIMESTAMP/NTZ — same contract as
+    * [[graft.core.Tables]], which normalizes the batch side).
+    *
+    * The file-stream source requires its base path to be a DIRECTORY
+    * (it derives `basePath` for partition discovery from it), so a
+    * path that is a single parquet file is streamed as its parent
+    * directory + a `pathGlobFilter` on the file name — same file set,
+    * valid base path.
     */
-  val eventsNanosSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over an events-shaped parquet directory, with
-    * event-time lifted to TimestampType for watermarking.
-    */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsNanosSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    val physical = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(physical)
+    val raw =
+      if (f.isFile)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(path)
+    physical.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Streaming JSONL ingest with the same PERMISSIVE corrupt-line
     * quarantine contract as the batch

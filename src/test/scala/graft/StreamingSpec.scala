@@ -33,7 +33,7 @@ class StreamingSpec extends AnyFunSuite {
   test("file-source stream over events parquet matches the batch window counts") {
     val dir = "/root/testdata/sf0.001"
     val stream = graft.streaming.StreamingOps
-      .readEventsStream(spark, dir)
+      .readEventsStream(spark, s"$dir/events.parquet")
     val query = graft.streaming.StreamingOps.windowedCounts(stream)
       .writeStream.format("memory").queryName("filewc")
       .outputMode("complete").start()
