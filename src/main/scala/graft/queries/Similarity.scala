@@ -602,7 +602,175 @@ object Similarity extends QueryPack {
        FROM f JOIN cent USING (label, dim)
        GROUP BY 1, 2 ORDER BY dist_e14 DESC, vec_id ASC LIMIT 10"""
 
+  // ---------------------------------------------------------------- q200
+
+  private val KCENTER_K = 8
+
+  /** q200: greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985) over the embedding corpus — the data-pruning
+    * primitive that picks k maximally-spread representatives, used to
+    * seed diverse eval sets, pick prototype documents per region of
+    * embedding space, and bound corpus coverage (the emitted radius
+    * curve IS the covering-radius guarantee: every vector is within
+    * `radius_e14` of some selected center, and greedy is a 2-approx of
+    * the optimal k-center radius).
+    *
+    * Exactness: distances are exact integers — coordinates in e7 fixed
+    * point, squared L2 in e14 units (≤64·(4e7)² ≈ 1e17, inside LONG) —
+    * so the argmax/tie-break ordering is engine-exact and the oracle
+    * mirrors the identical greedy trajectory.
+    *
+    * Scale: each of the k rounds is ONE map-only distance pass (the
+    * newest center rides along as a broadcast array literal — no join,
+    * no shuffle) plus ONE TakeOrderedAndProject argmax (tree-reduce).
+    * Running state per row is a single LONG (`dmin`), cached and
+    * rolled forward round to round; driver state is one 64-long array
+    * per round — the sanctioned scalar edge (GraphOps-style). k linear
+    * passes at 100 TB, never a pairwise anything.
+    */
+  /** e7 fixed-point coordinate projection shared by the k-center pair. */
+  private def fixedVecs(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"),
+      transform(VectorOps.toDouble(col("embedding")),
+        x => Exact.fixed(x, 7)).as("v7"))
+
+  /** Greedy farthest-point selection: k (round, center_id, radius_e14)
+    * tuples. Each round = one map-only distance pass (newest center as
+    * an array literal) + one argmax; see q200 scaladoc.
+    */
+  private def kcenterSelect(
+      s: SparkSession, d: String): Seq[(Long, Long, Long)] = {
+    val f = fixedVecs(s, d).cache()
+    f.count() // pin: scanned once per round (k argmax passes)
+
+    def sqdistTo(center: Seq[Long]) = aggregate(
+      zip_with(col("v7"), typedLit(center),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+    val seed = f.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centerV = seed.getSeq[Long](1)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (0L, seed.getLong(0), 0L))
+    var dmin = f.select(col("vec_id"), col("v7"),
+      sqdistTo(centerV).as("dmin")).cache()
+    dmin.count()
+    for (r <- 1 until KCENTER_K) {
+      val far = dmin
+        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      centerV = far.getSeq[Long](1)
+      picked += ((r.toLong, far.getLong(0), far.getLong(2)))
+      val next = dmin.select(col("vec_id"), col("v7"),
+        least(col("dmin"), sqdistTo(centerV)).as("dmin")).cache()
+      next.count()
+      dmin.unpersist(blocking = false)
+      dmin = next
+    }
+    dmin.unpersist(blocking = false)
+    f.unpersist(blocking = false)
+    picked.toSeq
+  }
+
+  private def q200KcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kcenterSelect(s, d).toDF("round_id", "center_id", "radius_e14")
+      .orderBy(col("round_id"))
+  }
+
+  /** Exact squared L2 between two e7 lists (DuckDB side). */
+  private def sqSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+
+  /** DuckDB mirror of the greedy trajectory: f (e7 vectors), then per
+    * round cN (argmax pick) and dN (rolled-forward min distance) —
+    * shared by q200 (trajectory) and q201 (cell assignment).
+    */
+  private val kcenterCtes = {
+    val rounds = (1 until KCENTER_K).map { r =>
+      s"""c$r AS (SELECT vec_id AS cid, v7, dmin AS radius
+            FROM d${r - 1} ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+          d$r AS (SELECT d.vec_id, d.v7,
+                    least(d.dmin, ${sqSql("d.v7", "c.v7")}) AS dmin
+                  FROM d${r - 1} d, c$r c)"""
+    }.mkString(",\n       ")
+    s"""f AS (SELECT vec_id,
+           list_transform((embedding)::DOUBLE[],
+             x -> ${Exact.fixedSql("x", 7)}) AS v7 FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, v7 FROM f ORDER BY vec_id LIMIT 1),
+       d0 AS (SELECT f.vec_id, f.v7, ${sqSql("f.v7", "c.v7")} AS dmin
+              FROM f, c0 c),
+       $rounds"""
+  }
+
+  private val q200Sql = {
+    val unions = (1 until KCENTER_K).map { r =>
+      s"SELECT $r AS round_id, cid AS center_id, radius AS radius_e14 FROM c$r"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH $kcenterCtes
+       SELECT CAST(0 AS BIGINT) AS round_id, cid AS center_id,
+              CAST(0 AS BIGINT) AS radius_e14 FROM c0
+       UNION ALL $unions
+       ORDER BY round_id"""
+  }
+
+  // ---------------------------------------------------------------- q201
+
+  /** q201: coreset cell assignment — every vector assigned to its
+    * nearest q200 center (tie → smaller center id), reported as
+    * per-cell occupancy, cell radius (max member distance), and mean
+    * member distance (integer div, e14 units). This is the
+    * "partition the corpus around its representatives" step: the cells
+    * are an IVF-style coarse quantization whose centers carry a
+    * covering guarantee (vs k-means centroids which carry none), and
+    * the occupancy/radius report is how you decide whether k was large
+    * enough before sharding a 100 TB corpus by cell.
+    *
+    * Scale: the 8-row center set broadcasts; assignment is one
+    * map-side join + a groupBy(vec_id) min-struct argmin (shuffle on
+    * vec_id, uniform) + a tiny 8-group rollup. The selection rounds
+    * are the q200 passes.
+    */
+  private def q201CoresetCells(s: SparkSession, d: String): DataFrame = {
+    val ids = kcenterSelect(s, d).map(_._2)
+    val f = fixedVecs(s, d)
+    val centers = f.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cid"), col("v7").as("c7"))
+    val assigned = f.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("cid"), aggregate(
+        zip_with(col("v7"), col("c7"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("dd"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dd"), col("cid"))).as("m"))
+      .select(col("m.cid").as("center_id"), col("m.dd").as("dd"))
+    assigned.groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("dd")).as("cell_radius_e14"),
+        expr("sum(dd) div count(1)").as("mean_dist_e14"))
+      .orderBy(col("center_id"))
+  }
+
+  private val q201Sql = {
+    val centerUnion = (0 until KCENTER_K)
+      .map(r => s"SELECT cid, v7 FROM c$r").mkString(" UNION ALL ")
+    s"""WITH $kcenterCtes,
+       cents AS ($centerUnion),
+       dists AS (SELECT f.vec_id, c.cid, ${sqSql("f.v7", "c.v7")} AS dd
+         FROM f, cents c),
+       assigned AS (SELECT vec_id, cid, dd FROM (
+           SELECT vec_id, cid, dd, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+           FROM dists) WHERE rn = 1)
+       SELECT cid AS center_id, COUNT(*) AS n_members,
+              MAX(dd) AS cell_radius_e14,
+              CAST(SUM(dd) // COUNT(*) AS BIGINT) AS mean_dist_e14
+       FROM assigned GROUP BY cid ORDER BY center_id"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_kcenter_coreset" -> q200KcenterCoreset,
+    "q201_coreset_cells" -> q201CoresetCells,
     "q32_cosine_topk" -> q32CosineTopk,
     "q191_centroid_outliers" -> q191CentroidOutliers,
     "q129_mmr_rerank" -> q129MmrRerank,
@@ -617,6 +785,8 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q200_kcenter_coreset" -> q200Sql,
+    "q201_coreset_cells" -> q201Sql,
     "q191_centroid_outliers" -> q191Sql,
     "q37_ivf_ann" -> q37Sql,
     "q85_ivf_nprobe" -> q85Sql,
