@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.core.Exact
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection library: the two greedy selection primitives a
+  * training-data pipeline runs AFTER dedup/quality filtering to pick
+  * small high-value subsets out of a big corpus —
+  *
+  *   - [[kcenter]]: farthest-point traversal over an embedding column
+  *     (Gonzalez 1985, 2-approx of the optimal k-center radius) —
+  *     k maximally-SPREAD representatives with a covering-radius
+  *     guarantee. Geometry-driven: use when an embedding space exists
+  *     and "cover the space" is the goal (eval seeding, cell sharding).
+  *   - [[greedyCoverage]]: greedy maximum-coverage over word-shingle
+  *     sets ((1−1/e)-approx, coverage is submodular) — k documents
+  *     that together cover the most distinct shingles. Lexical dual:
+  *     use when no embeddings exist or surface diversity is the goal
+  *     (few-shot pools, prompt libraries).
+  *
+  * Both run k bounded rounds; each round is one map-only pass over
+  * the corpus plus one argmax (TakeOrderedAndProject tree-reduce) —
+  * never a pairwise join. Driver state is k scalar picks (the
+  * sanctioned GraphOps-style 1-row edge). All distances/gains are
+  * exact integers (e7 fixed-point coordinates / shingle counts), so
+  * trajectories are deterministic across engines, partitionings, and
+  * runs — the property the q200/q202 DuckDB oracles check.
+  *
+  * Transient caches are scoped to each call (unpersisted before
+  * return) — unlike the long-lived CurationOps pins, nothing is
+  * retained.
+  */
+object SelectionOps {
+
+  /** One greedy pick: round (0-based), the picked id, and the score at
+    * selection time (k-center: the point's min squared distance to the
+    * prior centers, e14 units; coverage: the marginal shingle gain).
+    * The seed pick of [[kcenter]] carries score 0.
+    */
+  final case class Pick(round: Long, id: Long, score: Long)
+
+  /** e7 fixed-point lift of a float/double array column. */
+  def fixedVec(vec: Column): Column =
+    transform(vec, x => Exact.fixed(x.cast("double"), 7))
+
+  /** Exact squared L2 between two e7 LONG-array columns (e14 units). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Greedy k-center selection. `vecs` must expose LONG `idCol` and a
+    * numeric-array `vecCol`; seeded at the smallest id, ties on the
+    * argmax break to the smaller id. Returns the k-pick trajectory in
+    * round order; `Pick.score` is the covering radius achieved by the
+    * PREVIOUS round's set (non-increasing).
+    */
+  def kcenter(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Pick] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = vecs
+      .select(col(idCol).cast("long").as("id"),
+        fixedVec(col(vecCol)).as("v7"))
+      .cache()
+    f.count() // pin: scanned once per round
+    def distTo(center: Seq[Long]) =
+      sqDist(col("v7"), typedLit(center))
+    val seed = f.orderBy(col("id")).limit(1).collect()(0)
+    var centerV = seed.getSeq[Long](1)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      Pick(0L, seed.getLong(0), 0L))
+    var dmin = f.select(col("id"), col("v7"),
+      distTo(centerV).as("dmin")).cache()
+    dmin.count()
+    for (r <- 1 until k) {
+      val far = dmin.orderBy(col("dmin").desc, col("id").asc).limit(1)
+        .collect()(0)
+      centerV = far.getSeq[Long](1)
+      picked += Pick(r.toLong, far.getLong(0), far.getLong(2))
+      val next = dmin.select(col("id"), col("v7"),
+        least(col("dmin"), distTo(centerV)).as("dmin")).cache()
+      next.count()
+      dmin.unpersist(blocking = false)
+      dmin = next
+    }
+    dmin.unpersist(blocking = false)
+    f.unpersist(blocking = false)
+    picked.toSeq
+  }
+
+  /** Assign every vector to its nearest center (tie → smaller center
+    * id): per-cell occupancy, cell radius, and mean member distance
+    * (integer div), e14 units. The centers broadcast; assignment is a
+    * map-side join + min-struct argmin on the uniform id key.
+    */
+  def assignCells(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centerIds: Seq[Long]): DataFrame = {
+    val f = vecs.select(col(idCol).cast("long").as("id"),
+      fixedVec(col(vecCol)).as("v7"))
+    val centers = f.filter(col("id").isin(centerIds: _*))
+      .select(col("id").as("cid"), col("v7").as("c7"))
+    f.crossJoin(broadcast(centers))
+      .select(col("id"), col("cid"),
+        sqDist(col("v7"), col("c7")).as("dd"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dd"), col("cid"))).as("m"))
+      .select(col("m.cid").as("center_id"), col("m.dd").as("dd"))
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("dd")).as("cell_radius_e14"),
+        expr("sum(dd) div count(1)").as("mean_dist_e14"))
+      .orderBy(col("center_id"))
+  }
+
+  /** Greedy maximum-coverage selection over word n-gram shingles.
+    * `docs` must expose LONG `idCol` and a string `textCol`
+    * (tokenized via [[TextOps.tokens]]). Each round picks the doc
+    * with the most not-yet-covered shingles (ties → smaller id);
+    * `Pick.score` is the marginal gain (non-increasing by
+    * submodularity). The covered set is rebuilt from the ≤k picked
+    * docs each round — bounded, never corpus-sized.
+    */
+  def greedyCoverage(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      n: Int = 3): Seq[Pick] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sh = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(DedupOps.shingles(TextOps.tokens(col(textCol)), n))
+          .as("sh"))
+      .cache()
+    sh.count() // pin: scanned once per round
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Pick]
+    var covered: DataFrame = null
+    for (r <- 0 until k) {
+      val fresh =
+        if (covered == null) sh
+        else sh.join(covered, Seq("sh"), "left_anti")
+      val top = fresh.groupBy(col("id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id").asc).limit(1)
+        .collect()
+      if (top.isEmpty) { // corpus fully covered before k rounds
+        if (covered != null) covered.unpersist(blocking = false)
+        sh.unpersist(blocking = false)
+        return picked.toSeq
+      }
+      picked += Pick(r.toLong, top(0).getLong(0), top(0).getLong(1))
+      val ids = picked.map(_.id).toSeq
+      val next = sh.filter(col("id").isin(ids: _*))
+        .select(col("sh")).distinct().cache()
+      next.count()
+      if (covered != null) covered.unpersist(blocking = false)
+      covered = next
+    }
+    covered.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    picked.toSeq
+  }
+}

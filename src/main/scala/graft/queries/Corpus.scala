@@ -826,7 +826,79 @@ object Corpus extends QueryPack {
        WHERE pr <= 0.3 ORDER BY source, doc_id"""
   }
 
+  // ---------------------------------------------------------------- q202
+
+  private val SETCOVER_K = 8
+
+  /** q202: greedy maximum-coverage corpus selection — pick 8 documents
+    * that together cover the most distinct word 3-shingles, one
+    * greedy round at a time (each round picks the doc with the most
+    * NOT-yet-covered shingles; ties → smaller doc_id). This is the
+    * submodular data-selection primitive (greedy is the classic
+    * (1−1/e)-approximation for max coverage): "which k documents are
+    * the most informative, least mutually redundant sample of this
+    * corpus" — the selection dual of near-dup REMOVAL, used for
+    * eval-set seeding and few-shot pool construction. The emitted
+    * marginal-gain curve is the coverage saturation diagnostic
+    * (when gain flattens, more docs add redundancy, not coverage).
+    *
+    * Exactness: gains are integer counts over exact string shingles —
+    * the greedy trajectory is engine-exact; the oracle unrolls the
+    * same rounds as CTEs.
+    *
+    * Scale: per round ONE anti-join of the (doc, shingle) relation
+    * against the covered-shingle set (uniform equi key) + ONE grouped
+    * count + ONE argmax; the covered set is rebuilt from the ≤k picked
+    * docs' shingles (bounded). k linear passes, no pairwise anything;
+    * driver state is k (id, gain) scalars — the sanctioned 1-row
+    * argmax edge (GraphOps-style). At 100 TB the (doc, shingle)
+    * relation is the same explode the MinHash chain already scans.
+    */
+  private def q202SetCover(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val picked = graft.ops.SelectionOps
+      .greedyCoverage(docs(s, d), "doc_id", "text", SETCOVER_K)
+    val rows = picked.scanLeft((0L, 0L, 0L, 0L)) {
+      case ((_, _, _, cum), p) => (p.round, p.id, p.score, cum + p.score)
+    }.drop(1)
+    rows.toDF("round_id", "doc_id", "gain", "covered_total")
+      .orderBy(col("round_id"))
+  }
+
+  private val q202Sql = {
+    val rounds = (1 until SETCOVER_K).map { r =>
+      s"""g$r AS (SELECT s.doc_id, COUNT(*) AS gain FROM sh s
+            LEFT JOIN cov${r - 1} c ON s.sh = c.sh
+            WHERE c.sh IS NULL GROUP BY 1),
+          p$r AS (SELECT doc_id, gain FROM g$r
+            ORDER BY gain DESC, doc_id ASC LIMIT 1),
+          cov$r AS (SELECT sh FROM cov${r - 1}
+            UNION SELECT s.sh FROM sh s, p$r p WHERE s.doc_id = p.doc_id)"""
+    }.mkString(",\n       ")
+    val unions = (1 until SETCOVER_K).map { r =>
+      s"SELECT $r AS round_id, doc_id, gain FROM p$r"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       sraw AS (SELECT doc_id,
+           ${graft.ops.DedupOps.shinglesSql("toks")} AS sh FROM t),
+       sh AS (SELECT doc_id, unnest(sh) AS sh FROM sraw),
+       g0 AS (SELECT doc_id, COUNT(*) AS gain FROM sh GROUP BY 1),
+       p0 AS (SELECT doc_id, gain FROM g0
+         ORDER BY gain DESC, doc_id ASC LIMIT 1),
+       cov0 AS (SELECT DISTINCT s.sh FROM sh s, p0 p
+         WHERE s.doc_id = p.doc_id),
+       $rounds,
+       traj AS (SELECT 0 AS round_id, doc_id, gain FROM p0
+         UNION ALL $unions)
+       SELECT CAST(round_id AS BIGINT) AS round_id, doc_id,
+              CAST(gain AS BIGINT) AS gain,
+              CAST(SUM(gain) OVER (ORDER BY round_id) AS BIGINT)
+                AS covered_total
+       FROM traj ORDER BY round_id"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_set_cover" -> q202SetCover,
     "q151_quality_percentile_cut" -> q151QualityPercentileCut,
     "q96_line_dedup" -> q96LineDedup,
     "q97_source_caps" -> q97SourceCaps,
@@ -846,6 +918,7 @@ object Corpus extends QueryPack {
     "q197_ndcg" -> q197Ndcg)
 
   override val oracle: Map[String, String] = Map(
+    "q202_set_cover" -> q202Sql,
     "q151_quality_percentile_cut" -> q151Sql,
     "q96_line_dedup" -> q96Sql,
     "q97_source_caps" -> q97Sql,

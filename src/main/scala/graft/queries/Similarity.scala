@@ -628,53 +628,12 @@ object Similarity extends QueryPack {
     * per round — the sanctioned scalar edge (GraphOps-style). k linear
     * passes at 100 TB, never a pairwise anything.
     */
-  /** e7 fixed-point coordinate projection shared by the k-center pair. */
-  private def fixedVecs(s: SparkSession, d: String): DataFrame =
-    emb(s, d).select(col("vec_id"),
-      transform(VectorOps.toDouble(col("embedding")),
-        x => Exact.fixed(x, 7)).as("v7"))
-
-  /** Greedy farthest-point selection: k (round, center_id, radius_e14)
-    * tuples. Each round = one map-only distance pass (newest center as
-    * an array literal) + one argmax; see q200 scaladoc.
-    */
-  private def kcenterSelect(
-      s: SparkSession, d: String): Seq[(Long, Long, Long)] = {
-    val f = fixedVecs(s, d).cache()
-    f.count() // pin: scanned once per round (k argmax passes)
-
-    def sqdistTo(center: Seq[Long]) = aggregate(
-      zip_with(col("v7"), typedLit(center),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
-    val seed = f.orderBy(col("vec_id")).limit(1).collect()(0)
-    var centerV = seed.getSeq[Long](1)
-    val picked = scala.collection.mutable.ArrayBuffer(
-      (0L, seed.getLong(0), 0L))
-    var dmin = f.select(col("vec_id"), col("v7"),
-      sqdistTo(centerV).as("dmin")).cache()
-    dmin.count()
-    for (r <- 1 until KCENTER_K) {
-      val far = dmin
-        .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
-        .collect()(0)
-      centerV = far.getSeq[Long](1)
-      picked += ((r.toLong, far.getLong(0), far.getLong(2)))
-      val next = dmin.select(col("vec_id"), col("v7"),
-        least(col("dmin"), sqdistTo(centerV)).as("dmin")).cache()
-      next.count()
-      dmin.unpersist(blocking = false)
-      dmin = next
-    }
-    dmin.unpersist(blocking = false)
-    f.unpersist(blocking = false)
-    picked.toSeq
-  }
-
   private def q200KcenterCoreset(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    kcenterSelect(s, d).toDF("round_id", "center_id", "radius_e14")
+    graft.ops.SelectionOps
+      .kcenter(emb(s, d), "vec_id", "embedding", KCENTER_K)
+      .map(p => (p.round, p.id, p.score))
+      .toDF("round_id", "center_id", "radius_e14")
       .orderBy(col("round_id"))
   }
 
@@ -733,22 +692,10 @@ object Similarity extends QueryPack {
     * are the q200 passes.
     */
   private def q201CoresetCells(s: SparkSession, d: String): DataFrame = {
-    val ids = kcenterSelect(s, d).map(_._2)
-    val f = fixedVecs(s, d)
-    val centers = f.filter(col("vec_id").isin(ids: _*))
-      .select(col("vec_id").as("cid"), col("v7").as("c7"))
-    val assigned = f.crossJoin(broadcast(centers))
-      .select(col("vec_id"), col("cid"), aggregate(
-        zip_with(col("v7"), col("c7"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("dd"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dd"), col("cid"))).as("m"))
-      .select(col("m.cid").as("center_id"), col("m.dd").as("dd"))
-    assigned.groupBy(col("center_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max(col("dd")).as("cell_radius_e14"),
-        expr("sum(dd) div count(1)").as("mean_dist_e14"))
-      .orderBy(col("center_id"))
+    val e = emb(s, d)
+    val ids = graft.ops.SelectionOps
+      .kcenter(e, "vec_id", "embedding", KCENTER_K).map(_.id)
+    graft.ops.SelectionOps.assignCells(e, "vec_id", "embedding", ids)
   }
 
   private val q201Sql = {
