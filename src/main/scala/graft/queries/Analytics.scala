@@ -733,6 +733,92 @@ object Analytics extends QueryPack {
        FROM m ORDER BY l_returnflag"""
   }
 
+  // ---------------------------------------------------------------- q203
+
+  /** Correlation-matrix measure columns and their fixed-point scales —
+    * chosen so every pairwise product-sum stays inside LONG at sf0.1
+    * row counts (worst term: price² ≈ 1e10/row × 6e5 rows ≈ 6e15; see
+    * q146's overflow-budget note).
+    */
+  private val corrCols: Seq[(String, Int)] = Seq(
+    "l_quantity" -> 2, "l_extendedprice" -> 0,
+    "l_discount" -> 4, "l_tax" -> 4)
+
+  /** q203: exact correlation MATRIX in one pass — all 6 measure pairs
+    * of (quantity, price, discount, tax) per return flag from a SINGLE
+    * aggregate computing the 14 mergeable integer moments (4 sums + 10
+    * product-sums), then unpivoted to (flag, var_x, var_y, corr) rows.
+    * `df.stat.corr` does one pass PER PAIR — k² scans of a 100 TB
+    * fact; this is the one-scan generalization of q146's exact-Pearson
+    * contract (order-independent integer moments → one fixed combine
+    * expression → bit-identical everywhere). The moments partial-
+    * aggregate map-side and merge associatively, so the same shape is
+    * the incremental/streaming update.
+    */
+  private def q203CorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val moments =
+      corrCols.map { case (c, sc) =>
+        sum(Exact.fixed(col(c), sc)).as(s"s_$c")
+      } ++ pairs.map { case ((x, sx), (y, sy)) =>
+        sum(Exact.fixed(col(x), sx) * Exact.fixed(col(y), sy))
+          .as(s"s_${x}_$y")
+      } ++ corrCols.map { case (c, sc) =>
+        val f = Exact.fixed(col(c), sc)
+        sum(f * f).as(s"s_${c}_$c")
+      }
+    val agg = Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), moments: _*)
+    def corrExpr(x: String, y: String) =
+      s"""round((CAST(n AS DOUBLE) * s_${x}_$y
+           - CAST(s_$x AS DOUBLE) * s_$y)
+         / (sqrt(CAST(n AS DOUBLE) * s_${x}_$x
+             - CAST(s_$x AS DOUBLE) * s_$x)
+            * sqrt(CAST(n AS DOUBLE) * s_${y}_$y
+             - CAST(s_$y AS DOUBLE) * s_$y)), 6)"""
+    val stack = pairs.map { case ((x, _), (y, _)) =>
+      s"'$x', '$y', ${corrExpr(x, y)}"
+    }.mkString(", ")
+    agg.selectExpr("l_returnflag", "n",
+      s"stack(${pairs.length}, $stack) AS (var_x, var_y, corr)")
+      .orderBy(col("l_returnflag"), col("var_x"), col("var_y"))
+  }
+
+  private val q203Sql = {
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val momentSql =
+      corrCols.map { case (c, sc) =>
+        s"CAST(sum(${Exact.fixedSql(c, sc)}) AS BIGINT) AS s_$c"
+      } ++ (pairs.map { case ((x, sx), (y, sy)) =>
+        s"CAST(sum((${Exact.fixedSql(x, sx)}) * (${Exact.fixedSql(y, sy)})) " +
+          s"AS BIGINT) AS s_${x}_$y"
+      }) ++ corrCols.map { case (c, sc) =>
+        s"CAST(sum((${Exact.fixedSql(c, sc)}) * (${Exact.fixedSql(c, sc)})) " +
+          s"AS BIGINT) AS s_${c}_$c"
+      }
+    def corrSql(x: String, y: String) =
+      s"""round((CAST(n AS DOUBLE) * s_${x}_$y
+           - CAST(s_$x AS DOUBLE) * s_$y)
+         / (sqrt(CAST(n AS DOUBLE) * s_${x}_$x
+             - CAST(s_$x AS DOUBLE) * s_$x)
+            * sqrt(CAST(n AS DOUBLE) * s_${y}_$y
+             - CAST(s_$y AS DOUBLE) * s_$y)), 6)"""
+    val branches = pairs.map { case ((x, _), (y, _)) =>
+      s"SELECT l_returnflag, n, '$x' AS var_x, '$y' AS var_y, " +
+        s"${corrSql(x, y)} AS corr FROM m"
+    }.mkString("\n       UNION ALL ")
+    s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         ${momentSql.mkString(",\n         ")}
+       FROM lineitem GROUP BY l_returnflag)
+       $branches
+       ORDER BY l_returnflag, var_x, var_y"""
+  }
+
   // ---------------------------------------------------------------- q147
 
   /** q147: exact OLS regression line per group — slope/intercept of
@@ -1152,6 +1238,7 @@ object Analytics extends QueryPack {
     "q143_association_rules" -> q143AssociationRules,
     "q145_rolling_active" -> q145RollingActive,
     "q146_exact_corr" -> q146ExactCorr,
+    "q203_corr_matrix" -> q203CorrMatrix,
     "q147_exact_ols" -> q147ExactOls,
     "q162_scd2_history" -> q162Scd2History,
     "q164_pit_join" -> q164PointInTimeJoin,
@@ -1175,6 +1262,7 @@ object Analytics extends QueryPack {
     "q143_association_rules" -> q143Sql,
     "q145_rolling_active" -> q145Sql,
     "q146_exact_corr" -> q146Sql,
+    "q203_corr_matrix" -> q203Sql,
     "q147_exact_ols" -> q147Sql,
     "q162_scd2_history" -> q162Sql,
     "q164_pit_join" -> q164Sql,
