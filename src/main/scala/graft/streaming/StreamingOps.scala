@@ -167,9 +167,15 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.ops.{DedupOps, TextOps}
     docs
+      // tokens materialized as a column first: the shingle lambda
+      // indexes its input per n-gram slot, and a raw tokens(text)
+      // expression would re-tokenize per element_at (see
+      // SelectionOps.greedyCoverage — O(shingles·n) blowup per row)
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
       .withColumn("__simhash",
         DedupOps.simhash(DedupOps.shingleHashes(
-          DedupOps.shingles(TextOps.tokens(col(textCol))))))
+          DedupOps.shingles(col("__toks")))))
+      .drop("__toks")
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__simhash")
       .drop("__simhash")
