@@ -53,7 +53,11 @@ object SelectionOps {
     * numeric-array `vecCol`; seeded at the smallest id, ties on the
     * argmax break to the smaller id. Returns the k-pick trajectory in
     * round order; `Pick.score` is the covering radius achieved by the
-    * PREVIOUS round's set (non-increasing).
+    * PREVIOUS round's set (non-increasing). An empty input returns an
+    * empty trajectory; if the input has fewer than k distinct points,
+    * later rounds repeat the minimum-id point at radius 0 (the argmax
+    * over an all-covered set — callers wanting exactly-distinct picks
+    * should stop at the first zero radius).
     */
   def kcenter(
       vecs: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Pick] = {
@@ -62,7 +66,10 @@ object SelectionOps {
       .select(col(idCol).cast("long").as("id"),
         fixedVec(col(vecCol)).as("v7"))
       .cache()
-    f.count() // pin: scanned once per round
+    if (f.count() == 0L) { // pin: scanned once per round
+      f.unpersist(blocking = false)
+      return Seq.empty
+    }
     def distTo(center: Seq[Long]) =
       sqDist(col("v7"), typedLit(center))
     val seed = f.orderBy(col("id")).limit(1).collect()(0)

@@ -46,6 +46,15 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(picks.head.score === 2L) // "alpha beta gamma", "beta gamma delta"
   }
 
+  test("empty inputs yield empty trajectories, not exceptions") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    assert(SelectionOps.kcenter(noVecs, "id", "v", 3) === Seq.empty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SelectionOps.greedyCoverage(noDocs, "doc_id", "text", 3)
+      === Seq.empty)
+  }
+
   test("greedyCoverage breaks gain ties to the smaller doc id") {
     import spark.implicits._
     val docs = Seq(
