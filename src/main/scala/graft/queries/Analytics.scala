@@ -882,9 +882,13 @@ object Analytics extends QueryPack {
   private def q162Scd2History(s: SparkSession, d: String): DataFrame =
     scd2CustHistory(s, d, "2024-01-01 00:00:00", "2024-06-01 00:00:00")
       // gate projection uses the conventional open-row sentinel (no
-      // NULL timestamps in compared output; the library keeps NULL)
-      .withColumn("valid_to", coalesce(col("valid_to"),
-        to_timestamp(lit("9999-12-31 00:00:00"))))
+      // NULL timestamps in compared output; the library keeps NULL).
+      // Effective instants cross the gate as epoch-micros LONGs — the
+      // events-table convention — so the comparison never depends on
+      // a parquet timestamp physical encoding (INT96/nanos vs micros).
+      .withColumn("valid_from", unix_micros(col("valid_from")))
+      .withColumn("valid_to", unix_micros(coalesce(col("valid_to"),
+        to_timestamp(lit("9999-12-31 00:00:00")))))
       .orderBy(col("c_custkey"), col("version"))
 
   /** The q162 merge scenario as DuckDB CTE text (`merged` = the SCD2
@@ -926,9 +930,10 @@ object Analytics extends QueryPack {
 
   private val q162Sql =
     s"""WITH ${scd2CustCte("2024-01-01 00:00:00", "2024-06-01 00:00:00")}
-       SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
-              COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00')
-                AS valid_to,
+       SELECT c_custkey, c_acctbal, c_mktsegment,
+              epoch_us(valid_from) AS valid_from,
+              epoch_us(COALESCE(valid_to,
+                TIMESTAMP '9999-12-31 00:00:00')) AS valid_to,
               version
        FROM merged ORDER BY c_custkey, version"""
 

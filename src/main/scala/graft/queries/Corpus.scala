@@ -367,7 +367,10 @@ object Corpus extends QueryPack {
     tf.count()
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nTotal = docs(s, d).agg(count(lit(1)).as("n_total"))
-    val idfE6 = ((lit(1000000L) * col("n_total")) / col("df")).cast("long")
+    // integer `div`, not double `/` + cast: the double path is exact
+    // only while 1e6·N < 2^53 — `div` keeps the fixed-point contract
+    // at any corpus size.
+    val idfE6 = expr("(cast(1000000 as bigint) * n_total) div df")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_e6").desc, col("word").asc)
     tf.join(broadcast(df), Seq("word"))
@@ -397,33 +400,65 @@ object Corpus extends QueryPack {
   /** q101: TextRank — weighted PageRank over the word co-occurrence
     * graph, the graph-based competitor to q100's TF-IDF keyword
     * scoring (Mihalcea & Tarau 2004). Nodes = non-stopword words,
-    * edge weight = number of documents where the pair co-occurs
-    * (document-level co-occurrence; a real corpus with long documents
-    * bounds this with a sliding window so per-doc pair counts stay
-    * O(len·window), not O(len²)). Ranking runs in
+    * edge weight = number of position pairs co-occurring within a
+    * sliding window of [[textrankWindow]] raw-token positions — the
+    * paper's actual definition, and the scale bound: pair generation
+    * is an EQUI-join on (doc_id, position+offset) after an offset
+    * explode, so per-doc work is O(len·window), never O(len²), no
+    * matter how long real documents get. Ranking runs in
     * [[graft.ops.GraphOps.weightedPageRank]]'s exact integer
     * fixed-point, so three distributed join+agg rounds hash-match the
     * oracle's unrolled CTEs bit-for-bit — no FP drift.
     */
   private def q101Textrank(s: SparkSession, d: String): DataFrame = {
     import graft.ops.GraphOps
-    // distinct (doc, word) feeds both sides of the pair self-join —
-    // cache+materialize so concurrent stage scans don't both recompute
-    val tok = docs(s, d)
-      .select(col("doc_id"), explode(toks).as("word"))
-      .filter(!col("word").isInCollection(TextOps.stopwords))
-      .distinct()
-      .cache()
+    val tok = positionedTokens(docs(s, d)).cache()
     tok.count()
-    val pairs = tok.select(col("doc_id"), col("word").as("w1"))
-      .join(tok.select(col("doc_id"), col("word").as("w2")), Seq("doc_id"))
-      .filter(col("w1") < col("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = windowCooccurrence(tok, textrankWindow)
     val ranked = GraphOps.weightedPageRank(pairs, "w1", "w2", "w", iters = 3)
     tok.unpersist()
     ranked.select(col("u").as("word"), col("score"))
       .orderBy(col("score").desc, col("word").asc)
+  }
+
+  /** TextRank co-occurrence window, in raw-token positions (stopwords
+    * are removed but keep their gap, so the window measures distance
+    * in the original text).
+    */
+  val textrankWindow = 8
+
+  /** Non-stopword tokens with their 0-based raw position:
+    * (doc_id, pos, word).
+    */
+  private[queries] def positionedTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .filter(!col("word").isInCollection(TextOps.stopwords))
+
+  /** Window-bounded co-occurrence pairs: for each token occurrence,
+    * explode the offsets 1..window and EQUI-join on
+    * (doc_id, pos + off = pos) — each output row is one position pair
+    * at distance ≤ window, so total pairs are O(tokens·window) by
+    * construction (the long-document bound q101 needs; a doc-keyed
+    * self-join with a range residual would still enumerate O(len²)
+    * candidates per doc at probe time). Pair key is unordered
+    * (least, greatest); same-word pairs drop.
+    */
+  private[queries] def windowCooccurrence(
+      tok: DataFrame, window: Int): DataFrame = {
+    val probe = tok.select(col("doc_id"), col("pos"),
+        explode(sequence(lit(1), lit(window))).as("off"),
+        col("word").as("wa"))
+      .select(col("doc_id"), (col("pos") + col("off")).as("pos2"),
+        col("wa"))
+    probe
+      .join(tok.select(col("doc_id"), col("pos").as("pos2"),
+        col("word").as("wb")), Seq("doc_id", "pos2"))
+      .filter(col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("w"))
   }
 
   private val q101Sql = {
@@ -433,11 +468,15 @@ object Corpus extends QueryPack {
             150000000 + (85 * CAST(SUM((s.score * ew.w) // ew.wdeg) AS BIGINT)) // 100
               AS score
           FROM ew JOIN $prev s ON ew.u = s.u GROUP BY ew.v)"""
-    s"""WITH tok AS (SELECT DISTINCT doc_id, word FROM
-           (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+    s"""WITH tokp AS (SELECT doc_id, unnest($toksSql) AS word,
+           unnest(range(0, len($toksSql))) AS pos FROM documents),
+       tok AS (SELECT doc_id, word, pos FROM tokp
          WHERE word NOT IN ($stops)),
-       pairs AS (SELECT a.word AS w1, b.word AS w2, COUNT(*) AS w
-         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.word < b.word
+       pairs AS (SELECT least(a.word, b.word) AS w1,
+           greatest(a.word, b.word) AS w2, COUNT(*) AS w
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+           AND b.pos > a.pos AND b.pos <= a.pos + $textrankWindow
+           AND a.word <> b.word
          GROUP BY 1, 2),
        e AS (SELECT w1 AS u, w2 AS v, w FROM pairs
              UNION ALL SELECT w2, w1, w FROM pairs),

@@ -242,4 +242,42 @@ class PropertySpec extends AnyFunSuite {
       assert(got.toSeq === want, s"for $rs")
     }
   }
+
+  test("idf fixed-point: integer div is exact where double / drifts") {
+    val sq = spark
+    import sq.implicits._
+    // corpus sizes where 1e6·N exceeds 2^53: the q100 regime the
+    // fixed-point contract exists for (N up to ~9e9 documents)
+    val cases = Gen.zip(
+      Gen.chooseNum(1L << 33, 9000000000L), // n_total
+      Gen.chooseNum(1L, 1L << 33)) // df
+    val rows = samples(cases, 40).map { case (n, df) => (n, math.min(df, n)) }
+    val got = rows.toDF("n_total", "df")
+      .select(col("n_total"), col("df"),
+        expr("(cast(1000000 as bigint) * n_total) div df").as("idf_e6"),
+        ((lit(1000000L) * col("n_total")) / col("df")).cast("long")
+          .as("idf_dbl"))
+      .collect()
+    got.foreach { r =>
+      val want = (BigInt(r.getLong(0)) * 1000000 / BigInt(r.getLong(1)))
+        .toLong
+      assert(r.getLong(2) === want,
+        s"div not exact for n=${r.getLong(0)} df=${r.getLong(1)}")
+    }
+    // the guarded-against bug is real once 1e6·N crosses 2^53 (N over
+    // ~9.0e9 rows — one epoch-expanded pass at 100 TB): the double
+    // path rounds the quotient up across an integer boundary for some
+    // df, the floor-div path never does
+    val (nBig, dfBig) = (34981812590L, 7L) // 1e6·n ≈ 3.5e16 > 2^53
+    assert(((1000000L * nBig).toDouble / dfBig).toLong !=
+      (BigInt(nBig) * 1000000 / BigInt(dfBig)).toLong)
+    val sparkRow = Seq((nBig, dfBig)).toDF("n_total", "df")
+      .select(expr("(cast(1000000 as bigint) * n_total) div df"),
+        ((lit(1000000L) * col("n_total")) / col("df")).cast("long"))
+      .collect()(0)
+    assert(sparkRow.getLong(0) ===
+      (BigInt(nBig) * 1000000 / BigInt(dfBig)).toLong)
+    assert(sparkRow.getLong(1) !== sparkRow.getLong(0),
+      "Spark double path should reproduce the drift")
+  }
 }
