@@ -94,7 +94,14 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: at ~200 queries the one-line JSON
+    // overflows the driver's stdout-tail capture (BENCH_r05.json came
+    // back `parsed: null`), and the file is the complete record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

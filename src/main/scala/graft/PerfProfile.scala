@@ -24,9 +24,15 @@ object PerfProfile {
     case other => other +: other.children.flatMap(flatten)
   }
 
-  /** Sum every metric whose display name contains `needle`. */
+  /** Sum every metric whose display name contains `needle`. Metrics
+    * dedupe by accumulator id first: AQE stage reuse (ReusedExchange /
+    * reused shuffle stages) surfaces the SAME SQLMetric object under
+    * more than one flattened node, and summing it twice would inflate
+    * the reported bytes.
+    */
   private def sumMetric(plans: Seq[SparkPlan], needle: String): Long =
     plans.flatMap(_.metrics.values)
+      .distinctBy(_.id)
       .filter(_.name.exists(_.toLowerCase.contains(needle)))
       .map(_.value).filter(_ > 0).sum
 

@@ -41,9 +41,21 @@ object Tables {
     */
   private[graft] def normalizeEventTime(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampNTZType) | Some(TimestampType) =>
+      case Some(TimestampNTZType) =>
+        // the NTZ→instant cast reinterprets the stored wall clock in
+        // the SESSION timezone; it is the identity on the stored
+        // micros only under UTC. Fail loudly rather than silently
+        // shifting every event by the zone offset.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts NTZ normalization requires spark.sql.session" +
+            s".timeZone=UTC (got $tz); a non-UTC session would shift " +
+            "every instant by the zone offset")
         df.withColumn(
           "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampType) =>
+        // instant-typed ts: unix_micros is timezone-independent
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case Some(LongType) | _ => df
     }
 }

@@ -101,6 +101,15 @@ object SelectionOps {
     * id): per-cell occupancy, cell radius, and mean member distance
     * (integer div), e14 units. The centers broadcast; assignment is a
     * map-side join + min-struct argmin on the uniform id key.
+    *
+    * Overflow budget: a single squared distance `dd` fits LONG (the
+    * per-pair e14 bound in [[kcenter]]'s docs, ~1e17 worst case), but
+    * Σdd over a cell does NOT once a cell holds more than ~90
+    * far-radius members — so the mean aggregates through
+    * DECIMAL(38,0), whose 10^38 headroom covers any cell cardinality,
+    * and `div` brings the mean (which always fits, mean ≤ max dd)
+    * back to LONG. DuckDB's oracle needs no twin: its BIGINT sum
+    * already widens to HUGEINT.
     */
   def assignCells(
       vecs: DataFrame, idCol: String, vecCol: String,
@@ -118,7 +127,8 @@ object SelectionOps {
       .groupBy(col("center_id"))
       .agg(count(lit(1)).as("n_members"),
         max(col("dd")).as("cell_radius_e14"),
-        expr("sum(dd) div count(1)").as("mean_dist_e14"))
+        expr("sum(cast(dd as decimal(38,0))) div count(1)")
+          .as("mean_dist_e14"))
       .orderBy(col("center_id"))
   }
 

@@ -65,27 +65,54 @@ case class AdmittedDoc(
   */
 object StreamingOps {
 
+  /** Schema of events.parquet with nanosecond timestamps surfaced as
+    * LONG (matches `spark.sql.legacy.parquet.nanosAsLong=true`) — the
+    * startup fallback when the stream directory has no files yet to
+    * sniff an actual physical schema from.
+    */
+  val eventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over an events-shaped parquet path, with
     * event-time lifted to TimestampType for watermarking. Streaming
     * readers cannot infer schemas, so the physical schema is sniffed
     * with ONE driver-side batch footer read of the same path; the
     * `ts` lift then adapts to whichever encoding the files carry
     * (nanos-as-LONG vs TIMESTAMP/NTZ — same contract as
-    * [[graft.core.Tables]], which normalizes the batch side).
+    * [[graft.core.Tables]], which normalizes the batch side). An
+    * empty directory — the canonical start-stream-then-drop-files
+    * pattern — has no footers to sniff; it falls back to
+    * [[eventsNanosSchema]] instead of failing startup.
     *
     * The file-stream source requires its base path to be a DIRECTORY
     * (it derives `basePath` for partition discovery from it), so a
     * path that is a single parquet file is streamed as its parent
     * directory + a `pathGlobFilter` on the file name — same file set,
-    * valid base path.
+    * valid base path. The file-vs-directory probe goes through the
+    * path's own Hadoop FileSystem, so non-local stores resolve
+    * correctly (java.io.File would silently treat every remote path
+    * as a directory).
     */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    val physical = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val physical =
+      try spark.read.parquet(path).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") =>
+          eventsNanosSchema
+      }
     val reader = spark.readStream.schema(physical)
     val raw =
-      if (f.isFile)
-        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      if (fs.exists(hPath) && fs.getFileStatus(hPath).isFile)
+        reader.option("pathGlobFilter", hPath.getName)
+          .parquet(hPath.getParent.toString)
       else reader.parquet(path)
     physical.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>

@@ -47,6 +47,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source stream starts on an EMPTY directory (schema fallback)") {
+    // canonical start-stream-then-drop-files pattern: no footers to
+    // sniff yet, so readEventsStream must fall back to the fixed
+    // events schema instead of failing startup; rows that arrive
+    // later flow with the ts lift applied
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-empty")
+    val stream = graft.streaming.StreamingOps
+      .readEventsStream(spark, dir.toString)
+    assert(stream.schema.fieldNames.contains("ts"))
+    val query = graft.streaming.StreamingOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("emptywc")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable() // zero batches, but startup succeeded
+      // arriving files must carry the fallback's LONG-nanos layout —
+      // write through the Tables normalizer
+      val src = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+      src.write.mode("append").parquet(dir.toString)
+      query.processAllAvailable()
+      val streamed = spark.table("emptywc")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      assert(streamed === src.count())
+    } finally query.stop()
+  }
+
   test("wide-column bucket average (A6) is a single projection") {
     val sq = spark
     import sq.implicits._
