@@ -63,4 +63,56 @@ object RerankOps {
     }
     selected.orderBy(col("qid"), col("rank"))
   }
+
+  /** Integer fixed-point MMR — same greedy trajectory as [[mmr]] but
+    * every score is an exact LONG, so the selection order (and hence
+    * the output) is bit-identical across engines, run topologies, and
+    * partition counts. λ is a rational `lambdaNum/lambdaDen`; scores
+    * are reported in e-units·lambdaDen:
+    * `mmr = lambdaNum·rel − (lambdaDen−lambdaNum)·max_sim`
+    * (rank 1 has an empty selected set → `lambdaNum·rel`). Integer
+    * subtraction replaces the double `round(λ·rel − (1−λ)·sim, 6)`,
+    * whose halfway cases are at the mercy of binary representation —
+    * the one cross-engine hazard the double form can't close.
+    *
+    * @param candidates (qid, cid, rel) with `rel` LONG fixed-point.
+    * @param pairSims   (qid, cid1, cid2, sim) with `sim` LONG in the
+    *                   SAME fixed-point scale, both orientations.
+    * @return (qid, rank, cid, rel, mmr) — all LONG score columns.
+    */
+  def mmrExact(candidates: DataFrame, pairSims: DataFrame, k: Int,
+      lambdaNum: Long, lambdaDen: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be in [0,1]: $lambdaNum/$lambdaDen")
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    def top1(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(byScore))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(rank.toLong).as("rank"), col("cid"),
+          col("rel"), col("score").as("mmr"))
+
+    var selected = top1(
+      candidates.withColumn("score", lit(lambdaNum) * col("rel")), 1)
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val remaining = candidates.join(
+        selected.select(col("qid"), col("cid")), Seq("qid", "cid"),
+        "left_anti")
+      val maxSim = remaining
+        .join(pairSims.withColumnRenamed("cid1", "cid"),
+          Seq("qid", "cid"))
+        .join(selected.select(col("qid"), col("cid").as("cid2")),
+          Seq("qid", "cid2"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(max(col("sim")).as("max_sim"))
+      val scored = remaining.join(maxSim, Seq("qid", "cid"), "left")
+        .withColumn("score",
+          lit(lambdaNum) * col("rel") -
+            lit(lambdaDen - lambdaNum) * coalesce(col("max_sim"), lit(0L)))
+      selected = selected.unionByName(top1(scored, step)).localCheckpoint()
+    }
+    selected.orderBy(col("qid"), col("rank"))
+  }
 }

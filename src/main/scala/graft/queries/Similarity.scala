@@ -530,21 +530,24 @@ object Similarity extends QueryPack {
        WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
   }
 
-  /** q129: MMR-diversified top-5 ([[graft.ops.RerankOps.mmr]], λ=0.5)
-    * over the q32 retriever's top-20 candidate pool — retrieval that
-    * won't hand back 5 near-copies of one document, the shape used to
-    * pick diverse few-shot examples / eval sets out of a deduplicated
+  /** q129: MMR-diversified top-5 ([[graft.ops.RerankOps.mmrExact]],
+    * λ=1/2) over the q32 retriever's top-20 candidate pool — retrieval
+    * that won't hand back 5 near-copies of one document, the shape used
+    * to pick diverse few-shot examples / eval sets out of a deduplicated
     * corpus. Bounded query set (vec_id < 8) → every intermediate is
     * |queries|×20; candidate pair sims are an equi self-join on qid.
-    * Greedy selection is iterative → rows-only driver check; the
-    * rank-1-equals-top-1 and diversity-vs-plain-top-k invariants are
-    * spec-asserted (RerankSpec).
+    * Exactness: rel/sim are e6-fixed-point LONGs and the greedy score is
+    * pure integer arithmetic (`mmr2_e6 = rel_e6 − max_sim_e6`, 2× the
+    * λ=½ MMR score in e6 units), so the full 5-round trajectory is
+    * engine-exact and the DuckDB oracle unrolls it round by round — the
+    * q200/q202 greedy-CTE pattern. RerankSpec additionally pins the
+    * rank-1-equals-top-1 and diversity-vs-plain-top-k invariants.
     */
   private def q129MmrRerank(s: SparkSession, d: String): DataFrame = {
     val cands = TopKOps
       .topKPerGroup(scoredPairs(s, d, col("vec_id") < 8),
         Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 20)
-      .select(col("qid"), col("cid"), col("cos").as("rel"))
+      .select(col("qid"), col("cid"), Exact.fixed(col("cos"), 6).as("rel"))
       .cache()
     cands.count() // pin: feeds the pair self-join AND every mmr round
     val v = vecs(s, d)
@@ -556,9 +559,70 @@ object Similarity extends QueryPack {
         col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
       .select(col("a.qid").as("qid"), col("a.cid").as("cid1"),
         col("b.cid").as("cid2"),
-        round(VectorOps.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-    RerankOps.mmr(cands, pairSims, k = 5, lambda = 0.5)
+        Exact.fixed(round(VectorOps.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6), 6).as("sim"))
+    RerankOps.mmrExact(cands, pairSims, k = 5, lambdaNum = 1, lambdaDen = 2)
+      .select(col("qid"), col("rank"), col("cid"),
+        col("rel").as("rel_e6"), col("mmr").as("mmr2_e6"))
+  }
+
+  private val MMR_K = 5
+
+  /** DuckDB mirror of the q129 greedy trajectory: candidate pool and
+    * pair sims in e6 fixed point, then per round selN (row_number
+    * argmax pick), the cumulative selected set aN, and the next round's
+    * integer-rescored remainder — the q200 unrolled-CTE pattern.
+    */
+  private val q129Sql = {
+    val rounds = (2 to MMR_K).map { r =>
+      s"""ms$r AS (SELECT p.qid, p.cid1 AS cid, MAX(p.sim) AS max_sim
+            FROM mpairs p JOIN a${r - 1} s
+              ON p.qid = s.qid AND p.cid2 = s.cid
+            WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} x
+              WHERE x.qid = p.qid AND x.cid = p.cid1)
+            GROUP BY 1, 2),
+          sel$r AS (SELECT qid, $r AS rank, cid, rel, score FROM (
+            SELECT c.qid, c.cid, c.rel,
+              c.rel - COALESCE(m.max_sim, 0) AS score,
+              ROW_NUMBER() OVER (PARTITION BY c.qid
+                ORDER BY c.rel - COALESCE(m.max_sim, 0) DESC,
+                         c.cid ASC) AS rn
+            FROM cands c
+            LEFT JOIN ms$r m ON c.qid = m.qid AND c.cid = m.cid
+            WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} x
+              WHERE x.qid = c.qid AND x.cid = c.cid)) WHERE rn = 1),
+          a$r AS (SELECT qid, cid FROM a${r - 1}
+                  UNION ALL SELECT qid, cid FROM sel$r)"""
+    }.mkString(",\n       ")
+    val unions = (1 to MMR_K).map(r =>
+      s"SELECT qid, rank, cid, rel, score FROM sel$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $vecsCte,
+       mq AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 8),
+       msc AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+           round(${VectorOps.dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+             AS cos
+         FROM mq a JOIN n b ON b.vec_id <> a.vec_id),
+       cands AS (SELECT qid, cid, ${Exact.fixedSql("cos", 6)} AS rel
+         FROM (SELECT qid, cid, cos, RANK() OVER (PARTITION BY qid
+             ORDER BY cos DESC, cid ASC) AS rnk FROM msc)
+         WHERE rnk <= 20),
+       mcv AS (SELECT c.qid, c.cid, n.v, n.nrm
+         FROM cands c JOIN n ON n.vec_id = c.cid),
+       mpairs AS (SELECT a.qid, a.cid AS cid1, b.cid AS cid2,
+           ${Exact.fixedSql(
+             s"round(${VectorOps.dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6)",
+             6)} AS sim
+         FROM mcv a JOIN mcv b ON a.qid = b.qid AND a.cid <> b.cid),
+       sel1 AS (SELECT qid, 1 AS rank, cid, rel, rel AS score FROM (
+           SELECT qid, cid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rel DESC, cid ASC) AS rn FROM cands)
+         WHERE rn = 1),
+       a1 AS (SELECT qid, cid FROM sel1),
+       $rounds
+       SELECT qid, CAST(rank AS BIGINT) AS rank, cid, rel AS rel_e6,
+              CAST(score AS BIGINT) AS mmr2_e6
+       FROM ($unions) ORDER BY qid, rank"""
   }
 
   /** q191: embedding outlier detection — top-10 vectors by EXACT
@@ -735,6 +799,7 @@ object Similarity extends QueryPack {
     "q200_kcenter_coreset" -> q200Sql,
     "q201_coreset_cells" -> q201Sql,
     "q191_centroid_outliers" -> q191Sql,
+    "q129_mmr_rerank" -> q129Sql,
     "q37_ivf_ann" -> q37Sql,
     "q85_ivf_nprobe" -> q85Sql,
     "q32_cosine_topk" -> q32Sql,
