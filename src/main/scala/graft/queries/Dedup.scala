@@ -143,7 +143,7 @@ object Dedup extends QueryPack {
     * candidate-driven verification ([[CurationOps.verifiedPairs]]).
     */
   private def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
-    CurationOps.verifiedPairs(docs(s, d))
+    CurationOps.pairsTable(docs(s, d))
       .orderBy(col("d1"), col("d2"))
 
   private val withsetsCte =
@@ -170,7 +170,7 @@ object Dedup extends QueryPack {
     * ([[CurationOps.clusterLabels]] — no driver-side union-find).
     */
   private def q75NeardupClusters(s: SparkSession, d: String): DataFrame =
-    CurationOps.clusterLabels(docs(s, d))
+    CurationOps.labelsTable(docs(s, d))
       .orderBy(col("doc_id"))
 
   /** Oracle mirror of the component labels: transitive closure of the
@@ -219,7 +219,7 @@ object Dedup extends QueryPack {
       when(bucket < 80, "train").when(bucket < 90, "valid")
         .otherwise("test")
     }
-    CurationOps.clusterLabels(docs(s, d))
+    CurationOps.labelsTable(docs(s, d))
       .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"),
@@ -446,7 +446,7 @@ object Dedup extends QueryPack {
     * q75 labels — one uniform groupBy, no extra corpus pass.
     */
   private def q82SourceDupRates(s: SparkSession, d: String): DataFrame = {
-    val labels = CurationOps.clusterLabels(docs(s, d))
+    val labels = CurationOps.labelsTable(docs(s, d))
     docs(s, d).select(col("doc_id"), col("source"))
       .join(labels, Seq("doc_id"))
       .groupBy(col("source"))
@@ -530,7 +530,7 @@ object Dedup extends QueryPack {
   private def q105MethodAgreement(s: SparkSession, d: String): DataFrame = {
     val sp = simhashPairs(s, d)
       .select(col("d1"), col("d2"), lit(1L).as("in_s"))
-    val mp = CurationOps.verifiedPairs(docs(s, d))
+    val mp = CurationOps.pairsTable(docs(s, d))
       .select(col("d1"), col("d2"), lit(1L).as("in_m"))
     sp.join(mp, Seq("d1", "d2"), "full_outer")
       .agg(
@@ -763,7 +763,7 @@ object Dedup extends QueryPack {
     */
   private def q108SourceOverlap(s: SparkSession, d: String): DataFrame = {
     val src = docs(s, d).select(col("doc_id"), col("source"))
-    CurationOps.verifiedPairs(docs(s, d))
+    CurationOps.pairsTable(docs(s, d))
       .select(col("d1"), col("d2"))
       .join(src.select(col("doc_id").as("d1"), col("source").as("src1")),
         Seq("d1"))
@@ -802,7 +802,7 @@ object Dedup extends QueryPack {
     */
   private def q102QualityDupCalibration(
       s: SparkSession, d: String): DataFrame = {
-    val labels = CurationOps.clusterLabels(docs(s, d))
+    val labels = CurationOps.labelsTable(docs(s, d))
     val toks = TextOps.tokens(col("text"))
     val decile =
       least(floor(TextOps.qualityScore(toks) * 10), lit(9L)).cast("long")
@@ -932,7 +932,7 @@ object Dedup extends QueryPack {
     */
   private def q120CrossmodalAgreement(
       s: SparkSession, d: String): DataFrame = {
-    val textDup = CurationOps.clusterLabels(docs(s, d))
+    val textDup = CurationOps.labelsTable(docs(s, d))
       .select(col("doc_id").cast("long").as("doc_id"),
         (col("comp") =!= col("doc_id")).as("is_text_dup"))
     val semPairs = Similarity.q33EmbeddingNeardup(s, d)
@@ -1033,7 +1033,7 @@ object Dedup extends QueryPack {
     * derive from the same labels + quality cut).
     */
   private def q91CurationReport(s: SparkSession, d: String): DataFrame = {
-    val labels = CurationOps.clusterLabels(docs(s, d))
+    val labels = CurationOps.labelsTable(docs(s, d))
     val quality = docs(s, d).select(col("doc_id"),
       TextOps.qualityScore(TextOps.tokens(col("text"))).as("qv"))
     val isCanon = col("doc_id") === col("comp")

@@ -45,6 +45,50 @@ class CurationOpsSpec extends AnyFunSuite {
       "singletons keep their own id")
   }
 
+  test("labelsTable equals clusterLabels and reuses the written artifact") {
+    val live = CurationOps.clusterLabels(docsDf, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = CurationOps.labelsTable(docsDf, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t1 === live, "artifact labels must equal the recompute path")
+    // second call must be served from the parquet artifact: its plan
+    // is a bare file scan (no joins, no aggregates — the derivation
+    // chain has at least one of each)
+    val again = CurationOps.labelsTable(docsDf, threshold = 0.5)
+    val plan = again.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"second labelsTable call must read the artifact, not re-derive:\n$plan")
+    assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === live)
+    // pairsTable was materialized as a byproduct and agrees too
+    val pt = CurationOps.pairsTable(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vp = CurationOps.verifiedPairs(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pt === vp)
+    CurationOps.clearArtifacts()
+  }
+
+  test("same-schema local corpora never share an artifact key") {
+    val sq = spark
+    import sq.implicits._
+    val other = Seq(
+      (1L, "totally unrelated first document with plenty of words here"),
+      (2L, "second unrelated document that shares nothing with the rest"),
+      (3L, "third standalone text different from everything else around")
+    ).toDF("doc_id", "text")
+    val a = CurationOps.labelsTable(docsDf, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = CurationOps.labelsTable(other, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(2L) === 1L, "near-dup corpus keeps its clustering")
+    assert(b === Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"all-singleton corpus must not inherit the other corpus's labels: $b")
+    CurationOps.clearArtifacts()
+  }
+
   test("empty-shingle docs pair as candidates but never crash or verify") {
     val sq = spark
     import sq.implicits._
