@@ -1013,6 +1013,56 @@ object Events extends QueryPack {
            AS filled_value
        FROM events ORDER BY event_id"""
 
+  /** q204: STREAMING↔batch window parity — the q40 hourly windows
+    * computed by an actual Structured Streaming execution (file-stream
+    * source → stateful windowed aggregation → memory sink), gated
+    * against the same batch SQL the oracle runs. The events table is
+    * staged as 3 ts-range files and replayed one file per micro-batch
+    * (`maxFilesPerTrigger=1`, [[graft.streaming.StreamingOps
+    * .readEventsStream]]), so window state genuinely accumulates
+    * ACROSS micro-batches in the state store; complete output mode
+    * emits the final window table, which must equal the batch answer
+    * row-for-row regardless of how the replay was split. Sums are e6
+    * fixed-point LONGs ([[Exact.fixed]]) — associative, so stream
+    * accumulation order can't drift from the oracle's single pass.
+    * This is the deploy-the-batch-logic-as-a-stream contract the
+    * StreamingOps suite pins with MemoryStream late/replay cases,
+    * surfaced as ONE driver-checkable row set.
+    */
+  private def q204StreamWindowParity(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$tag"
+    // stage the corpus as 3 ts-range part files: a deterministic-
+    // content replay (file order may vary; complete-mode aggregation
+    // is order-insensitive by construction)
+    s.read.parquet(s"$d/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(staging)
+    val counts = StreamingOps
+      .readEventsStream(s, staging, maxFilesPerTrigger = 1)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.fixed(col("value"), 6)).as("sum_value_e6"))
+      .select(
+        (unix_micros(col("window.start")) / lit(1000000L))
+          .cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value_e6"))
+    val sink = s"q204_sink_$tag"
+    val query = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(sink).orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  private val q204Sql =
+    s"""SELECT (epoch_ns(ts) // $HOUR_NS) * 3600 AS hour_epoch,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(${Exact.fixedSql("value", 6)}) AS BIGINT) AS sum_value_e6
+       FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1039,7 +1089,8 @@ object Events extends QueryPack {
     "q150_zscore_anomalies" -> q150ZscoreAnomalies,
     "q194_mad_anomalies" -> q194MadAnomalies,
     "q198_dow_seasonality" -> q198DowSeasonality,
-    "q199_forward_fill" -> q199ForwardFill)
+    "q199_forward_fill" -> q199ForwardFill,
+    "q204_stream_window_parity" -> q204StreamWindowParity)
 
   override val oracle: Map[String, String] = Map(
     "q64_interval_join" -> q64Sql,
@@ -1065,5 +1116,6 @@ object Events extends QueryPack {
     "q150_zscore_anomalies" -> q150Sql,
     "q194_mad_anomalies" -> q194Sql,
     "q198_dow_seasonality" -> q198Sql,
-    "q199_forward_fill" -> q199Sql)
+    "q199_forward_fill" -> q199Sql,
+    "q204_stream_window_parity" -> q204Sql)
 }

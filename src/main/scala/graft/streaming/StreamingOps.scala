@@ -98,7 +98,8 @@ object StreamingOps {
     * correctly (java.io.File would silently treat every remote path
     * as a directory).
     */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val physical =
@@ -108,7 +109,12 @@ object StreamingOps {
             if e.getMessage.contains("infer schema") =>
           eventsNanosSchema
       }
-    val reader = spark.readStream.schema(physical)
+    val reader0 = spark.readStream.schema(physical)
+    // bound each micro-batch (replay/backfill knob); 0 = all new files
+    val reader =
+      if (maxFilesPerTrigger > 0)
+        reader0.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader0
     val raw =
       if (fs.exists(hPath) && fs.getFileStatus(hPath).isFile)
         reader.option("pathGlobFilter", hPath.getName)
