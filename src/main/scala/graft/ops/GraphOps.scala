@@ -50,7 +50,20 @@ object GraphOps {
       edges: DataFrame,
       src: String,
       dst: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsRounds(edges, src, dst, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds the loop actually ran — the scaling-evidence hook: round
+    * count tracks component DIAMETER (~log2 of the largest component),
+    * not corpus size, so a 10× corpus with the same cluster-size
+    * distribution must show a flat round count (see IterScale).
+    */
+  def connectedComponentsRounds(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
 
     // canonical directed form: (u, v) with u > v, no self-loops, distinct
@@ -84,10 +97,11 @@ object GraphOps {
           "— raise maxIter (components need ~log2(n) rounds) or check " +
           "the edge list for pathological structure")
     // converged state is a star forest: every edge is (member, root)
-    cur.select(col("u").as("id"), col("v").as("comp"))
+    val labels = cur.select(col("u").as("id"), col("v").as("comp"))
       .union(cur.select(col("v").as("id"), col("v").as("comp")))
       .groupBy(col("id"))
       .agg(min(col("comp")).as("comp"))
+    (labels, it)
   }
 
   /** Order-independent edge-set checksum: (count, Σ xxhash64(u,v)) —
@@ -173,7 +187,15 @@ object GraphOps {
     *         INSIDE the core (≥ k by construction)
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    kCoreRounds(edges, src, dst, k, maxIter)._1
+
+  /** [[kCore]] plus the number of peeling rounds the loop ran — the
+    * scaling-evidence hook: rounds track the longest degree-cascade
+    * chain, not graph size (see IterScale).
+    */
+  def kCoreRounds(edges: DataFrame, src: String, dst: String, k: Int,
+      maxIter: Int = 30): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val base = edges.select(
@@ -207,9 +229,10 @@ object GraphOps {
         s"kCore did not converge in $maxIter iterations — peeling " +
           "removes >=1 node per non-final round, so raise maxIter for " +
           "very deep cascade graphs")
-    cur.groupBy(col("u"))
+    val core = cur.groupBy(col("u"))
       .agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
+    (core, it)
   }
 
   /** Large-star: for each node n, link every strictly-larger neighbor

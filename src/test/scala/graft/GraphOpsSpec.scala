@@ -2,6 +2,7 @@ package graft
 
 import graft.core.GraftSession
 import graft.ops.GraphOps
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphOpsSpec extends AnyFunSuite {
@@ -154,5 +155,50 @@ class GraphOpsSpec extends AnyFunSuite {
     // duplicate + reversed edges and a self-loop must not fake degree 2
     assert(kcore(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)), 2)
       === Map.empty)
+  }
+
+  test("round-reporting variants agree with the plain ops; rounds track " +
+    "structure, not graph size") {
+    val sq = spark
+    import sq.implicits._
+    // 4 disjoint paths of 16 nodes vs 16 of the same shape: labels per
+    // node identical in structure, ROUNDS identical in count — the
+    // IterScale flat-rounds claim in miniature
+    def paths(n: Int): Seq[(Long, Long)] =
+      (0L until n * 16L).filter(i => (i + 1) % 16 != 0).map(i => (i, i + 1))
+    val (lab4, r4) = GraphOps.connectedComponentsRounds(
+      paths(4).toDF("a", "b"), "a", "b")
+    val (lab16, r16) = GraphOps.connectedComponentsRounds(
+      paths(16).toDF("a", "b"), "a", "b")
+    assert(lab4.count() === 64L && lab16.count() === 256L)
+    assert(r4 === r16, "4x more same-diameter paths must not add rounds")
+    assert(r4 >= 1 && r4 <= 10)
+    // label equality with the plain entry point
+    assert(lab4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === cc(paths(4)))
+    // kCore: chain cascade depth fixed ⇒ rounds fixed as chain count 4x
+    val (core2, kr2) = GraphOps.kCoreRounds(
+      paths(2).toDF("a", "b"), "a", "b", k = 2)
+    val (core8, kr8) = GraphOps.kCoreRounds(
+      paths(8).toDF("a", "b"), "a", "b", k = 2)
+    assert(core2.count() === 0L && core8.count() === 0L)
+    assert(kr2 === kr8, "4x more same-depth chains must not add rounds")
+  }
+
+  test("IterScale synthetic corpus is deterministic with family near-dup " +
+    "structure above the verify threshold") {
+    val docs = IterScale.synthDocs(spark, 64L)
+    val again = IterScale.synthDocs(spark, 64L)
+    assert(docs.exceptAll(again).isEmpty && again.exceptAll(docs).isEmpty,
+      "generator must be bit-deterministic")
+    assert(docs.count() === 64L)
+    // families of 8 form complete near-dup clusters at threshold 0.7:
+    // every member pairs with every other member ⇒ 8 families × C(8,2)
+    val pairs = graft.ops.CurationOps.verifiedPairs(docs, threshold = 0.7)
+    assert(pairs.count() === 8L * 28L)
+    val (labels, _) = GraphOps.connectedComponentsRounds(pairs, "d1", "d2")
+    // every family collapses to its minimum doc_id
+    assert(labels.filter(expr("comp != (id div 8) * 8")).count() === 0L)
+    graft.ops.CurationOps.release()
   }
 }
