@@ -203,6 +203,72 @@ object CurationOps {
       textCol: String = "text"): DataFrame =
     bandPairs(docs, textCol, newSide = None)
 
+  /** Per-bucket occupancy of the LSH band index: (band, key, n_docs,
+    * rep = min doc_id in the bucket). The observability surface for
+    * the viral-boilerplate hazard: bucket pairing is quadratic INSIDE
+    * a bucket, so one boilerplate text duplicated across 1% of a
+    * 10 B-doc corpus puts ~10⁸ docs behind one key and the plain
+    * self-join emits ~10¹⁵ rows from that bucket alone. Profile first
+    * (one uniform groupBy — linear), then choose
+    * [[lshCandidatePairsCapped]] if any bucket is hot.
+    */
+  def bucketProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    bandKeys(docs, textCol)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+
+  /** [[lshCandidatePairs]] with a hot-bucket cap — the viral-family
+    * scale path. Buckets with ≤ `bucketCap` docs pair all-vs-all
+    * exactly as the uncapped form; a bucket above the cap emits a STAR
+    * instead of a clique: every member pairs with the bucket's minimum
+    * doc id only, O(B) rows instead of O(B²). Downstream exact
+    * verification still applies to every emitted edge, and for
+    * CLUSTER FORMATION (survivors/curate — the reason oversized
+    * buckets exist at all: near-identical boilerplate) the star
+    * reaches the same connected components whenever the star edges
+    * verify, which identical and near-identical texts do by
+    * construction. What the cap trades away: (a) non-representative
+    * pairs inside a hot bucket are not emitted, so the PAIR LIST is
+    * no longer exhaustive there (use the uncapped form when the pair
+    * list itself is the product); (b) `n_shared_bands` counts only
+    * the bands in which a pair was actually emitted. Opt-in — the
+    * default pipeline stays exact.
+    */
+  def lshCandidatePairsCapped(docs: DataFrame, bucketCap: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    val bd = materialize(bandKeys(docs, textCol))
+    val stats = bd.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+    // uniform (band, key) equi-join — the annotation rides the same
+    // shuffle the pairing itself needs
+    val sized = materialize(bd.join(stats, Seq("band", "key")))
+    val small = sized.filter(col("n_docs") <= bucketCap)
+    val smallPairs = small
+      .select(col("doc_id").as("d1"), col("band"), col("key"))
+      .join(small.select(col("doc_id").as("d2"),
+          col("band").as("band2"), col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("band"))
+    val starPairs = sized
+      .filter(col("n_docs") > bucketCap && col("doc_id") =!= col("rep"))
+      // rep is the bucket minimum, so (rep, doc_id) is already d1 < d2
+      .select(col("rep").as("d1"), col("doc_id").as("d2"), col("band"))
+    smallPairs.union(starPairs)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** [[verifiedPairs]] over the capped candidate set — the end-to-end
+    * viral-family-safe dedup chain (see [[lshCandidatePairsCapped]]
+    * for what the cap trades away).
+    */
+  def verifiedPairsCapped(docs: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = 1024, textCol: String = "text"): DataFrame =
+    exactVerify(docs, lshCandidatePairsCapped(docs, bucketCap, textCol),
+      threshold, textCol)
+
   /** Shared band self-join. `newSide = None` pairs the whole corpus
     * (d1 < d2). `Some(pred)` is the incremental path: one side of the
     * band join is restricted to the new docs BEFORE pairing, so

@@ -79,6 +79,57 @@ object Dedup extends QueryPack {
     s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte
        SELECT * FROM pairs ORDER BY d1, d2"""
 
+  /** q205: LSH bucket-occupancy histogram — how many (band, key)
+    * buckets hold how many docs ([[CurationOps.bucketProfile]]
+    * aggregated). The pre-flight for the viral-boilerplate hazard: a
+    * bucket of B docs costs B²/2 join rows in the uncapped pairing,
+    * so this linear profile is what tells a 100 TB run whether it
+    * needs [[CurationOps.lshCandidatePairsCapped]].
+    */
+  private def q205BucketProfile(s: SparkSession, d: String): DataFrame =
+    CurationOps.bucketProfile(docs(s, d))
+      .groupBy(col("band"), col("n_docs").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("bucket_size"), col("n_buckets"))
+      .orderBy(col("band"), col("bucket_size"))
+
+  private val q205Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte,
+        prof AS (SELECT band, key, COUNT(*) AS n_docs
+                 FROM bands GROUP BY 1, 2)
+       SELECT band, n_docs AS bucket_size, COUNT(*) AS n_buckets
+       FROM prof GROUP BY 1, 2 ORDER BY band, bucket_size"""
+
+  /** q206: hot-bucket-capped LSH candidates
+    * ([[CurationOps.lshCandidatePairsCapped]], cap=2 so the star path
+    * actually executes at gate scale). Buckets ≤ cap pair all-vs-all
+    * (identical to q28 there); larger buckets emit a star to the
+    * bucket-minimum doc — O(B) rows where the clique is O(B²), the
+    * opt-in form a corpus with viral boilerplate runs.
+    */
+  private def q206CappedCandidates(s: SparkSession, d: String): DataFrame =
+    CurationOps.lshCandidatePairsCapped(docs(s, d), bucketCap = 2)
+      .orderBy(col("d1"), col("d2"))
+
+  private val q206Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte,
+        stats AS (SELECT band, key, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS rep
+                  FROM bands GROUP BY 1, 2),
+        bs AS (SELECT b.doc_id, b.band, b.key, s.n_docs, s.rep
+               FROM bands b JOIN stats s
+                 ON b.band = s.band AND b.key = s.key),
+        small AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.band
+                  FROM bs a JOIN bs b
+                    ON a.band = b.band AND a.key = b.key
+                       AND a.doc_id < b.doc_id
+                  WHERE a.n_docs <= 2),
+        star AS (SELECT rep AS d1, doc_id AS d2, band
+                 FROM bs WHERE n_docs > 2 AND doc_id <> rep),
+        u AS (SELECT * FROM small UNION ALL SELECT * FROM star)
+       SELECT d1, d2, COUNT(*) AS n_shared_bands
+       FROM u GROUP BY 1, 2 ORDER BY d1, d2"""
+
   /** q29: 32-bit SimHash per document (per-row expression). */
   private def q29Simhash(s: SparkSession, d: String): DataFrame =
     hashed(s, d)
@@ -1181,6 +1232,8 @@ object Dedup extends QueryPack {
     "q155_neardup_kcore" -> q155KCore,
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
+    "q205_lsh_bucket_profile" -> q205BucketProfile,
+    "q206_capped_candidates" -> q206CappedCandidates,
     "q29_simhash" -> q29Simhash,
     "q30_simhash_pairs" -> q30SimhashPairs,
     "q31_ngram_jaccard" -> q31NgramJaccard,
@@ -1209,6 +1262,8 @@ object Dedup extends QueryPack {
   override val oracle: Map[String, String] = Map(
     "q27_minhash_signatures" -> q27Sql,
     "q28_lsh_band_pairs" -> q28Sql,
+    "q205_lsh_bucket_profile" -> q205Sql,
+    "q206_capped_candidates" -> q206Sql,
     "q29_simhash" -> q29Sql,
     "q30_simhash_pairs" -> q30Sql,
     "q31_ngram_jaccard" -> q31Sql,

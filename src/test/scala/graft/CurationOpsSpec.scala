@@ -300,4 +300,54 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!strict.contains(5L), "short low-quality doc must be cut")
   }
+
+  /** A viral corpus: one boilerplate text duplicated across `nViral`
+    * docs (all land in the same LSH buckets) plus distinct fillers.
+    */
+  private def viralDf(nViral: Int) = {
+    val sq = spark
+    import sq.implicits._
+    val boiler = "subscribe to our newsletter for updates about the " +
+      "product and follow us on social media for the latest news today"
+    val viral = (0 until nViral).map(i => (i.toLong, boiler))
+    val fillers = Seq(
+      (900L, base),
+      (901L, base + " today"),
+      (902L, "completely different text about spark engines and " +
+        "distributed query processing at large scale with many words"))
+    (viral ++ fillers).toDF("doc_id", "text")
+  }
+
+  test("capped pairing equals the uncapped form when no bucket is hot") {
+    val a = CurationOps.lshCandidatePairs(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = CurationOps.lshCandidatePairsCapped(docsDf, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "cap above every bucket size must change nothing")
+    CurationOps.release()
+  }
+
+  test("hot bucket emits a star: O(B) candidates, same components") {
+    val n = 40
+    val docs = viralDf(n)
+    val uncapped = CurationOps.lshCandidatePairs(docs)
+    val capped = CurationOps.lshCandidatePairsCapped(docs, bucketCap = 8)
+    // clique C(40,2) = 780 viral pairs uncapped; star = 39
+    val viralUn = uncapped.filter("d2 < 900").count()
+    val viralCap = capped.filter("d2 < 900").count()
+    assert(viralUn === 780L, s"clique must be quadratic: $viralUn")
+    assert(viralCap === (n - 1).toLong, s"star must be linear: $viralCap")
+    // star pairs all verify (identical texts) ⇒ identical clusters
+    def labelsVia(pairs: org.apache.spark.sql.DataFrame) =
+      graft.ops.GraphOps.connectedComponents(pairs, "d1", "d2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lu = labelsVia(CurationOps.verifiedPairs(docs, threshold = 0.8))
+    val lc = labelsVia(
+      CurationOps.verifiedPairsCapped(docs, threshold = 0.8, bucketCap = 8))
+    assert(lu === lc,
+      "capped chain must reach the same connected components")
+    assert(lc.filter(_._1 < 900).values.toSet === Set(0L),
+      "all viral docs collapse to the minimum id")
+    CurationOps.release()
+  }
 }
