@@ -79,6 +79,21 @@ object IterScale {
       .withColumn("n_chars", length(col("text")))
   }
 
+  /** [[synthDocs]] with 2% of docs overwritten by one shared
+    * boilerplate text — the viral-family scenario: all of them land in
+    * the same LSH buckets, so uncapped pairing is quadratic in the 2%
+    * while [[graft.ops.CurationOps.lshCandidatePairsCapped]] stays
+    * linear.
+    */
+  def synthViralDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates about the " +
+      "product and follow us on social media for the latest news today " +
+      "and join the community forum to discuss features with the team"
+    synthDocs(spark, nDocs).withColumn("text",
+      when(pmod(col("doc_id"), lit(50)) === 0, lit(boiler))
+        .otherwise(col("text")))
+  }
+
   /** `nPaths` disjoint simple paths of `pathLen` nodes each — fixed
     * component diameter, so CC rounds must not move with nPaths.
     */
@@ -166,9 +181,27 @@ object IterScale {
         (c, r)
       }
 
+      // viral-boilerplate family: 2% of docs identical — uncapped
+      // candidate pairing is quadratic in the family, the capped form
+      // linear, and both verify to the same clusters
+      val viral = synthViralDocs(spark, n).localCheckpoint()
+      val (vUn, vUnSec) = time {
+        CurationOps.lshCandidatePairs(viral)
+          .filter(pmod(col("d1"), lit(50)) === 0 &&
+            pmod(col("d2"), lit(50)) === 0).count()
+      }
+      CurationOps.release()
+      val (vCap, vCapSec) = time {
+        CurationOps.lshCandidatePairsCapped(viral, bucketCap = 64)
+          .filter(pmod(col("d1"), lit(50)) === 0 &&
+            pmod(col("d2"), lit(50)) === 0).count()
+      }
+      CurationOps.release()
+
       System.err.println(s"[iterscale] n=$n pairs=${pairs._2} " +
         s"cc=$ccRounds rounds/${f(ccSec)}s kcore=$kcRounds " +
-        s"pathCc=$pathCcRounds chainKc=$chainKcRounds")
+        s"pathCc=$pathCcRounds chainKc=$chainKcRounds " +
+        s"viral=$vUn/${f(vUnSec)}s capped=$vCap/${f(vCapSec)}s")
       s"""{"docs":$n,"pairs":${pairs._2},"labeled":$nLabeled,""" +
         s""""pair_sec":${f(pairSec)},""" +
         s""""cc_rounds":$ccRounds,"cc_sec":${f(ccSec)},""" +
@@ -178,7 +211,12 @@ object IterScale {
         s""""path_cc_rounds":$pathCcRounds,""" +
         s""""path_cc_sec":${f(pathCcSec)},"paths":$nPaths,""" +
         s""""chain_kcore_rounds":$chainKcRounds,""" +
-        s""""chain_kcore_sec":${f(chainKcSec)},"chains":$nChains}"""
+        s""""chain_kcore_sec":${f(chainKcSec)},"chains":$nChains,""" +
+        s""""viral_docs":${n / 50},""" +
+        s""""viral_uncapped_pairs":$vUn,""" +
+        s""""viral_uncapped_sec":${f(vUnSec)},""" +
+        s""""viral_capped_pairs":$vCap,""" +
+        s""""viral_capped_sec":${f(vCapSec)}}"""
     }
     val json =
       s"""{"claim":"iterative round counts track graph structure, not corpus size","scales":[${rows.mkString(",")}]}"""
