@@ -528,8 +528,18 @@ object StreamingOps {
             open match {
               case Some(s) =>
                 state.update(s)
-                // time the session out once the watermark passes its gap
-                state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60000L)
+                // time the session out once the watermark passes its
+                // gap — clamped to just above the CURRENT watermark:
+                // on a replay/backfill feed a batch can consist
+                // entirely of late-but-within-watermark events folded
+                // into a session whose natural timeout already passed,
+                // and Spark rejects a timeout below the watermark
+                // (stream crash). The clamp re-arms at the watermark
+                // edge so the stale session closes on the next
+                // watermark advance instead.
+                state.setTimeoutTimestamp(math.max(
+                  s.last_us / 1000L + gapMinutes * 60000L,
+                  state.getCurrentWatermarkMs() + 1L))
               case None => state.remove()
             }
             closed.result().iterator

@@ -112,6 +112,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionize survives replayed events older than the watermark") {
+    // Spark's late-event filter runs on the PREVIOUS batch's watermark
+    // while timeout validation runs on the CURRENT one — so a file
+    // feed (one file per micro-batch, no catch-up batches in between)
+    // can deliver an event that passes the filter yet folds into a
+    // session whose natural timeout is far below the validation
+    // watermark. Unclamped, setTimeoutTimestamp crashes the stream
+    // right there; the clamp re-arms at the watermark edge instead.
+    // (A MemoryStream can't reproduce this: processAllAvailable runs
+    // catch-up batches that close the one-batch watermark lag.)
+    val sq = spark
+    import sq.implicits._
+    val feed = java.nio.file.Files.createTempDirectory("sess-replay")
+    def feedFile(name: String, mtime: Long, evs: StreamEvent*): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("seg").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(feed.toFile, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    feedFile("f0.parquet", t0, ev(1, 7, 100), ev(2, 9, 1000))
+    // below the validation watermark (990) but above the lagging
+    // late-filter watermark (0): folds into user 7's t=100 session
+    feedFile("f1.parquet", t0 + 1000, ev(3, 7, 120))
+    feedFile("f2.parquet", t0 + 2000, ev(4, 9, 2000))
+    feedFile("f3.parquet", t0 + 3000, ev(5, 9, 3000))
+    val src = spark.readStream
+      .schema(Seq.empty[StreamEvent].toDS().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.toString)
+      .as[StreamEvent]
+    val query = StreamingOps.sessionize(src)
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val u7 = spark.table("sess_replay").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+      assert(u7.length === 1, "replayed session must close, not crash")
+      assert(u7.head.getAs[Long]("n_events") === 2L,
+        "the replayed event must fold into the session")
+      assert(u7.head.getAs[Long]("end_us") === 120L * 60000000L)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated keys across micro-batches") {
     val sq = spark
     import sq.implicits._
