@@ -338,6 +338,53 @@ object CurationOps {
     exactVerify(docs, bandPairs(docs, textCol, Some(isNew)), threshold,
       textCol)
 
+  /** [[verifiedPairsIncremental]] with the hot-bucket cap — the
+    * daily-ingest path when the HISTORY holds viral boilerplate: the
+    * uncapped probe pairs each new doc against every historical
+    * bucket member (|new∩bucket| × |bucket| rows per hot bucket);
+    * here a bucket above `bucketCap` pairs each new member with the
+    * bucket's minimum doc id only. Admission semantics survive: a new
+    * doc in a hot bucket is still flagged through its representative
+    * edge whenever that edge verifies (which boilerplate does by
+    * construction); a new doc that IS the bucket minimum carries no
+    * edge from that bucket and is admitted — first-seen-wins, the
+    * same convention the uncapped form applies to an all-new cluster.
+    * Same trade as [[lshCandidatePairsCapped]]: the pair list is no
+    * longer exhaustive inside hot buckets.
+    */
+  def verifiedPairsIncrementalCapped(
+      docs: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.8,
+      bucketCap: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    val bd = materialize(bandKeys(docs, textCol))
+    val stats = bd.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep"))
+    val nw = bd.filter(isNew)
+      .select(col("doc_id").as("dn"), col("band"), col("key"))
+    val small = nw
+      .join(stats.filter(col("n_docs") <= bucketCap)
+        .select(col("band"), col("key")), Seq("band", "key"), "left_semi")
+      .join(bd.select(col("doc_id").as("da"), col("band").as("band2"),
+          col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("dn") =!= col("da"))
+      .select(least(col("dn"), col("da")).as("d1"),
+        greatest(col("dn"), col("da")).as("d2"), col("band"))
+    val star = nw
+      .join(stats.filter(col("n_docs") > bucketCap), Seq("band", "key"))
+      .filter(col("dn") =!= col("rep"))
+      .select(least(col("dn"), col("rep")).as("d1"),
+        greatest(col("dn"), col("rep")).as("d2"), col("band"))
+    val cands = small.union(star)
+      .distinct() // new-new pairs match from both orientations
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    exactVerify(docs, cands, threshold, textCol)
+  }
+
   private def exactVerify(docs: DataFrame, cands0: DataFrame,
       threshold: Double, textCol: String): DataFrame =
     jaccardOf(docs, cands0, textCol)

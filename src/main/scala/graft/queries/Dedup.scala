@@ -929,6 +929,74 @@ object Dedup extends QueryPack {
        WHERE d.doc_id >= (SELECT cut FROM cutoff)
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** q207: q86's incremental admission through the HOT-BUCKET-CAPPED
+    * probe ([[CurationOps.verifiedPairsIncrementalCapped]], cap=2 so
+    * the star path executes at gate scale) — the daily-ingest form a
+    * corpus with viral boilerplate history runs. The oracle mirrors
+    * the star semantics exactly (per-bucket stats → small all-vs-new
+    * + hot star-to-representative → verify), so hash equality pins
+    * the capped candidate generation, not just the admission bits.
+    */
+  private def q207CappedIncremental(s: SparkSession, d: String): DataFrame = {
+    val cutV = docs(s, d)
+      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("cut"))
+      .head().getLong(0)
+    val verified = CurationOps
+      .verifiedPairsIncrementalCapped(docs(s, d), col("doc_id") >= cutV,
+        bucketCap = 2)
+      .select(col("d1"), col("d2"))
+    docs(s, d).select(col("doc_id"))
+      .filter(col("doc_id") >= cutV)
+      .join(verified, col("doc_id") === col("d2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("d1")).as("n_dup_matches"))
+      .select(col("doc_id"), col("n_dup_matches"),
+        (col("n_dup_matches") === 0).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q207Sql =
+    s"""WITH $hashedCte, $sigsCte, $bandsCte,
+       cut207 AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS cut
+                  FROM documents),
+       stats207 AS (SELECT band, key, COUNT(*) AS n_docs,
+                     MIN(doc_id) AS rep
+                    FROM bands GROUP BY 1, 2),
+       nw207 AS (SELECT doc_id AS dn, band, key FROM bands
+                 WHERE doc_id >= (SELECT cut FROM cut207)),
+       small207 AS (SELECT LEAST(a.dn, b.doc_id) AS d1,
+                     GREATEST(a.dn, b.doc_id) AS d2, a.band
+                    FROM nw207 a
+                    JOIN stats207 s
+                      ON s.band = a.band AND s.key = a.key
+                    JOIN bands b
+                      ON b.band = a.band AND b.key = a.key
+                         AND b.doc_id <> a.dn
+                    WHERE s.n_docs <= 2),
+       star207 AS (SELECT LEAST(a.dn, s.rep) AS d1,
+                    GREATEST(a.dn, s.rep) AS d2, a.band
+                   FROM nw207 a
+                   JOIN stats207 s ON s.band = a.band AND s.key = a.key
+                   WHERE s.n_docs > 2 AND a.dn <> s.rep),
+       u207 AS (SELECT DISTINCT d1, d2, band FROM
+                 (SELECT * FROM small207 UNION ALL SELECT * FROM star207)),
+       cand207 AS (SELECT d1, d2 FROM u207 GROUP BY 1, 2),
+       ws207 AS (SELECT c.d1, c.d2,
+            CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_shared,
+            CAST(len(x.sh) AS BIGINT) AS n1,
+            CAST(len(y.sh) AS BIGINT) AS n2
+          FROM cand207 c
+          JOIN hsrc x ON x.doc_id = c.d1
+          JOIN hsrc y ON y.doc_id = c.d2),
+       ver207 AS (SELECT d1, d2 FROM ws207
+          WHERE n_shared / (n1 + n2 - n_shared) >= 0.8)
+       SELECT d.doc_id,
+         CAST(COUNT(v.d1) AS BIGINT) AS n_dup_matches,
+         COUNT(v.d1) = 0 AS admitted
+       FROM documents d LEFT JOIN ver207 v ON v.d2 = d.doc_id
+       WHERE d.doc_id >= (SELECT cut FROM cut207)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   /** q115: bloom-prefiltered EXACT-dedup admission
     * ([[graft.ops.BloomOps.noveltySplit]]) — the q86 corpus/batch
     * split (cut at 80% of the id space) decided on exact md5 content
@@ -1254,6 +1322,7 @@ object Dedup extends QueryPack {
     "q108_source_overlap" -> q108SourceOverlap,
     "q109_span_purge" -> q109SpanPurge,
     "q86_incremental_dedup" -> q86IncrementalDedup,
+    "q207_capped_incremental" -> q207CappedIncremental,
     "q115_bloom_admission" -> q115BloomAdmission,
     "q120_crossmodal_agreement" -> q120CrossmodalAgreement,
     "q89_dedup_recall" -> q89DedupRecall,
@@ -1287,6 +1356,7 @@ object Dedup extends QueryPack {
     "q108_source_overlap" -> q108Sql,
     "q109_span_purge" -> q109Sql,
     "q86_incremental_dedup" -> q86Sql,
+    "q207_capped_incremental" -> q207Sql,
     "q115_bloom_admission" -> q115Sql,
     "q120_crossmodal_agreement" -> q120Sql,
     "q89_dedup_recall" -> q89Sql,

@@ -350,4 +350,34 @@ class CurationOpsSpec extends AnyFunSuite {
       "all viral docs collapse to the minimum id")
     CurationOps.release()
   }
+
+  test("capped incremental probe: linear per new doc in a viral bucket, " +
+    "equal to the uncapped form when inactive") {
+    val sq = spark
+    import sq.implicits._
+    // history: 20 viral copies (ids 0-19) + one singleton; batch: 5
+    // more viral copies (ids 100-104)
+    val boiler = "subscribe to our newsletter for updates about the " +
+      "product and follow us on social media for the latest news today"
+    val docs = ((0 until 20).map(i => (i.toLong, boiler)) ++
+      Seq((30L, base)) ++
+      (100 until 105).map(i => (i.toLong, boiler))).toDF("doc_id", "text")
+    val isNew = org.apache.spark.sql.functions.col("doc_id") >= 100L
+    val un = CurationOps.verifiedPairsIncremental(docs, isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: each new viral doc pairs with all 19+ bucket members
+    assert(un.size >= 5 * 20, s"uncapped probe is bucket-quadratic: $un")
+    val cap = CurationOps.verifiedPairsIncrementalCapped(docs, isNew,
+        bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star: each new viral doc carries exactly its representative edge
+    assert(cap === (100 until 105).map(i => (0L, i.toLong)).toSet,
+      s"capped probe must be one representative edge per new doc: $cap")
+    // cap above every bucket ⇒ identical to the uncapped probe
+    val wide = CurationOps.verifiedPairsIncrementalCapped(docs, isNew,
+        bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === un, "inactive cap must change nothing")
+    CurationOps.release()
+  }
 }
