@@ -280,4 +280,43 @@ class PropertySpec extends AnyFunSuite {
     assert(sparkRow.getLong(1) !== sparkRow.getLong(0),
       "Spark double path should reproduce the drift")
   }
+
+  test("capped LSH pairing: capped ⊆ uncapped pairs, equality when " +
+    "inactive, star linearity inside hot buckets — random corpora") {
+    val sq = spark
+    import sq.implicits._
+    import graft.ops.CurationOps
+    // random corpora mixing a duplicated boilerplate (hot buckets)
+    // with unique filler docs built from a tiny vocabulary
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val corpus: Gen[(Int, Int, List[List[Int]])] = for {
+      nViral <- Gen.chooseNum(3, 12)
+      nUniq <- Gen.chooseNum(2, 6)
+      fills <- Gen.listOfN(nUniq,
+        Gen.listOfN(12, Gen.chooseNum(0, vocab.size - 1)))
+    } yield (nViral, nUniq, fills)
+    samples(corpus, 6).foreach { case (nViral, _, fills) =>
+      val boiler = "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen"
+      val docs = ((0 until nViral).map(i => (i.toLong, boiler)) ++
+        fills.zipWithIndex.map { case (ws, i) =>
+          ((100 + i).toLong, ws.map(vocab).mkString(" "))
+        }).toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val un = pairs(CurationOps.lshCandidatePairs(docs))
+      val capped = pairs(CurationOps.lshCandidatePairsCapped(docs, 2))
+      assert(capped.subsetOf(un),
+        s"capped must never invent pairs: ${capped.diff(un)}")
+      // the viral clique collapses to a star on the minimum id
+      val viralCapped = capped.filter(_._2 < 100)
+      assert(viralCapped === (1 until nViral).map(i => (0L, i.toLong)).toSet,
+        s"hot bucket must star to the minimum: $viralCapped")
+      // cap above every bucket ⇒ identical pair set
+      val wide = pairs(CurationOps.lshCandidatePairsCapped(docs, 1000))
+      assert(wide === un, "inactive cap must be the identity")
+      CurationOps.release()
+    }
+  }
 }
