@@ -82,52 +82,18 @@ object CurationOps {
     * input path IN PLACE within one JVM is the one staleness hazard —
     * call [[clearArtifacts]] after doing that.
     */
-  private val artifacts =
-    scala.collection.mutable.Map.empty[String, String]
-
-  /** Session-unique base dir (override: spark.graft.artifactDir). */
-  private lazy val artifactRunId =
-    java.util.UUID.randomUUID().toString.take(8)
-
-  private def artifactKey(docs: DataFrame, kind: String,
-      threshold: Double, textCol: String): String = {
-    val canon = docs.queryExecution.analyzed.canonicalized
-    // A canonicalized LocalRelation prints its SCHEMA but not its rows
-    // — two different in-memory corpora with the same shape would
-    // collide on the plan string alone. Fold the row bytes in for
-    // local leaves (file sources are distinguished by their location).
-    val localData = canon.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        scala.util.hashing.MurmurHash3.orderedHash(l.data)
-    }.mkString(",")
-    val plan = canon.toString + "|" + localData
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$kind-$h-${java.lang.Double.doubleToLongBits(threshold).toHexString}-$textCol"
-  }
-
   private def materializedOnce(docs: DataFrame, kind: String,
       threshold: Double, textCol: String)
-      (build: => DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val key = artifactKey(docs, kind, threshold, textCol)
-    val path = synchronized {
-      artifacts.getOrElseUpdate(key, {
-        val base = spark.conf.getOption("spark.graft.artifactDir")
-          .getOrElse(sys.props("java.io.tmpdir") +
-            s"/graft-artifacts-$artifactRunId")
-        val p = s"$base/$key"
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
-    }
-    spark.read.parquet(path)
-  }
+      (build: => DataFrame): DataFrame =
+    ArtifactStore.materializedOnce(docs, ArtifactStore.key(docs, kind,
+      s"${java.lang.Double.doubleToLongBits(threshold).toHexString}-$textCol"))(
+      build)
 
-  /** Drop the artifact registry (next call re-derives and re-writes).
-    * Needed only if an input table was overwritten IN PLACE.
+  /** Drop the artifact registry — shared with [[SemanticOps]] — so
+    * the next call re-derives and re-writes. Needed only if an input
+    * table was overwritten IN PLACE.
     */
-  def clearArtifacts(): Unit = synchronized { artifacts.clear() }
+  def clearArtifacts(): Unit = ArtifactStore.clear()
 
   /** [[verifiedPairs]] as a write-once parquet artifact — derived on
     * first call per (corpus, threshold), read back afterwards.

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SEMANTIC (embedding-space) near-dup chain as a PUBLIC library
+  * API — the embedding twin of [[CurationOps]]: banded hyperplane-LSH
+  * candidates → exact cosine verification → connected-component
+  * cluster labels, callable on any `(vec_id LONG, embedding
+  * ARRAY<FLOAT>)` frame. The Similarity/Dedup gate queries (q33, q112,
+  * q120) delegate here; SemDeDup-style paraphrase dedup (Abbas et al.
+  * 2023) is `labelsTable` + a survivor rule, run beside the text
+  * chain's MinHash pass.
+  *
+  * Scale shape (same invariants as the text chain): signatures/band
+  * keys are per-row expressions; pairwise work is confined to LSH
+  * buckets through a uniform (band, bkey) equi-join; cluster
+  * formation is the contracting iterative star join; `pairsTable` /
+  * `labelsTable` persist the derivation once per (corpus, threshold)
+  * via the shared [[ArtifactStore]], so every downstream audit reads
+  * a parquet table instead of re-deriving the chain. Cosines are
+  * round(·, 6)-pinned so a last-ulp summation difference can never
+  * flip a verify decision across engines.
+  *
+  * Cache lifecycle: the normalized-vector projection feeding both
+  * sides of the candidate self-join is cached + materialized (the
+  * concurrent-stage race discipline); [[release]] unpersists exactly
+  * what this API pinned.
+  */
+object SemanticOps {
+
+  private val retained =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    synchronized { retained += c }
+    c
+  }
+
+  /** Unpersist every frame this API cached since the last release. */
+  def release(): Unit = synchronized {
+    retained.foreach(_.unpersist())
+    retained.clear()
+  }
+
+  /** (vec_id, v DOUBLE[], nrm) — the shared normalized projection. */
+  def normalized(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .select(col(idCol).as("vec_id"),
+        VectorOps.toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"),
+        VectorOps.norm(col("v")).as("nrm"))
+
+  /** Verified near-dup pairs (d1 < d2, cos): banded hyperplane-LSH
+    * candidates (uniform equi-join, quadratic work confined to
+    * buckets), exact cosine ≥ `threshold` computed for candidates
+    * only. `dim` must match the embedding width; banding recall is
+    * the standard 1-(1-p^rows)^bands curve.
+    */
+  def neardupPairs(emb: DataFrame, threshold: Double = 0.45,
+      dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = materialize(normalized(emb, idCol, vecCol))
+    val keyed = v.select(col("vec_id"),
+      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val q = v.select(col("vec_id").as("d1"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("d2"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    cand.join(q, Seq("d1")).join(c, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** TOTAL cluster assignment: (vec_id, cluster) for every input row,
+    * cluster = min vec_id of the connected component of the verified
+    * near-dup graph (singletons carry their own id). The SemDeDup
+    * survivor rule is `vec_id === cluster`.
+    */
+  def semanticLabels(emb: DataFrame, threshold: Double = 0.45,
+      dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = neardupPairs(emb, threshold, dim, bands, rowsPerBand,
+      idCol, vecCol).select(col("d1"), col("d2"))
+    val comp = GraphOps.connectedComponents(pairs, "d1", "d2")
+    emb.select(col(idCol).cast("long").as("vec_id"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        least(col("vec_id"), coalesce(col("comp"), col("vec_id")))
+          .as("cluster"))
+  }
+
+  private def params(threshold: Double, dim: Int, bands: Int,
+      rowsPerBand: Int): String =
+    s"${java.lang.Double.doubleToLongBits(threshold).toHexString}" +
+      s"-$dim-$bands-$rowsPerBand"
+
+  /** [[neardupPairs]] as a write-once parquet artifact. */
+  def pairsTable(emb: DataFrame, threshold: Double = 0.45,
+      dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ArtifactStore.materializedOnce(emb, ArtifactStore.key(emb, "sempairs",
+      params(threshold, dim, bands, rowsPerBand))) {
+      neardupPairs(emb, threshold, dim, bands, rowsPerBand, idCol, vecCol)
+    }
+
+  /** [[semanticLabels]] as a write-once parquet artifact — built over
+    * [[pairsTable]], so one call materializes both and the audit
+    * family (q112, q120) reads two small tables.
+    */
+  def labelsTable(emb: DataFrame, threshold: Double = 0.45,
+      dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ArtifactStore.materializedOnce(emb, ArtifactStore.key(emb, "semlabels",
+      params(threshold, dim, bands, rowsPerBand))) {
+      val pairs = pairsTable(emb, threshold, dim, bands, rowsPerBand,
+        idCol, vecCol).select(col("d1"), col("d2"))
+      val comp = GraphOps.connectedComponents(pairs, "d1", "d2")
+      emb.select(col(idCol).cast("long").as("vec_id"))
+        .join(comp, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          least(col("vec_id"), coalesce(col("comp"), col("vec_id")))
+            .as("cluster"))
+    }
+}

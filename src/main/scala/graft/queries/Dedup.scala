@@ -1054,16 +1054,10 @@ object Dedup extends QueryPack {
     val textDup = CurationOps.labelsTable(docs(s, d))
       .select(col("doc_id").cast("long").as("doc_id"),
         (col("comp") =!= col("doc_id")).as("is_text_dup"))
-    val semPairs = Similarity.q33EmbeddingNeardup(s, d)
-      .select(col("d1"), col("d2"))
-    val scomp = graft.ops.GraphOps.connectedComponents(semPairs, "d1", "d2")
-      .select(col("id").as("doc_id"), col("comp").as("scomp"))
-    val semDup = Tables(s, d, "embeddings")
-      .select(col("vec_id").cast("long").as("doc_id"))
-      .join(scomp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (coalesce(col("scomp"), col("doc_id")) =!= col("doc_id"))
-          .as("is_sem_dup"))
+    val semDup = graft.ops.SemanticOps
+      .labelsTable(Tables(s, d, "embeddings"))
+      .select(col("vec_id").as("doc_id"),
+        (col("cluster") =!= col("vec_id")).as("is_sem_dup"))
     textDup.join(semDup, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_text_dup"), 1L).otherwise(0L)).as("n_text_dup"),
