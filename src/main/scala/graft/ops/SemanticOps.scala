@@ -104,6 +104,47 @@ object SemanticOps {
           .as("cluster"))
   }
 
+  /** Batch-proportional incremental probe — the embedding twin of
+    * [[CurationOps.verifiedPairsIncremental]]: one side of the band
+    * join is restricted to `isNew` rows BEFORE pairing, so old-old
+    * (corpus-internal) pairs never form and daily-ingest cost is
+    * batch-proportional. Orientation-safe (pairs normalized to
+    * least/greatest), so a new vector is flagged against an existing
+    * near-duplicate regardless of id order. `isNew` is evaluated
+    * against the `vec_id` column of the normalized projection.
+    */
+  def neardupPairsIncremental(emb: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.45,
+      dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = materialize(normalized(emb, idCol, vecCol))
+    val keyed = v.select(col("vec_id"),
+      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val nw = keyed.filter(isNew)
+      .select(col("vec_id").as("dn"), col("band"), col("bkey"))
+    val cand = nw
+      .join(keyed.select(col("vec_id").as("da"),
+          col("band").as("band2"), col("bkey").as("bkey2")),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("dn") =!= col("da"))
+      .select(least(col("dn"), col("da")).as("d1"),
+        greatest(col("dn"), col("da")).as("d2"))
+      .distinct()
+    val q = v.select(col("vec_id").as("d1"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("d2"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    cand.join(q, Seq("d1")).join(c, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   private def params(threshold: Double, dim: Int, bands: Int,
       rowsPerBand: Int): String =
     s"${java.lang.Double.doubleToLongBits(threshold).toHexString}" +

@@ -192,6 +192,59 @@ object Similarity extends QueryPack {
            AS is_survivor
        FROM labels ORDER BY vec_id"""
 
+  /** q208: incremental SEMANTIC admission — the embedding twin of the
+    * text side's q86: the newest 20% of vectors (id-space cut) probe
+    * the banded hyperplane-LSH index with the new side restricted
+    * BEFORE pairing ([[graft.ops.SemanticOps.neardupPairsIncremental]]),
+    * so corpus-internal pairs never form and daily-ingest cost is
+    * batch-proportional; exact cosine verifies candidates only, and a
+    * new vector is admitted iff nothing verified against it.
+    */
+  private def q208SemanticIncremental(
+      s: SparkSession, d: String): DataFrame = {
+    val cutV = emb(s, d)
+      .agg(expr("((max(vec_id) + 1) * 4) div 5").as("cut"))
+      .head().getLong(0)
+    val verified = graft.ops.SemanticOps
+      .neardupPairsIncremental(emb(s, d), col("vec_id") >= cutV,
+        threshold = 0.45, dim = DIM, bands = BANDS,
+        rowsPerBand = ROWS_PER_BAND)
+      .select(col("d1"), col("d2"))
+    emb(s, d).select(col("vec_id"))
+      .filter(col("vec_id") >= cutV)
+      .join(verified, col("vec_id") === col("d2"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(col("d1")).as("n_dup_matches"))
+      .select(col("vec_id"), col("n_dup_matches"),
+        (col("n_dup_matches") === 0).as("admitted"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q208Sql =
+    s"""WITH $vecsCte, $neardupCtes,
+       cut208 AS (SELECT (MAX(vec_id) + 1) * 4 // 5 AS cut
+                  FROM embeddings),
+       nw208 AS (SELECT vec_id, band, bkey FROM keyed
+                 WHERE vec_id >= (SELECT cut FROM cut208)),
+       cand208 AS (SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS d1,
+                    GREATEST(a.vec_id, b.vec_id) AS d2
+                   FROM nw208 a JOIN keyed b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.vec_id <> b.vec_id),
+       cp208 AS (SELECT cand208.d1, cand208.d2, qa.v AS av, qb.v AS bv,
+                  qa.nrm AS an, qb.nrm AS bn
+                 FROM cand208 JOIN n qa ON qa.vec_id = cand208.d1
+                              JOIN n qb ON qb.vec_id = cand208.d2),
+       ver208 AS (SELECT d1, d2 FROM
+                   (SELECT d1, d2, $cosSql AS cos FROM cp208)
+                  WHERE cos >= 0.45)
+       SELECT e.vec_id,
+         CAST(COUNT(v.d1) AS BIGINT) AS n_dup_matches,
+         COUNT(v.d1) = 0 AS admitted
+       FROM embeddings e LEFT JOIN ver208 v ON v.d2 = e.vec_id
+       WHERE e.vec_id >= (SELECT cut FROM cut208)
+       GROUP BY e.vec_id ORDER BY e.vec_id"""
+
   /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
     * vector. Bucket = 8 sign bits of dots with deterministic planes.
     */
@@ -764,6 +817,7 @@ object Similarity extends QueryPack {
     "q129_mmr_rerank" -> q129MmrRerank,
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q112_semantic_dedup" -> q112SemanticDedup,
+    "q208_semantic_incremental" -> q208SemanticIncremental,
     "q34_lsh_ann" -> q34LshAnn,
     "q38_ann_recall" -> q38AnnRecall,
     "q78_ann_recall_summary" -> q78AnnRecallSummary,
@@ -782,6 +836,7 @@ object Similarity extends QueryPack {
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
     "q112_semantic_dedup" -> q112Sql,
+    "q208_semantic_incremental" -> q208Sql,
     "q34_lsh_ann" -> q34Sql,
     "q38_ann_recall" -> q38Sql,
     "q78_ann_recall_summary" -> q78Sql,

@@ -72,4 +72,22 @@ class SemanticOpsSpec extends AnyFunSuite {
     CurationOps.clearArtifacts()
     SemanticOps.release()
   }
+
+  test("incremental probe is new-side-restricted and orientation-safe") {
+    val full = SemanticOps.neardupPairs(embDf, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "new" = ids 2 and 11 (one member of each cluster)
+    val isNew = col("vec_id").isin(2L, 11L)
+    val inc = SemanticOps.neardupPairsIncremental(embDf, isNew, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => Set(2L, 11L)(p._1) || Set(2L, 11L)(p._2))
+    assert(inc === expected,
+      s"incremental = full pairs touching a new id: inc=$inc exp=$expected")
+    // orientation safety: new id 2 is LARGER than its dups (0, 1) but
+    // must still be flagged — normalized pairs put it at d2
+    assert(inc.contains((0L, 2L)) && inc.contains((1L, 2L)))
+    // old-old pairs never form
+    assert(!inc.contains((0L, 1L)), "corpus-internal pair must not form")
+    SemanticOps.release()
+  }
 }
