@@ -171,9 +171,11 @@ object Similarity extends QueryPack {
   /** Oracle: recursive-CTE transitive closure over the same verified
     * edge set (min reachable id == the star-contraction's label).
     */
-  private val q112Sql =
-    s"""WITH RECURSIVE $vecsCte, $neardupCtes,
-       sym AS (SELECT d1 AS u, d2 AS v FROM epairs
+  /** Shared oracle CTEs: epairs → recursive closure → TOTAL min-id
+    * cluster labels (q112 and q209).
+    */
+  private val semLabelCtes =
+    """sym AS (SELECT d1 AS u, d2 AS v FROM epairs
                UNION SELECT d2, d1 FROM epairs),
        reach(u, v) AS (
          SELECT u, v FROM sym
@@ -184,13 +186,62 @@ object Similarity extends QueryPack {
        labels AS (SELECT e.vec_id,
            LEAST(CAST(e.vec_id AS BIGINT),
              COALESCE(c.mn, CAST(e.vec_id AS BIGINT))) AS cluster
-         FROM embeddings e LEFT JOIN cmp c ON c.vec_id = e.vec_id)
+         FROM embeddings e LEFT JOIN cmp c ON c.vec_id = e.vec_id)"""
+
+  private val q112Sql =
+    s"""WITH RECURSIVE $vecsCte, $neardupCtes, $semLabelCtes
        SELECT vec_id, cluster,
          CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
            AS cluster_size,
          CAST(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS BIGINT)
            AS is_survivor
        FROM labels ORDER BY vec_id"""
+
+  /** q209: CROSS-MODAL canonical selection — the q165 rule on
+    * SEMANTIC clusters: within each embedding-space near-dup family,
+    * keep the member whose TEXT carries the highest shared quality
+    * score (doc/vec ids are aligned in the fixture schema). The
+    * paraphrase-dedup decision an LLM pipeline actually ships:
+    * semantic grouping finds the redundancy, text quality picks the
+    * copy worth training on. Labels come from the write-once
+    * [[graft.ops.SemanticOps.labelsTable]] artifact; the winner is a
+    * per-cluster WindowGroupLimit, never a global sort.
+    */
+  private def q209SemanticBestOfCluster(
+      s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = graft.ops.SemanticOps.labelsTable(emb(s, d))
+    val prio = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.qualityScore(
+          graft.ops.TextOps.tokens(col("text"))).as("priority"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("priority").desc, col("vec_id").asc)
+    labels.join(prio, col("vec_id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("canonical_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("priority"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q209Sql = {
+    val qual = graft.ops.TextOps.qualityScoreSql(
+      graft.ops.TextOps.tokensSql("text"))
+    s"""WITH RECURSIVE $vecsCte, $neardupCtes, $semLabelCtes,
+       prio AS (SELECT doc_id, $qual AS priority FROM documents),
+       ranked AS (SELECT l.cluster, l.vec_id, p.priority,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster
+             ORDER BY p.priority DESC, l.vec_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY l.cluster) AS cluster_size
+         FROM labels l JOIN prio p ON p.doc_id = l.vec_id)
+       SELECT cluster, vec_id AS canonical_id,
+              CAST(cluster_size AS BIGINT) AS cluster_size, priority
+       FROM ranked WHERE rn = 1 ORDER BY cluster"""
+  }
 
   /** q208: incremental SEMANTIC admission — the embedding twin of the
     * text side's q86: the newest 20% of vectors (id-space cut) probe
@@ -818,6 +869,7 @@ object Similarity extends QueryPack {
     "q33_embedding_neardup" -> q33EmbeddingNeardup,
     "q112_semantic_dedup" -> q112SemanticDedup,
     "q208_semantic_incremental" -> q208SemanticIncremental,
+    "q209_semantic_best_of_cluster" -> q209SemanticBestOfCluster,
     "q34_lsh_ann" -> q34LshAnn,
     "q38_ann_recall" -> q38AnnRecall,
     "q78_ann_recall_summary" -> q78AnnRecallSummary,
@@ -837,6 +889,7 @@ object Similarity extends QueryPack {
     "q33_embedding_neardup" -> q33Sql,
     "q112_semantic_dedup" -> q112Sql,
     "q208_semantic_incremental" -> q208Sql,
+    "q209_semantic_best_of_cluster" -> q209Sql,
     "q34_lsh_ann" -> q34Sql,
     "q38_ann_recall" -> q38Sql,
     "q78_ann_recall_summary" -> q78Sql,
