@@ -367,4 +367,34 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("q206 capped pairing joins on uniform keys — no nested loop, " +
+    "no cartesian") {
+    val p = planOf(Dedup.all("q206_capped_candidates")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    graft.ops.CurationOps.release()
+  }
+
+  test("q207 capped incremental probes via semi-join + equi-joins only") {
+    val p = planOf(Dedup.all("q207_capped_incremental")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    graft.ops.CurationOps.release()
+  }
+
+  test("q209 semantic best-of-cluster windows stay cluster-partitioned " +
+    "(no single-partition window, no nested loop)") {
+    // the cluster_size count window rides the same partitioning as the
+    // rank window, so WindowGroupLimit can't fire — but nothing may
+    // collapse to one partition and no join may degrade to a loop
+    val p = planOf(
+      Similarity.all("q209_semantic_best_of_cluster")(spark, sf))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    graft.ops.SemanticOps.release()
+    graft.ops.CurationOps.clearArtifacts()
+  }
 }
