@@ -351,6 +351,30 @@ class CurationOpsSpec extends AnyFunSuite {
     CurationOps.release()
   }
 
+  test("degenerate corpora: empty, single-doc, and all-identical inputs") {
+    val sq = spark
+    import sq.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CurationOps.verifiedPairs(empty).count() === 0L)
+    assert(CurationOps.lshCandidatePairsCapped(empty, 4).count() === 0L)
+    assert(CurationOps.clusterLabels(empty).count() === 0L)
+    val one = Seq((7L, base)).toDF("doc_id", "text")
+    assert(CurationOps.verifiedPairs(one).count() === 0L)
+    val labels1 = CurationOps.clusterLabels(one).collect()
+    assert(labels1.length === 1 && labels1.head.getLong(1) === 7L,
+      "a singleton is its own cluster")
+    // all-identical corpus: uncapped = full clique, capped = star,
+    // both collapse to one cluster rooted at the minimum id
+    val same = (0L until 10L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(CurationOps.verifiedPairs(same).count() === 45L)
+    assert(CurationOps
+      .verifiedPairsCapped(same, bucketCap = 4).count() === 9L)
+    val lab = CurationOps.clusterLabels(same)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(lab === Set(0L))
+    CurationOps.release()
+  }
+
   test("capped incremental probe: linear per new doc in a viral bucket, " +
     "equal to the uncapped form when inactive") {
     val sq = spark
