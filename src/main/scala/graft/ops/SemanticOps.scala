@@ -104,6 +104,54 @@ object SemanticOps {
           .as("cluster"))
   }
 
+  /** [[neardupPairs]] with the hot-bucket cap — the embedding twin of
+    * [[CurationOps.lshCandidatePairsCapped]] for corpora where one
+    * embedding repeats massively (the same boilerplate page embedded
+    * millions of times lands every copy in identical sign buckets):
+    * buckets ≤ `bucketCap` pair all-vs-all exactly as the uncapped
+    * form; an oversized bucket emits a star to its minimum vec_id —
+    * O(B) verified edges reaching the same connected components
+    * whenever the star edges verify, which duplicated embeddings do
+    * by construction. Same documented trade: the pair list is not
+    * exhaustive inside hot buckets.
+    */
+  def neardupPairsCapped(emb: DataFrame, threshold: Double = 0.45,
+      bucketCap: Int = 1024, dim: Int = 64, bands: Int = 4,
+      rowsPerBand: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    val v = materialize(normalized(emb, idCol, vecCol))
+    val keyed = materialize(v.select(col("vec_id"),
+      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey")))
+    val stats = keyed.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep"))
+    val sized = keyed.join(stats, Seq("band", "bkey"))
+    val small = sized.filter(col("n_vecs") <= bucketCap)
+    val smallPairs = small
+      .select(col("vec_id").as("d1"), col("band"), col("bkey"))
+      .join(small.select(col("vec_id").as("d2"),
+          col("band").as("band2"), col("bkey").as("bkey2")),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val starPairs = sized
+      .filter(col("n_vecs") > bucketCap && col("vec_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("vec_id").as("d2"))
+    val cands = smallPairs.union(starPairs).distinct()
+    val q = v.select(col("vec_id").as("d1"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("d2"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    cands.join(q, Seq("d1")).join(c, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Batch-proportional incremental probe — the embedding twin of
     * [[CurationOps.verifiedPairsIncremental]]: one side of the band
     * join is restricted to `isNew` rows BEFORE pairing, so old-old

@@ -73,6 +73,40 @@ class SemanticOpsSpec extends AnyFunSuite {
     SemanticOps.release()
   }
 
+  test("capped pairing stars a duplicated-embedding bucket, is the " +
+    "identity when inactive") {
+    val sq = spark
+    import sq.implicits._
+    // 30 copies of one embedding (every band bucket hot) + the base
+    // fixture's clusters
+    val dup = Seq(2f, -1f, 3f, -2f, 4f, -3f, 5f, -4f)
+    val docs = ((500 until 530).map(i => (i.toLong, dup)) ++
+      Seq((900L, Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)))).toDF(
+      "vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairs(SemanticOps.neardupPairs(docs, dim = 8))
+    assert(un.count(_._2 < 900) === 435, "clique = C(30,2)")
+    val capped = pairs(SemanticOps.neardupPairsCapped(docs,
+      bucketCap = 8, dim = 8))
+    assert(capped.filter(_._2 < 900) ===
+      (501 until 530).map(i => (500L, i.toLong)).toSet,
+      "hot bucket must star to the minimum vec id")
+    val wide = pairs(SemanticOps.neardupPairsCapped(docs,
+      bucketCap = 1000, dim = 8))
+    assert(wide === un, "inactive cap must be the identity")
+    // star + verify reaches the same components
+    val lu = graft.ops.GraphOps.connectedComponents(
+      SemanticOps.neardupPairs(docs, dim = 8), "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lc = graft.ops.GraphOps.connectedComponents(
+      SemanticOps.neardupPairsCapped(docs, bucketCap = 8, dim = 8),
+      "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lu === lc, "capped chain must reach the same components")
+    SemanticOps.release()
+  }
+
   test("incremental probe is new-side-restricted and orientation-safe") {
     val full = SemanticOps.neardupPairs(embDf, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
