@@ -335,6 +335,65 @@ object Relational extends QueryPack {
                            AND o_orderstatus = 'F')
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q210: TPC-H Q2 shape — minimum-cost supplier per part: a
+    * CORRELATED SCALAR MIN restricted to a region, decorrelated as a
+    * per-part window min (the q158 pattern) over the pseudo-partsupp
+    * relation `lineitem → min price per (part, supplier)`. Region
+    * restriction applies INSIDE the correlated scope (TPC-H's trap:
+    * the min is over EUROPE suppliers only), ties keep every
+    * minimum-cost supplier, costs are e2 fixed-point. Dims broadcast;
+    * the one wide relation is the grouped lineitem — no self-join, no
+    * nested loop.
+    */
+  private def q210MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val euroSup = Tables(s, d, "supplier")
+      .join(broadcast(Tables(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val ps = Tables(s, d, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(Exact.fixed(col("l_extendedprice"), 2)).as("cost_c"))
+    val sizedParts = Tables(s, d, "part")
+      .filter(col("p_size").isin(5, 10))
+      .select(col("p_partkey"), col("p_brand"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ps.join(broadcast(euroSup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sizedParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_cost", min(col("cost_c")).over(w))
+      .filter(col("cost_c") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"), col("cost_c"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  private val q210Sql =
+    s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+                MIN(${Exact.fixedSql("l_extendedprice", 2)}) AS cost_c
+         FROM lineitem GROUP BY 1, 2),
+       es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+       base AS (SELECT ps.l_partkey, ps.cost_c, es.s_name, es.s_acctbal,
+                 es.n_name, p.p_brand
+                FROM ps
+                JOIN es ON ps.l_suppkey = es.s_suppkey
+                JOIN part p ON p.p_partkey = ps.l_partkey
+                WHERE p.p_size IN (5, 10)),
+       m AS (SELECT *, MIN(cost_c) OVER (PARTITION BY l_partkey)
+               AS min_cost FROM base)
+       SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+              p_brand, cost_c
+       FROM m WHERE cost_c = min_cost
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -1021,6 +1080,7 @@ object Relational extends QueryPack {
     "q159_large_volume_orders" -> q159LargeVolumeOrders,
     "q160_supplier_waiting" -> q160SupplierWaiting,
     "q161_acctbal_prospects" -> q161AcctbalProspects,
+    "q210_min_cost_supplier" -> q210MinCostSupplier,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -1057,6 +1117,7 @@ object Relational extends QueryPack {
     "q159_large_volume_orders" -> q159Sql,
     "q160_supplier_waiting" -> q160Sql,
     "q161_acctbal_prospects" -> q161Sql,
+    "q210_min_cost_supplier" -> q210Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,
