@@ -394,6 +394,100 @@ object Relational extends QueryPack {
        FROM m WHERE cost_c = min_cost
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
 
+  /** q211: TPC-H Q20 shape — NESTED IN subqueries plus a correlated
+    * scalar: suppliers holding "excess stock" of brand-filtered parts,
+    * where stock is the pseudo-partsupp total (Σ quantity per
+    * part-supplier over all time) and the correlated scalar is the
+    * same pair's in-window shipments — qualifying pairs shipped less
+    * than half their total inside the window. The inner IN prunes as
+    * a broadcast semi-join before the grouped fact relation forms;
+    * the correlated scalar decorrelates to a grouped LEFT join on the
+    * SAME (part, supplier) key — one exchange, no per-row subquery.
+    * Quantities are e2 fixed-point so the halving test is integer.
+    */
+  private def q211ExcessStock(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables(s, d, "part")
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val cut0 = to_timestamp(lit("1997-01-01 00:00:00"))
+    val cut1 = to_timestamp(lit("1998-01-01 00:00:00"))
+    val li = Tables(s, d, "lineitem")
+    val total = li
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(Exact.fixed(col("l_quantity"), 2)).as("total_c"))
+    val inWindow = li
+      .filter(col("l_shipdate") >= cut0 && col("l_shipdate") < cut1)
+      .groupBy(col("l_partkey").as("wp"), col("l_suppkey").as("ws"))
+      .agg(sum(Exact.fixed(col("l_quantity"), 2)).as("window_c"))
+    val qualPairs = total
+      .join(inWindow, col("l_partkey") === col("wp") &&
+        col("l_suppkey") === col("ws"), "left")
+      .filter(col("total_c") > lit(2L) * coalesce(col("window_c"), lit(0L)))
+      .select(col("l_suppkey"))
+    Tables(s, d, "supplier")
+      .join(qualPairs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q211Sql =
+    s"""WITH total AS (SELECT l_partkey, l_suppkey,
+                SUM(${Exact.fixedSql("l_quantity", 2)}) AS total_c
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_brand = 'Brand#1')
+         GROUP BY 1, 2),
+       win AS (SELECT l_partkey AS wp, l_suppkey AS ws,
+                SUM(${Exact.fixedSql("l_quantity", 2)}) AS window_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1, 2)
+       SELECT s_suppkey, s_name, s_acctbal
+       FROM supplier
+       WHERE s_suppkey IN (
+         SELECT t.l_suppkey FROM total t
+         LEFT JOIN win ON t.l_partkey = win.wp AND t.l_suppkey = win.ws
+         WHERE t.total_c > 2 * COALESCE(win.window_c, 0))
+       ORDER BY s_name"""
+
+  /** q212: TPC-H Q15 shape — the top-revenue-supplier "view": per-
+    * supplier revenue over a window, then the suppliers matching the
+    * GLOBAL maximum (ties kept). The scalar max is a one-row
+    * aggregate broadcast into every row (the q12/q161 global-stat
+    * pattern — no single-partition window), compared in e4
+    * fixed-point so no float boundary can drop a tied supplier.
+    */
+  private def q212TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val cut0 = to_timestamp(lit("1996-01-01 00:00:00"))
+    val cut1 = to_timestamp(lit("1996-07-01 00:00:00"))
+    val revs = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= cut0 && col("l_shipdate") < cut1)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(Exact.fixed(rev, 4)).as("rev_c"))
+    val top = revs.agg(max(col("rev_c")).as("max_c"))
+    revs.crossJoin(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(Tables(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q212Sql =
+    s"""WITH revs AS (SELECT l_suppkey,
+                CAST(SUM(${Exact.fixedSql(revSql, 4)}) AS BIGINT) AS rev_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, rev_c
+       FROM revs JOIN supplier ON l_suppkey = s_suppkey
+       WHERE rev_c = (SELECT MAX(rev_c) FROM revs)
+       ORDER BY s_suppkey"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -1081,6 +1175,8 @@ object Relational extends QueryPack {
     "q160_supplier_waiting" -> q160SupplierWaiting,
     "q161_acctbal_prospects" -> q161AcctbalProspects,
     "q210_min_cost_supplier" -> q210MinCostSupplier,
+    "q211_excess_stock" -> q211ExcessStock,
+    "q212_top_supplier" -> q212TopSupplier,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -1118,6 +1214,8 @@ object Relational extends QueryPack {
     "q160_supplier_waiting" -> q160Sql,
     "q161_acctbal_prospects" -> q161Sql,
     "q210_min_cost_supplier" -> q210Sql,
+    "q211_excess_stock" -> q211Sql,
+    "q212_top_supplier" -> q212Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,
