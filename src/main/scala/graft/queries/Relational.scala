@@ -488,6 +488,392 @@ object Relational extends QueryPack {
        WHERE rev_c = (SELECT MAX(rev_c) FROM revs)
        ORDER BY s_suppkey"""
 
+  /** q213: TPC-H Q4 shape — EXISTS feeding a grouped COUNT: orders in a
+    * quarter with at least one late shipment (≥60 days after order),
+    * counted per priority. The EXISTS plans as ONE left-semi hash join
+    * on `orderkey` with the date comparison as a residual — lineitem is
+    * never widened, each order contributes at most once no matter how
+    * many lines are late, and the quarter filter prunes the orders scan
+    * at the parquet reader before the join.
+    */
+  private def q213PriorityExistsCount(s: SparkSession, d: String): DataFrame = {
+    val cut0 = to_timestamp(lit("1997-01-01 00:00:00"))
+    val cut1 = to_timestamp(lit("1997-04-01 00:00:00"))
+    Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1)
+      .join(Tables(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q213Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q214: TPC-H Q7 shape — cross-border trade volume among a nation
+    * set, by ship year. The cross-side predicate (supplier nation ≠
+    * customer nation, both in the set) spans both join sides, so its
+    * per-side implication (each nation ∈ set) is applied MANUALLY on
+    * each broadcast nation dim before the fact joins — the residual
+    * inequality then filters an already tiny stream instead of the
+    * full fact crossing. Revenue e4 exact.
+    */
+  private def q214NationVolumeFlows(s: SparkSession, d: String): DataFrame = {
+    val set = Seq("NATION_1", "NATION_2", "NATION_3")
+    val n1 = Tables(s, d, "nation").filter(col("n_name").isin(set: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, d, "nation").filter(col("n_name").isin(set: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q214Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+              ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                    l_extendedprice, l_discount
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+               AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+               AND n1.n_name <> n2.n_name
+               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** q215: TPC-H Q8 shape — national market share: NATION_3's fraction
+    * of ECONOMY-part revenue sold into AMERICA, by order year. Both
+    * the conditional and unconditional revenue ride ONE aggregation
+    * pass as exact e4 LONGs; the share is a single double division of
+    * two exact integers, so the ratio is bit-stable across engines and
+    * partitionings. Part and region restrictions prune as (semi-)joins
+    * before the fact stream forms.
+    */
+  private def q215MarketShare(s: SparkSession, d: String): DataFrame = {
+    val ecoParts = Tables(s, d, "part")
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val amerCust = Tables(s, d, "customer")
+      .join(broadcast(Tables(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")
+          .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNation = Tables(s, d, "supplier")
+      .join(broadcast(Tables(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables(s, d, "lineitem")
+      .join(broadcast(ecoParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") >=
+            to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", Exact.fixed(rev, 4))
+          .otherwise(lit(0L))).as("nation_c"),
+        sum(Exact.fixed(rev, 4)).as("total_c"))
+      .select(col("o_year"),
+        (col("nation_c").cast("double") / col("total_c").cast("double"))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q215Sql =
+    s"""SELECT o_year,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                       THEN ${Exact.fixedSql(revSql, 4)} ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(${Exact.fixedSql(revSql, 4)}) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                    n1.n_name AS supp_nation, l_extendedprice, l_discount
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             JOIN region ON n2.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q216: TPC-H Q9 shape — product-line profit by supplier nation and
+    * order year, cost proxied by `p_retailprice·l_quantity` (the schema
+    * has no partsupp). Profit per line is computed ENTIRELY in integer
+    * fixed-point — e4 revenue minus the product of two e2 lifts (also
+    * e4) — so the grouped sum is associative-exact; one double division
+    * at the end. The name-substring part filter broadcasts.
+    */
+  private def q216ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val profitC = Exact.fixed(rev, 4) -
+      Exact.fixed(col("p_retailprice"), 2) * Exact.fixed(col("l_quantity"), 2)
+    Tables(s, d, "lineitem")
+      .join(broadcast(Tables(s, d, "part")
+          .filter(col("p_name").contains("gear"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long")
+        .as("o_year"))
+      .agg((sum(profitC).cast("double") / lit(10000L)).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val q216Sql = {
+    val profitC = s"${Exact.fixedSql(revSql, 4)} - " +
+      s"${Exact.fixedSql("p_retailprice", 2)}*${Exact.fixedSql("l_quantity", 2)}"
+    s"""SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                AS o_year,
+              CAST(SUM($profitC) AS DOUBLE)/10000 AS sum_profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%gear%'
+       GROUP BY 1, 2 ORDER BY n_name, o_year DESC"""
+  }
+
+  /** q217: TPC-H Q10 shape — top-20 customers by returned-line revenue
+    * in a quarter. The `orderBy+limit(20)` plans as
+    * TakeOrderedAndProject (per-partition top-20, driver merges 20·P
+    * rows — never a global sort), the custkey tie-break makes the
+    * cutoff deterministic, and the returnflag + quarter filters prune
+    * both fact scans before the join.
+    */
+  private def q217ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") >=
+            to_timestamp(lit("1997-07-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q217Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+       GROUP BY 1, 2, 3, 4
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** q218: TPC-H Q11 shape — GROUP-HAVING against a global scalar:
+    * parts whose revenue exceeds 1.5× the MEAN part revenue. The mean
+    * makes the threshold scale-invariant (a fixed fraction of total —
+    * TPC-H's own 0.0001/SF — empties as the part domain grows); the
+    * global (total, count) pair re-aggregates the per-part relation
+    * (one extra row, not a rescan) and broadcasts into every row via
+    * the q12/q161 one-row crossJoin pattern. The comparison
+    * `value·2 > 3·(total div n)` is all-integer — `div` truncation is
+    * identical in both engines for non-negative operands, so no float
+    * boundary can flip a row.
+    */
+  private def q218ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(Exact.fixed(rev, 4)).as("value_c"))
+    val tot = vals.agg(sum(col("value_c")).as("total_c"),
+      count(lit(1)).as("n_parts"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("value_c") * lit(2L) >
+        lit(3L) * expr("total_c div n_parts"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_c").cast("double") / lit(10000L)).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  private val q218Sql =
+    s"""WITH vals AS (SELECT l_partkey,
+                CAST(SUM(${Exact.fixedSql(revSql, 4)}) AS BIGINT) AS value_c
+         FROM lineitem GROUP BY 1),
+       tot AS (SELECT SUM(value_c) AS total_c, COUNT(*) AS n_parts
+               FROM vals)
+       SELECT l_partkey AS p_partkey,
+              CAST(value_c AS DOUBLE)/10000 AS part_value
+       FROM vals, tot
+       WHERE value_c*2 > 3*(total_c // n_parts)
+       ORDER BY part_value DESC, p_partkey"""
+
+  /** q219: TPC-H Q12 shape — late shipments (≥90 days after order) in
+    * a ship year, split into high/low-priority line counts per ship
+    * month: both CASE-counts ride one aggregation pass. The lateness
+    * predicate is a residual on the orderkey equi-join; the ship-year
+    * filter prunes the lineitem scan.
+    */
+  private def q219LateShipmentPriority(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables(s, d, "orders").select("o_orderkey", "o_orderdate",
+        "o_orderpriority")
+      .join(Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >=
+            to_timestamp(lit("1997-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(sum(when(high, lit(1L)).otherwise(lit(0L)))
+        .as("high_line_count"),
+        sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy(col("ship_month"))
+  }
+
+  private val q219Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem
+         ON o_orderkey = l_orderkey
+        AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q220: TPC-H Q13 shape — the customer order-count DISTRIBUTION:
+    * left-outer join keeps zero-order customers, count per customer,
+    * then a second aggregation histograms the counts. Two shuffles
+    * total (custkey, then the tiny count domain); the priority filter
+    * applies to the orders side BEFORE the outer join (ON-clause
+    * semantics), never dropping customers.
+    */
+  private def q220CustomerOrderDistribution(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer").select("c_custkey")
+      .join(Tables(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val q220Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+             GROUP BY 1)
+       GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+
+  /** q221: TPC-H Q14 shape — promo revenue share over a ship month:
+    * conditional and total revenue in ONE pass as exact e4 LONGs, the
+    * percentage as one double expression mirrored operator-for-operator
+    * in the oracle. The part dim broadcasts; the month filter prunes
+    * the fact scan to ~1/36 of the data before the join.
+    */
+  private def q221PromoRevenueShare(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-10-01 00:00:00")))
+      .join(broadcast(Tables(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", Exact.fixed(rev, 4))
+          .otherwise(lit(0L))).as("promo_c"),
+        sum(Exact.fixed(rev, 4)).as("total_c"))
+      .select((lit(100.0) * col("promo_c").cast("double") /
+        col("total_c").cast("double")).as("promo_revenue"))
+
+  private val q221Sql =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN ${Exact.fixedSql(revSql, 4)} ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(${Exact.fixedSql(revSql, 4)}) AS DOUBLE)
+                AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'"""
+
+  /** q222: TPC-H Q16 shape — distinct supplier counts per (brand,
+    * size), excluding a NOT-IN supplier set (negative balance). The
+    * NOT IN plans as a broadcast left-anti join (the excluded set is
+    * tiny by construction); countDistinct expands to a two-phase
+    * partial-distinct aggregate — no row ever carries more than its
+    * own (brand, size, suppkey).
+    */
+  private def q222PartSupplierCounts(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(Tables(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1")
+          .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  private val q222Sql =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#1'
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -1177,6 +1563,16 @@ object Relational extends QueryPack {
     "q210_min_cost_supplier" -> q210MinCostSupplier,
     "q211_excess_stock" -> q211ExcessStock,
     "q212_top_supplier" -> q212TopSupplier,
+    "q213_priority_exists_count" -> q213PriorityExistsCount,
+    "q214_nation_volume_flows" -> q214NationVolumeFlows,
+    "q215_market_share" -> q215MarketShare,
+    "q216_product_profit" -> q216ProductProfit,
+    "q217_returned_items" -> q217ReturnedItems,
+    "q218_important_parts" -> q218ImportantParts,
+    "q219_late_shipment_priority" -> q219LateShipmentPriority,
+    "q220_customer_order_distribution" -> q220CustomerOrderDistribution,
+    "q221_promo_revenue_share" -> q221PromoRevenueShare,
+    "q222_part_supplier_counts" -> q222PartSupplierCounts,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -1216,6 +1612,16 @@ object Relational extends QueryPack {
     "q210_min_cost_supplier" -> q210Sql,
     "q211_excess_stock" -> q211Sql,
     "q212_top_supplier" -> q212Sql,
+    "q213_priority_exists_count" -> q213Sql,
+    "q214_nation_volume_flows" -> q214Sql,
+    "q215_market_share" -> q215Sql,
+    "q216_product_profit" -> q216Sql,
+    "q217_returned_items" -> q217Sql,
+    "q218_important_parts" -> q218Sql,
+    "q219_late_shipment_priority" -> q219Sql,
+    "q220_customer_order_distribution" -> q220Sql,
+    "q221_promo_revenue_share" -> q221Sql,
+    "q222_part_supplier_counts" -> q222Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,

@@ -256,6 +256,38 @@ class PlanSpec extends AnyFunSuite {
       s"subqueries must not plan as nested loops:\n${p.take(4000)}")
   }
 
+  test("q213 EXISTS plans as one semi join — lineitem never widens orders") {
+    val p = planOf(Relational.all("q213_priority_exists_count")(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the date residual must ride the orderkey equi-join:\n${p.take(4000)}")
+  }
+
+  test("q217 top-20 customers plans as TakeOrderedAndProject, not a sort") {
+    val p = planOf(Relational.all("q217_returned_items")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // returnflag filter must reach the lineitem parquet scan
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(l_returnflag,R)"), p.take(4000))
+  }
+
+  test("q222 NOT-IN excluded suppliers plan as a broadcast anti join") {
+    val p = planOf(Relational.all("q222_part_supplier_counts")(spark, sf))
+    assert(p.contains("LeftAnti"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q220 outer-join distribution keeps zero-order customers cheaply") {
+    val p = planOf(
+      Relational.all("q220_customer_order_distribution")(spark, sf))
+    // LeftOuter join + two aggregations; the priority filter must reach
+    // the orders scan (ON-clause pushdown), never the outer side
+    assert(p.contains("LeftOuter"), p.take(4000))
+    assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"), p.take(4000))
+  }
+
   test("q158 correlated scalar subquery rides one partkey window, no self-join") {
     val p = planOf(Relational.all("q158_small_qty_revenue")(spark, sf))
     // decorrelated-by-window: the per-part avg must NOT re-aggregate
