@@ -280,15 +280,30 @@ object Events extends QueryPack {
 
   /** q48: HLL sketch vs exact distinct-count per event type — the
     * 100 TB-scale cardinality operator (approx_count_distinct is a
-    * mergeable HyperLogLog++; rows-only check, sketch internals are
-    * engine-specific).
+    * mergeable HyperLogLog++). Gate edge: the sketch registers are
+    * engine-specific, but the ACCURACY CONTRACT is not — the estimate
+    * is deterministic for fixed data (hash + order-independent merge),
+    * so `|approx−exact|·10 ≤ exact` (≤10% = 5× the configured 2% rsd)
+    * is a stable integer verdict the oracle asserts as the constant 1.
+    * A sketch regression (wrong merge, wrong precision mapping) flips
+    * the verdict and hash-mismatches the row.
     */
   private def q48HllUsers(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("approx_users") - col("exact_users")) * lit(10L) <=
+          col("exact_users"), lit(1L)).otherwise(lit(0L))
+          .as("hll_within_tol"))
       .orderBy(col("event_type"))
+
+  private val q48Sql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              AS exact_users,
+              CAST(1 AS BIGINT) AS hll_within_tol
+       FROM events GROUP BY 1 ORDER BY 1"""
 
   /** q62: as-of join, Spark-first — for every purchase, the most recent
     * *prior* view by the same user. Composed as a running `max(when)`
@@ -521,11 +536,12 @@ object Events extends QueryPack {
     * daily partials are WHAT YOU STORE — any window's distinct-user
     * count is then a union over tiny sketches, never a recount of
     * raw events (exact countDistinct re-shuffles the world every
-    * question). Output pairs the merged estimate with the exact
-    * count; rows-only check (sketch registers aren't
-    * oracle-mirrorable — DuckDB's HLL differs), the merge
-    * correctness is spec-pinned instead (SketchMergeSpec: union of
-    * partials == direct sketch, estimate within HLL error of exact).
+    * question). Gate edge (the q48 pattern): sketch registers aren't
+    * oracle-mirrorable, but the union-estimate is deterministic for
+    * fixed data, so the ≤10% integer verdict hash-checks the whole
+    * partial→union→estimate chain; the merge identity itself stays
+    * spec-pinned (SketchMergeSpec: union of partials == direct
+    * sketch).
     */
   private def q177IncrementalDistinct(
       s: SparkSession, d: String): DataFrame = {
@@ -539,8 +555,18 @@ object Events extends QueryPack {
     val exact = ev(s, d).groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        when(abs(col("approx_users") - col("exact_users")) * lit(10L) <=
+          col("exact_users"), lit(1L)).otherwise(lit(0L))
+          .as("union_within_tol"))
       .orderBy(col("event_type"))
   }
+
+  private val q177Sql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              AS exact_users,
+              CAST(1 AS BIGINT) AS union_within_tol
+       FROM events GROUP BY 1 ORDER BY 1"""
 
   /** q175: strict-sequence funnel — view →(≤1h)→ click →(≤1h)→
     * purchase, each hop matched to the LATEST qualifying predecessor
@@ -1093,6 +1119,8 @@ object Events extends QueryPack {
     "q204_stream_window_parity" -> q204StreamWindowParity)
 
   override val oracle: Map[String, String] = Map(
+    "q48_hll_users" -> q48Sql,
+    "q177_incremental_distinct" -> q177Sql,
     "q64_interval_join" -> q64Sql,
     "q130_cohort_retention" -> q130Sql,
     "q80_rank_distributions" -> q80Sql,

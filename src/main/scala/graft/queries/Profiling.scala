@@ -148,8 +148,11 @@ object Profiling extends QueryPack {
     * order-independent, deterministic for a fixed seed); the probe set
     * is the exact top-20 tokens. CMS guarantees `est ≥ exact` and
     * w.h.p. `est ≤ exact + ε·N`; both bounds are spec-asserted
-    * (ProfilingSpec). Sketch internals are engine-specific → rows-only
-    * driver check.
+    * (ProfilingSpec). Gate edge (the q48/q107 pattern): the sketch is
+    * deterministic for the fixed seed, so both bounds are stable
+    * integer verdicts per probed word — `est ≥ exact` and
+    * `(est−exact)·1000 ≤ N` (ε = 0.001) — that the oracle asserts as
+    * the constant 1 alongside the exact counts it recomputes itself.
     */
   private def q126CmsError(s: SparkSession, d: String): DataFrame = {
     val words = docs(s, d).select(explode(toks).as("word"))
@@ -164,9 +167,23 @@ object Profiling extends QueryPack {
     }
     import s.implicits._
     rows.toSeq.toDF("word", "exact_cnt", "cms_est", "stream_n")
-      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .select(col("word"), col("exact_cnt"),
+        when(col("cms_est") >= col("exact_cnt"), lit(1L)).otherwise(lit(0L))
+          .as("never_undercounts"),
+        when((col("cms_est") - col("exact_cnt")) * lit(1000L) <=
+          col("stream_n"), lit(1L)).otherwise(lit(0L))
+          .as("within_eps"))
       .orderBy(col("exact_cnt").desc, col("word"))
   }
+
+  private val q126Sql =
+    s"""SELECT word, exact_cnt,
+              CAST(1 AS BIGINT) AS never_undercounts,
+              CAST(1 AS BIGINT) AS within_eps
+       FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+             FROM (SELECT unnest($toksSql) AS word FROM documents)
+             GROUP BY 1 ORDER BY exact_cnt DESC, word LIMIT 20)
+       ORDER BY exact_cnt DESC, word"""
 
   // ---------------------------------------------------------------- q127
 
@@ -907,6 +924,7 @@ object Profiling extends QueryPack {
   def oracle: Map[String, String] = Map(
     "q122_gopher_rules" -> q122Sql,
     "q123_collocations" -> q123Sql,
+    "q126_cms_error" -> q126Sql,
     "q127_lm_familiarity" -> q127Sql,
     "q128_subword_fertility" -> q128Sql,
     "q131_token_diversity" -> q131Sql,

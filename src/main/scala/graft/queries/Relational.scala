@@ -1433,11 +1433,19 @@ object Relational extends QueryPack {
        ORDER BY o_orderstatus"""
 
   /** Quantile sketch (percentile_approx — mergeable, single pass, the
-    * 100 TB path the exact window median can't take). Sketch internals
-    * are engine-specific → rows-only check.
+    * 100 TB path the exact window median can't take). Gate edge: the
+    * sketch internals are engine-specific but the RANK-ERROR CONTRACT
+    * is not — with accuracy 10000 the returned value's rank is within
+    * ~N/10000 of the target, so the verdict "approx lies between the
+    * exact values at ranks target±t" (t = 1 + 2N div 10000, doubled
+    * for headroom) is deterministic for fixed data and hash-checked;
+    * the oracle asserts it as the constant 1. Values at rank k of the
+    * sorted multiset are well-defined regardless of row_number tie
+    * order, so the bounds are total-order-free.
     */
-  private def q73ApproxQuantiles(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "orders")
+  private def q73ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val appr = Tables(s, d, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
@@ -1445,7 +1453,46 @@ object Relational extends QueryPack {
         percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
           .as("p95_approx"),
         count(lit(1)).as("n_orders"))
+    val ranked = Tables(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))))
+    val bounds = ranked
+      .join(broadcast(appr.select(col("o_orderstatus"), col("n_orders"))),
+        Seq("o_orderstatus"))
+      .withColumn("t", lit(1L) + expr("(2*n_orders) div 10000"))
+      .withColumn("r50", expr("(n_orders + 1) div 2"))
+      .withColumn("r95", expr("(95*n_orders + 99) div 100"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min(when(col("rn") >= col("r50") - col("t") &&
+          col("rn") <= col("r50") + col("t"), col("o_totalprice")))
+          .as("lo50"),
+        max(when(col("rn") >= col("r50") - col("t") &&
+          col("rn") <= col("r50") + col("t"), col("o_totalprice")))
+          .as("hi50"),
+        min(when(col("rn") >= col("r95") - col("t") &&
+          col("rn") <= col("r95") + col("t"), col("o_totalprice")))
+          .as("lo95"),
+        max(when(col("rn") >= col("r95") - col("t") &&
+          col("rn") <= col("r95") + col("t"), col("o_totalprice")))
+          .as("hi95"))
+    appr.join(bounds, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_orders"),
+        when(col("p50_approx") >= col("lo50") &&
+          col("p50_approx") <= col("hi50"), lit(1L)).otherwise(lit(0L))
+          .as("p50_in_bounds"),
+        when(col("p95_approx") >= col("lo95") &&
+          col("p95_approx") <= col("hi95"), lit(1L)).otherwise(lit(0L))
+          .as("p95_in_bounds"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  private val q73Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(1 AS BIGINT) AS p50_in_bounds,
+              CAST(1 AS BIGINT) AS p95_in_bounds
+       FROM orders GROUP BY 1 ORDER BY 1"""
 
   /** q39: salted fact⋈dim join through the oracle gate — the salt must
     * be semantically invisible, so the DuckDB mirror is the PLAIN join:
@@ -1644,5 +1691,6 @@ object Relational extends QueryPack {
     "q39_salted_join" -> q39Sql,
     "q49_weighted_avg_price" -> q49Sql,
     "q72_median_by_status" -> q72Sql,
+    "q73_approx_quantiles" -> q73Sql,
     "q116_data_checks" -> q116Sql)
 }

