@@ -936,7 +936,68 @@ object Corpus extends QueryPack {
        FROM traj ORDER BY round_id"""
   }
 
+  /** q223: hashed n-gram importance weighting — the DSIR-family
+    * data-selection primitive (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-domain-like its hashed bigram
+    * distribution is (target here: lang='en'), select the top
+    * scorers. Departures from the paper, both deliberate:
+    * (1) bucket weights are LIKELIHOOD RATIOS in e6 fixed-point
+    * (`(10⁶·(ct+1)) div (cr+1)`, +1-smoothed) rather than
+    * log-ratios — float `ln` is not bit-stable across engines, the
+    * ratio is exact integer math, and for SELECTION only the ranking
+    * matters; the constant Nr/Nt factor is dropped for the same
+    * reason. (2) deterministic top-k instead of Gumbel resampling
+    * (the RNG would force a rows-only check; q163/q88 cover seeded
+    * sampling). Scale shape: bigrams explode linearly, the weight
+    * table is exactly B=1024 rows → broadcast; two linear passes +
+    * one top-k, no corpus-sized shuffle beyond the per-doc agg.
+    */
+  private def q223ImportanceWeights(s: SparkSession, d: String): DataFrame = {
+    val bk = docs(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws('_', element_at(tk, i), element_at(tk, i + 1)))"))
+        .as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.tokenHash(col("bigram")), lit(1024L)).as("b"))
+    val w = bk.groupBy(col("b"))
+      .agg(sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+        .as("ct"),
+        count(lit(1)).as("cr"))
+      .select(col("b"), expr("(1000000*(ct+1)) div (cr+1)").as("w_e6"))
+    bk.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_e6")).as("score"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("score div n_bigrams").as("avg_w_e6"))
+      .orderBy(col("avg_w_e6").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val q223Sql = {
+    val h = TextOps.tokenHashSql("bigram")
+    s"""WITH base AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+       bg AS (SELECT doc_id, lang, tk[i] || '_' || tk[i + 1] AS bigram
+              FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+                    FROM base WHERE len(tk) >= 2)),
+       bk AS (SELECT doc_id, lang, $h % 1024 AS b FROM bg),
+       w AS (SELECT b,
+               (1000000*(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)+1))
+                 // (COUNT(*)+1) AS w_e6
+             FROM bk GROUP BY 1),
+       sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                SUM(w_e6) AS score
+              FROM bk JOIN w USING (b) GROUP BY 1)
+       SELECT doc_id, n_bigrams,
+              CAST(score // n_bigrams AS BIGINT) AS avg_w_e6
+       FROM sc ORDER BY avg_w_e6 DESC, doc_id LIMIT 100"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_importance_weights" -> q223ImportanceWeights,
     "q202_set_cover" -> q202SetCover,
     "q151_quality_percentile_cut" -> q151QualityPercentileCut,
     "q96_line_dedup" -> q96LineDedup,
@@ -957,6 +1018,7 @@ object Corpus extends QueryPack {
     "q197_ndcg" -> q197Ndcg)
 
   override val oracle: Map[String, String] = Map(
+    "q223_importance_weights" -> q223Sql,
     "q202_set_cover" -> q202Sql,
     "q151_quality_percentile_cut" -> q151Sql,
     "q96_line_dedup" -> q96Sql,

@@ -187,6 +187,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty._6 === 0L)
   }
 
+  test("q223 importance weighting enriches the target domain in the selection") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    val selected = graft.queries.Corpus.all("q223_importance_weights")(
+      spark, sf)
+    val langs = selected.join(docs, Seq("doc_id"))
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = langs.values.sum.toDouble
+    val nBase = base.values.sum.toDouble
+    val enrichment =
+      (langs.getOrElse("en", 0L) / n) / (base("en") / nBase)
+    // top-100 must be substantially more English than the corpus —
+    // the whole point of the importance weights (measured ~2.25×)
+    assert(enrichment >= 1.5,
+      s"en share enrichment $enrichment < 1.5 (sel=$langs base=$base)")
+  }
+
   test("trainingShards is a seeded permutation: total, stable, seed-sensitive") {
     val sq = spark
     import sq.implicits._
