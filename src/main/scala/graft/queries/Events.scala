@@ -1089,6 +1089,57 @@ object Events extends QueryPack {
          CAST(SUM(${Exact.fixedSql("value", 6)}) AS BIGINT) AS sum_value_e6
        FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
 
+  /** q224: STREAMING↔batch SESSION parity — the stateful seam q204's
+    * tumbling window doesn't cover: `session_window` (merging,
+    * data-driven window bounds) over the same 3-file replay, complete
+    * mode so every session (including each user's tail session, which
+    * an append-mode watermark would hold back forever on a finite
+    * stream) is emitted and the DuckDB mirror is the classic
+    * gaps-and-islands rewrite — new session iff the gap ≥ 30 min,
+    * exactly `session_window`'s merge rule [ts, ts+gap). Session
+    * starts compare as exact epoch-µs integers. At scale the
+    * append+watermark form of the same operator is the deployed one
+    * (StreamingOps.sessionizeStream, StreamingSpec); this gate proves
+    * the session SEMANTICS against an independent engine.
+    */
+  private def q224StreamSessionParity(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$tag"
+    s.read.parquet(s"$d/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(staging)
+    val sessions = StreamingOps
+      .readEventsStream(s, staging, maxFilesPerTrigger = 1)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+    val sink = s"q224_sink_$tag"
+    val query = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    s.table(sink).orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  private val q224Sql =
+    """WITH m AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       g AS (SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)
+       SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+              COUNT(*) AS n_events
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, session_start_us"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1116,7 +1167,8 @@ object Events extends QueryPack {
     "q194_mad_anomalies" -> q194MadAnomalies,
     "q198_dow_seasonality" -> q198DowSeasonality,
     "q199_forward_fill" -> q199ForwardFill,
-    "q204_stream_window_parity" -> q204StreamWindowParity)
+    "q204_stream_window_parity" -> q204StreamWindowParity,
+    "q224_stream_session_parity" -> q224StreamSessionParity)
 
   override val oracle: Map[String, String] = Map(
     "q48_hll_users" -> q48Sql,
@@ -1145,5 +1197,6 @@ object Events extends QueryPack {
     "q194_mad_anomalies" -> q194Sql,
     "q198_dow_seasonality" -> q198Sql,
     "q199_forward_fill" -> q199Sql,
-    "q204_stream_window_parity" -> q204Sql)
+    "q204_stream_window_parity" -> q204Sql,
+    "q224_stream_session_parity" -> q224Sql)
 }
