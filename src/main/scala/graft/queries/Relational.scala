@@ -874,6 +874,32 @@ object Relational extends QueryPack {
                                WHERE s_acctbal < 0)
        GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
+  /** q225: TPC-H Q6 shape — the forecast-revenue-change query: pure
+    * scan-side conjunctive filter + one global exact sum, no join, no
+    * group. Completes the 22-shape TPC-H family. The whole WHERE
+    * clause (date range + discount band + quantity cap) must reach the
+    * parquet reader as PushedFilters — the plan is one pushed scan +
+    * one partial/final agg pair; revenue is Σ(price·disc) in e4
+    * fixed-point.
+    */
+  private def q225ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(Exact.sumFixed(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue_delta"))
+
+  private val q225Sql =
+    s"""SELECT ${Exact.sumFixedSql("l_extendedprice * l_discount", 4)}
+              AS revenue_delta
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24.0"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -1620,6 +1646,7 @@ object Relational extends QueryPack {
     "q220_customer_order_distribution" -> q220CustomerOrderDistribution,
     "q221_promo_revenue_share" -> q221PromoRevenueShare,
     "q222_part_supplier_counts" -> q222PartSupplierCounts,
+    "q225_forecast_revenue" -> q225ForecastRevenue,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -1669,6 +1696,7 @@ object Relational extends QueryPack {
     "q220_customer_order_distribution" -> q220Sql,
     "q221_promo_revenue_share" -> q221Sql,
     "q222_part_supplier_counts" -> q222Sql,
+    "q225_forecast_revenue" -> q225Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,

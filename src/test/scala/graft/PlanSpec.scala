@@ -288,6 +288,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"), p.take(4000))
   }
 
+  test("q225 pushes the full conjunctive filter into the parquet scan") {
+    val p = planOf(Relational.all("q225_forecast_revenue")(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"), p.take(4000))
+    assert(!p.contains("Join"), s"Q6 shape must not join:\n${p.take(2000)}")
+  }
+
   test("q158 correlated scalar subquery rides one partkey window, no self-join") {
     val p = planOf(Relational.all("q158_small_qty_revenue")(spark, sf))
     // decorrelated-by-window: the per-part avg must NOT re-aggregate
