@@ -138,6 +138,42 @@ object CorpusOps {
       .filter(col("rk") <= cap)
   }
 
+  /** DSIR-family hashed n-gram importance weights (Xie et al. 2023):
+    * score every document by how target-domain-like its hashed bigram
+    * distribution is. Per-bucket weights are +1-smoothed LIKELIHOOD
+    * RATIOS in e6 fixed-point (`(10⁶·(ct+1)) div (cr+1)`) rather than
+    * the paper's log-ratios — float `ln` is not bit-stable across
+    * engines, the ratio is exact integer math, and for selection only
+    * the ranking matters (the constant Nr/Nt factor is dropped for
+    * the same reason). Returns (`idCol`, n_bigrams, avg_w_e6); callers
+    * select by deterministic top-k (q223) or threshold. Scale shape:
+    * bigrams explode linearly, the weight table is exactly `buckets`
+    * rows → broadcast, two linear passes + the per-doc agg — no
+    * corpus-sized shuffle beyond the doc key.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, toksCol: Column,
+      isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val bk = docs
+      .select(col(idCol), isTarget.as("is_target"), toksCol.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), col("is_target"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws('_', element_at(tk, i), element_at(tk, i + 1)))"))
+        .as("bigram"))
+      .select(col(idCol), col("is_target"),
+        pmod(TextOps.tokenHash(col("bigram")), lit(buckets.toLong)).as("b"))
+    val w = bk.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), lit(1L)).otherwise(lit(0L)))
+        .as("ct"),
+        count(lit(1)).as("cr"))
+      .select(col("b"), expr("(1000000*(ct+1)) div (cr+1)").as("w_e6"))
+    bk.join(broadcast(w), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_e6")).as("score"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("score div n_bigrams").as("avg_w_e6"))
+  }
+
   /** Hamilton largest-remainder apportionment of an integer budget
     * `T` across the rows of `perSrc` (`source`, `tok`), proportional
     * to `tok`: base quota = ⌊T·tokᵢ/Σtok⌋, leftover seats to the

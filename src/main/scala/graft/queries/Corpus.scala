@@ -953,29 +953,11 @@ object Corpus extends QueryPack {
     * table is exactly B=1024 rows → broadcast; two linear passes +
     * one top-k, no corpus-sized shuffle beyond the per-doc agg.
     */
-  private def q223ImportanceWeights(s: SparkSession, d: String): DataFrame = {
-    val bk = docs(s, d)
-      .select(col("doc_id"), col("lang"), toks.as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(tk) - 1), " +
-          "i -> concat_ws('_', element_at(tk, i), element_at(tk, i + 1)))"))
-        .as("bigram"))
-      .select(col("doc_id"), col("lang"),
-        pmod(TextOps.tokenHash(col("bigram")), lit(1024L)).as("b"))
-    val w = bk.groupBy(col("b"))
-      .agg(sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
-        .as("ct"),
-        count(lit(1)).as("cr"))
-      .select(col("b"), expr("(1000000*(ct+1)) div (cr+1)").as("w_e6"))
-    bk.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_e6")).as("score"))
-      .select(col("doc_id"), col("n_bigrams"),
-        expr("score div n_bigrams").as("avg_w_e6"))
+  private def q223ImportanceWeights(s: SparkSession, d: String): DataFrame =
+    CorpusOps.importanceWeights(docs(s, d), "doc_id", toks,
+        col("lang") === "en")
       .orderBy(col("avg_w_e6").desc, col("doc_id"))
       .limit(100)
-  }
 
   private val q223Sql = {
     val h = TextOps.tokenHashSql("bigram")

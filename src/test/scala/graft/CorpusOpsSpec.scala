@@ -187,6 +187,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty._6 === 0L)
   }
 
+  test("importanceWeights separates on-domain from off-domain documents") {
+    val sq = spark
+    import sq.implicits._
+    // target domain speaks vocabulary A; the raw pool speaks B; one
+    // probe doc per vocabulary — the A-probe must outscore the B-probe
+    val target = (1L to 20L).map(i =>
+      (i, s"alpha beta gamma delta alpha beta gamma delta", true))
+    val raw = (21L to 60L).map(i =>
+      (i, s"omega sigma tau rho omega sigma tau rho", false))
+    val probes = Seq(
+      (100L, "alpha beta gamma delta alpha beta", false),
+      (101L, "omega sigma tau rho omega sigma", false))
+    val docs = (target ++ raw ++ probes)
+      .toDF("doc_id", "text", "is_target")
+    val w = CorpusOps.importanceWeights(docs, "doc_id",
+      split(col("text"), " "), col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(100L) > w(101L),
+      s"on-domain probe must outscore off-domain: $w")
+    // deterministic: a second run returns identical scores
+    val w2 = CorpusOps.importanceWeights(docs, "doc_id",
+      split(col("text"), " "), col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w2 === w)
+  }
+
   test("q223 importance weighting enriches the target domain in the selection") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.core.Tables(spark, sf, "documents")
