@@ -149,7 +149,10 @@ object CorpusOps {
     * select by deterministic top-k (q223) or threshold. Scale shape:
     * bigrams explode linearly, the weight table is exactly `buckets`
     * rows → broadcast, two linear passes + the per-doc agg — no
-    * corpus-sized shuffle beyond the doc key.
+    * corpus-sized shuffle beyond the doc key. Overflow bound: the raw
+    * pool contains every target row, so ct ≤ cr per bucket and every
+    * weight is ≤ 10⁶; a document's score therefore stays < 10⁶·|doc
+    * bigrams|, LONG-safe to ~9·10¹² bigrams per document.
     */
   def importanceWeights(docs: DataFrame, idCol: String, toksCol: Column,
       isTarget: Column, buckets: Int = 1024): DataFrame = {
