@@ -860,7 +860,63 @@ object Similarity extends QueryPack {
        FROM assigned GROUP BY cid ORDER BY center_id"""
   }
 
+  /** q226: SQ8 scalar quantization audit — the embedding COMPRESSION
+    * path a 100 TB vector store ships before ANN ever runs (float32 →
+    * uint8 per dimension = 4× storage and memory-bandwidth cut,
+    * faiss's SQ8 layout). Per-dimension [min,max] over the corpus
+    * (64-row aggregate → broadcast), code = ⌊(x−min)·256 / (range+1)⌋,
+    * midpoint reconstruction, and the per-dim MAE / max-error report —
+    * every step in e6 integer fixed-point so the oracle replays it
+    * exactly (the float→double lift is IEEE-exact, round-to-e6 is the
+    * house float ingestion rule). max_err is bounded by half a cell
+    * ((range+1)/512 + 1), which ties the audit to the quantizer's
+    * contract. Two linear passes, no corpus-sized shuffle beyond the
+    * per-dim agg.
+    */
+  private def q226ScalarQuantization(s: SparkSession, d: String): DataFrame = {
+    val x = emb(s, d)
+      .select(col("vec_id"),
+        posexplode(VectorOps.toDouble(col("embedding"))))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("col") * lit(1000000L)).cast("long").as("x"))
+    val stats = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    x.join(broadcast(stats), Seq("dim"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("code", expr("((x - mn) * 256) div (rng + 1)"))
+      .withColumn("recon",
+        col("mn") + expr("((2*code + 1) * (rng + 1)) div 512"))
+      .groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(countDistinct(col("code")).as("n_codes"),
+        expr("sum(abs(x - recon)) div count(1)").as("mae_e6"),
+        max(abs(col("x") - col("recon"))).as("max_err_e6"))
+      .select(col("dim"), col("mn").as("min_e6"), col("mx").as("max_e6"),
+        col("n_codes"), col("mae_e6"), col("max_err_e6"))
+      .orderBy(col("dim"))
+  }
+
+  private val q226Sql =
+    """WITH x AS (SELECT CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                 FROM x GROUP BY 1),
+       q AS (SELECT x.dim, mn, mx, (mx - mn) AS rng, x.x,
+               ((x.x - mn) * 256) // (mx - mn + 1) AS code
+             FROM x JOIN stats USING (dim)),
+       r AS (SELECT dim, mn, mx, x, code,
+               mn + ((2*code + 1) * (rng + 1)) // 512 AS recon
+             FROM q)
+       SELECT dim, mn AS min_e6, mx AS max_e6,
+         CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,
+         CAST(SUM(ABS(x - recon)) // COUNT(*) AS BIGINT) AS mae_e6,
+         CAST(MAX(ABS(x - recon)) AS BIGINT) AS max_err_e6
+       FROM r GROUP BY 1, 2, 3 ORDER BY dim"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_scalar_quantization" -> q226ScalarQuantization,
     "q200_kcenter_coreset" -> q200KcenterCoreset,
     "q201_coreset_cells" -> q201CoresetCells,
     "q32_cosine_topk" -> q32CosineTopk,
@@ -879,6 +935,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q226_scalar_quantization" -> q226Sql,
     "q200_kcenter_coreset" -> q200Sql,
     "q201_coreset_cells" -> q201Sql,
     "q191_centroid_outliers" -> q191Sql,

@@ -30,6 +30,19 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q226 SQ8 error stays within the half-cell quantizer contract") {
+    val rows = graft.queries.Similarity
+      .all("q226_scalar_quantization")(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val rng = r.getAs[Long]("max_e6") - r.getAs[Long]("min_e6")
+      val bound = (rng + 1) / 512 + 1
+      assert(r.getAs[Long]("max_err_e6") <= bound,
+        s"dim ${r.getAs[Long]("dim")}: max_err beyond half-cell bound")
+      assert(r.getAs[Long]("n_codes") <= 256L)
+    }
+  }
+
   test("near-dup pipeline: jaccard>=0.8 pairs are a subset of LSH candidates") {
     val cands = Dedup.all("q28_lsh_band_pairs")(spark, sf)
       .select(col("d1"), col("d2"))
