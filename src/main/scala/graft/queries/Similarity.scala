@@ -915,7 +915,101 @@ object Similarity extends QueryPack {
          CAST(MAX(ABS(x - recon)) AS BIGINT) AS max_err_e6
        FROM r GROUP BY 1, 2, 3 ORDER BY dim"""
 
+  /** q227: ADC recall over the SQ8 codes — the CONSUMPTION side of
+    * q226's compression: queries stay full-precision, the database
+    * side is scored from its uint8 RECONSTRUCTIONS (asymmetric
+    * distance computation, the faiss IVF+SQ serving layout), and the
+    * report is |ADC top-5 ∩ exact top-5| per query. Everything is
+    * exact: vectors live as e6 integers, per-term products ≤ 4·10¹²
+    * and 64-term sums ≤ 2.6·10¹⁴ stay far under 2⁵³, so the double
+    * `graft_dot` accumulates integers exactly and the LONG cast is
+    * lossless — the oracle replays the whole quantize→reconstruct→
+    * score→rank chain value-for-value. Inner-product ranking (the ADC
+    * metric), cid tie-break. Scale shape: stats broadcast (64 rows),
+    * array rebuild is one groupBy per side, candidate scoring is
+    * queries×corpus exactly like the q32 ground-truth scan.
+    */
+  private def q227Sq8AdcRecall(s: SparkSession, d: String): DataFrame = {
+    val x = emb(s, d)
+      .select(col("vec_id"),
+        posexplode(VectorOps.toDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col") * lit(1000000L)).cast("long").as("x"))
+      .cache()
+    x.count() // stats + both array rebuilds scan it — materialize once
+    val stats = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val recon = x.join(broadcast(stats), Seq("dim"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("code", expr("((x - mn) * 256) div (rng + 1)"))
+      .select(col("vec_id"), col("dim"),
+        (col("mn") + expr("((2*code + 1) * (rng + 1)) div 512")).as("r"))
+    def toArr(df: DataFrame, valCol: String) = df.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col(valCol)))),
+        t => t.getField(valCol).cast("double")).as("v"))
+    val exactArr = toArr(x, "x")
+    val adcArr = toArr(recon, "r")
+    val q = exactArr.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def top5(cands: DataFrame) = TopKOps.topKPerGroup(
+      q.join(cands.select(col("vec_id").as("cid"), col("v").as("cv")),
+          col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.dot(col("qv"), col("cv")).cast("long").as("score")),
+      Seq(col("qid")), Seq(col("score").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    val out = top5(exactArr)
+      .join(top5(adcArr).withColumnRenamed("cid", "adc_cid"), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("adc_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .orderBy(col("qid"))
+    val materialized = out.cache()
+    materialized.count()
+    x.unpersist()
+    materialized
+  }
+
+  private val q227Sql = {
+    val dot = VectorOps.dotSql("q.qv", "c.cv")
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                 FROM x GROUP BY 1),
+       rec AS (SELECT vec_id, x.dim,
+                 mn + ((2*(((x.x - mn) * 256) // (mx - mn + 1)) + 1)
+                   * ((mx - mn) + 1)) // 512 AS r
+               FROM x JOIN stats USING (dim)),
+       ex AS (SELECT vec_id, list(CAST(x AS DOUBLE) ORDER BY dim) AS cv
+              FROM x GROUP BY 1),
+       ad AS (SELECT vec_id, list(CAST(r AS DOUBLE) ORDER BY dim) AS cv
+              FROM rec GROUP BY 1),
+       qs AS (SELECT vec_id AS qid, cv AS qv FROM ex WHERE vec_id < 20),
+       et AS (SELECT qid, cid FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             RANK() OVER (PARTITION BY q.qid
+               ORDER BY CAST($dot AS BIGINT) DESC, c.vec_id ASC) AS rnk
+           FROM qs q JOIN ex c ON c.vec_id <> q.qid)
+         WHERE rnk <= 5),
+       at AS (SELECT qid, cid AS adc_cid FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             RANK() OVER (PARTITION BY q.qid
+               ORDER BY CAST($dot AS BIGINT) DESC, c.vec_id ASC) AS rnk
+           FROM qs q JOIN ad c ON c.vec_id <> q.qid)
+         WHERE rnk <= 5)
+       SELECT et.qid,
+         CAST(SUM(CASE WHEN et.cid = at.adc_cid THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hits
+       FROM et JOIN at ON et.qid = at.qid
+       GROUP BY et.qid ORDER BY et.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_sq8_adc_recall" -> q227Sq8AdcRecall,
     "q226_scalar_quantization" -> q226ScalarQuantization,
     "q200_kcenter_coreset" -> q200KcenterCoreset,
     "q201_coreset_cells" -> q201CoresetCells,
@@ -935,6 +1029,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q227_sq8_adc_recall" -> q227Sql,
     "q226_scalar_quantization" -> q226Sql,
     "q200_kcenter_coreset" -> q200Sql,
     "q201_coreset_cells" -> q201Sql,
