@@ -116,4 +116,35 @@ object VectorOps {
              THEN ${1L << j} ELSE 0 END)"""
       }
       .mkString("(", " + ", ")")
+
+  /** e6 integer lift of a float-array column, exploded to one row per
+    * (id, dim, x): the ingestion step of the exact-integer vector
+    * pipeline (float→double is IEEE-lossless, round-to-e6 is the house
+    * fixed-point rule — deterministic on both engines).
+    */
+  def liftE6(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(toDouble(col(vecCol))))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        round(col("col") * lit(1000000L)).cast("long").as("x"))
+
+  /** SQ8 scalar quantization over a lifted (id, dim, x) frame: joins
+    * the per-dimension [min,max] (a |dims|-row broadcast), derives the
+    * uint8 code `⌊(x−min)·256/(range+1)⌋` and its midpoint
+    * reconstruction — all integer ops, so the whole quantizer replays
+    * exactly in the oracle. Columns out: id, dim, x, mn, mx, rng,
+    * code, recon. The float32→uint8 layout is the 4× storage and
+    * memory-bandwidth cut a 100 TB vector store takes before ANN
+    * (faiss SQ8); q226 audits the reconstruction error, q227 the
+    * retrieval cost via ADC.
+    */
+  def sq8(x: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    x.join(broadcast(stats), Seq("dim"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("code", expr("((x - mn) * 256) div (rng + 1)"))
+      .withColumn("recon",
+        col("mn") + expr("((2*code + 1) * (rng + 1)) div 512"))
+  }
 }

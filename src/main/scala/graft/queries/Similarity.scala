@@ -873,19 +873,8 @@ object Similarity extends QueryPack {
     * contract. Two linear passes, no corpus-sized shuffle beyond the
     * per-dim agg.
     */
-  private def q226ScalarQuantization(s: SparkSession, d: String): DataFrame = {
-    val x = emb(s, d)
-      .select(col("vec_id"),
-        posexplode(VectorOps.toDouble(col("embedding"))))
-      .select(col("pos").cast("long").as("dim"),
-        round(col("col") * lit(1000000L)).cast("long").as("x"))
-    val stats = x.groupBy(col("dim"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    x.join(broadcast(stats), Seq("dim"))
-      .withColumn("rng", col("mx") - col("mn"))
-      .withColumn("code", expr("((x - mn) * 256) div (rng + 1)"))
-      .withColumn("recon",
-        col("mn") + expr("((2*code + 1) * (rng + 1)) div 512"))
+  private def q226ScalarQuantization(s: SparkSession, d: String): DataFrame =
+    VectorOps.sq8(VectorOps.liftE6(emb(s, d), "vec_id", "embedding"))
       .groupBy(col("dim"), col("mn"), col("mx"))
       .agg(countDistinct(col("code")).as("n_codes"),
         expr("sum(abs(x - recon)) div count(1)").as("mae_e6"),
@@ -893,7 +882,6 @@ object Similarity extends QueryPack {
       .select(col("dim"), col("mn").as("min_e6"), col("mx").as("max_e6"),
         col("n_codes"), col("mae_e6"), col("max_err_e6"))
       .orderBy(col("dim"))
-  }
 
   private val q226Sql =
     """WITH x AS (SELECT CAST(i AS BIGINT) AS dim,
@@ -930,20 +918,10 @@ object Similarity extends QueryPack {
     * queries×corpus exactly like the q32 ground-truth scan.
     */
   private def q227Sq8AdcRecall(s: SparkSession, d: String): DataFrame = {
-    val x = emb(s, d)
-      .select(col("vec_id"),
-        posexplode(VectorOps.toDouble(col("embedding"))))
-      .select(col("vec_id"), col("pos").cast("long").as("dim"),
-        round(col("col") * lit(1000000L)).cast("long").as("x"))
-      .cache()
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // stats + both array rebuilds scan it — materialize once
-    val stats = x.groupBy(col("dim"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val recon = x.join(broadcast(stats), Seq("dim"))
-      .withColumn("rng", col("mx") - col("mn"))
-      .withColumn("code", expr("((x - mn) * 256) div (rng + 1)"))
-      .select(col("vec_id"), col("dim"),
-        (col("mn") + expr("((2*code + 1) * (rng + 1)) div 512")).as("r"))
+    val recon = VectorOps.sq8(x)
+      .select(col("vec_id"), col("dim"), col("recon").as("r"))
     def toArr(df: DataFrame, valCol: String) = df.groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col(valCol)))),
