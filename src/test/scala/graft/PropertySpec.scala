@@ -36,6 +36,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 honors the half-cell error bound and code range on random vectors") {
+    import graft.ops.VectorOps
+    val sq = spark
+    import sq.implicits._
+    // float-ish values across wildly different per-dim scales,
+    // including constant dims (range 0 → every code 0, recon exact-ish)
+    val vecGen: Gen[List[Float]] = Gen.listOfN(8,
+      Gen.chooseNum(-2000000L, 2000000L).map(_ / 1000000.0f))
+    val vecs = samples(vecGen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) } :+
+      (999L, List.fill(8)(0.5f)) // constant-dim contributor
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = VectorOps.sq8(VectorOps.liftE6(df, "vec_id", "embedding"))
+      .select(col("rng"), col("code"),
+        abs(col("x") - col("recon")).as("err")).collect()
+    out.foreach { r =>
+      val rng = r.getAs[Long]("rng"); val code = r.getAs[Long]("code")
+      assert(code >= 0L && code <= 255L, s"code $code out of uint8 range")
+      assert(r.getAs[Long]("err") <= (rng + 1) / 512 + 1,
+        s"err beyond half-cell for rng=$rng")
+    }
+  }
+
   test("min-max normalization lands in [0,1] with both endpoints hit") {
     val sq = spark
     import sq.implicits._
