@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4's default, pinned because it is load-bearing: the
+      // Exact fixed-point contract relies on ANSI integer arithmetic
+      // ERRORING on overflow instead of silently wrapping.
+      .config("spark.sql.ansi.enabled", "true")
       // some testdata generations carry TIMESTAMP(NANOS), which Spark 4
       // rejects by default; this surfaces those as LONG nanoseconds.
       // Tables.normalizeEventTime canonicalizes the other generations
