@@ -900,6 +900,57 @@ object Relational extends QueryPack {
          AND l_discount >= 0.05 AND l_discount <= 0.07
          AND l_quantity < 24.0"""
 
+  /** q228: hierarchical percent-of-parent — each nation's share of its
+    * region's revenue AND the region's share of the total, in one
+    * report: the window-over-aggregate shape (aggregate to the leaf
+    * grain first, THEN window the tiny result) that replaces the naive
+    * three-scans-and-two-joins plan. The fact table is touched once;
+    * the region window and the one-row global broadcast both run over
+    * the 25-row aggregate. Shares are double divisions of exact e4
+    * LONGs — bit-stable.
+    */
+  private def q228PercentOfParent(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nat = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(Exact.fixed(rev, 4)).as("rev_c"))
+    nat
+      .withColumn("region_c",
+        sum(col("rev_c")).over(Window.partitionBy(col("r_name"))))
+      .crossJoin(broadcast(nat.agg(sum(col("rev_c")).as("total_c"))))
+      .select(col("r_name"), col("n_name"),
+        (col("rev_c").cast("double") / lit(10000L)).as("revenue"),
+        (col("rev_c").cast("double") / col("region_c").cast("double"))
+          .as("share_of_region"),
+        (col("region_c").cast("double") / col("total_c").cast("double"))
+          .as("region_share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q228Sql =
+    s"""WITH nat AS (SELECT r_name, n_name,
+            CAST(SUM(${Exact.fixedSql(revSql, 4)}) AS BIGINT) AS rev_c
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2),
+       w AS (SELECT *, SUM(rev_c) OVER (PARTITION BY r_name) AS region_c,
+                       SUM(rev_c) OVER () AS total_c
+             FROM nat)
+       SELECT r_name, n_name,
+         CAST(rev_c AS DOUBLE)/10000 AS revenue,
+         CAST(rev_c AS DOUBLE)/CAST(region_c AS DOUBLE) AS share_of_region,
+         CAST(region_c AS DOUBLE)/CAST(total_c AS DOUBLE)
+           AS region_share_of_total
+       FROM w ORDER BY r_name, n_name"""
+
   /** W1/W2: rank() top-3 orders per market segment. With the orderkey
     * tie-break the window order is total → deterministic. Spark ≥3.5
     * rewrites the rank<=k filter to WindowGroupLimit (pre-shuffle k-limit
@@ -1647,6 +1698,7 @@ object Relational extends QueryPack {
     "q221_promo_revenue_share" -> q221PromoRevenueShare,
     "q222_part_supplier_counts" -> q222PartSupplierCounts,
     "q225_forecast_revenue" -> q225ForecastRevenue,
+    "q228_percent_of_parent" -> q228PercentOfParent,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
     "q5_customers_no_orders" -> q5CustomersNoOrders,
     "q6_segments_with_orders" -> q6SegmentsWithOrders,
@@ -1697,6 +1749,7 @@ object Relational extends QueryPack {
     "q221_promo_revenue_share" -> q221Sql,
     "q222_part_supplier_counts" -> q222Sql,
     "q225_forecast_revenue" -> q225Sql,
+    "q228_percent_of_parent" -> q228Sql,
     "q4_top_orders_per_segment" -> q4Sql,
     "q5_customers_no_orders" -> q5Sql,
     "q6_segments_with_orders" -> q6Sql,
