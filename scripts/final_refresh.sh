@@ -13,10 +13,12 @@ for sf in 0.001 0.01 0.1; do
 done
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.PerfProfile" > /tmp/r6f_perf.log 2>&1
 echo "PERF_EXIT=$?" >> /tmp/r6f_status.log
-grep -o '{"sf".*}' /tmp/r6f_perf.log | tail -1 > /root/repo/PERF_r06.json
+PERF_JSON=$(grep -o '{"sf".*}' /tmp/r6f_perf.log | tail -1)
+[ -n "$PERF_JSON" ] && echo "$PERF_JSON" > /root/repo/PERF_r06.json || echo "PERF_JSON_MISSING" >> /tmp/r6f_status.log
 sbt -batch "runMain graft.ScaleBench" > /tmp/r6f_scale.log 2>&1
 echo "SCALE_EXIT=$?" >> /tmp/r6f_status.log
-grep -o '{"sfs".*}' /tmp/r6f_scale.log | tail -1 > /root/repo/SCALING_r06.json
+SCALE_JSON=$(grep -o '{"sfs".*}' /tmp/r6f_scale.log | tail -1)
+[ -n "$SCALE_JSON" ] && echo "$SCALE_JSON" > /root/repo/SCALING_r06.json || echo "SCALE_JSON_MISSING" >> /tmp/r6f_status.log
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/r6f_bench.log 2>&1
 echo "BENCH_EXIT=$?" >> /tmp/r6f_status.log
 echo "ALL_DONE" >> /tmp/r6f_status.log

@@ -159,10 +159,8 @@ object CorpusOps {
     val bk = docs
       .select(col(idCol), isTarget.as("is_target"), toksCol.as("tk"))
       .filter(size(col("tk")) >= 2)
-      .select(col(idCol), col("is_target"), explode(expr(
-        "transform(sequence(1, size(tk) - 1), " +
-          "i -> concat_ws('_', element_at(tk, i), element_at(tk, i + 1)))"))
-        .as("bigram"))
+      .select(col(idCol), col("is_target"),
+        TextOps.bigrams("tk", "_").as("bigram"))
       .select(col(idCol), col("is_target"),
         pmod(TextOps.tokenHash(col("bigram")), lit(buckets.toLong)).as("b"))
     val w = bk.groupBy(col("b"))

@@ -62,6 +62,26 @@ object TextOps {
   def tokensSql(x: String): String =
     s"list_filter(string_split(${cleanSql(x)}, ' '), w -> w <> '')"
 
+  /** Adjacent-token bigram strings of a MATERIALIZED token-array
+    * column (callers must bind the array to a real column first — a
+    * raw `tokens(text)` expression would re-tokenize once per
+    * element_at; callers also guard `size >= 2`, since
+    * sequence(1, 0) descends). One row per bigram after explode;
+    * joined with `sep` so the same string hashes identically on both
+    * engines.
+    */
+  def bigrams(toksCol: String, sep: String): Column = explode(expr(
+    s"transform(sequence(1, size($toksCol) - 1), " +
+      s"i -> concat_ws('$sep', element_at($toksCol, i), " +
+      s"element_at($toksCol, i + 1)))"))
+
+  /** DuckDB mirror of [[bigrams]] — callers unnest
+    * `range(1, len(toks))` as `i` beside it (1-based lists zip the
+    * same adjacent pairs).
+    */
+  def bigramsSql(toksCol: String, sep: String, idx: String): String =
+    s"$toksCol[$idx] || '$sep' || $toksCol[$idx + 1]"
+
   /** Stable 60-bit token hash shared with the oracle: md5 prefix, as
     * the native [[graft.plans.Md5PrefixLongExpr]] (digest bytes →
     * long, no hex-string round-trip — it evaluates once per shingle

@@ -962,7 +962,8 @@ object Corpus extends QueryPack {
   private val q223Sql = {
     val h = TextOps.tokenHashSql("bigram")
     s"""WITH base AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
-       bg AS (SELECT doc_id, lang, tk[i] || '_' || tk[i + 1] AS bigram
+       bg AS (SELECT doc_id, lang,
+                     ${TextOps.bigramsSql("tk", "_", "i")} AS bigram
               FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
                     FROM base WHERE len(tk) >= 2)),
        bk AS (SELECT doc_id, lang, $h % 1024 AS b FROM bg),

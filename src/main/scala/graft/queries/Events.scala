@@ -1055,33 +1055,49 @@ object Events extends QueryPack {
     * StreamingOps suite pins with MemoryStream late/replay cases,
     * surfaced as ONE driver-checkable row set.
     */
-  private def q204StreamWindowParity(
-      s: SparkSession, d: String): DataFrame = {
+  /** Shared parity-gate scaffold: stage the events table as 3
+    * ts-range files, replay one file per micro-batch through the
+    * caller's streaming aggregation into a complete-mode memory sink,
+    * and return the materialized sink table (order-insensitive by
+    * construction — complete mode re-emits the full state). The
+    * staging directory is deleted once the stream has consumed it;
+    * the memory-sink rows are already materialized on the driver so
+    * the returned frame doesn't depend on the files.
+    */
+  private def streamReplayParity(s: SparkSession, d: String, tag: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingOps
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$tag"
-    // stage the corpus as 3 ts-range part files: a deterministic-
-    // content replay (file order may vary; complete-mode aggregation
-    // is order-insensitive by construction)
+    val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$run"
     s.read.parquet(s"$d/events.parquet")
       .repartitionByRange(3, col("ts"))
       .write.mode("overwrite").parquet(staging)
-    val counts = StreamingOps
-      .readEventsStream(s, staging, maxFilesPerTrigger = 1)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(Exact.fixed(col("value"), 6)).as("sum_value_e6"))
-      .select(
-        (unix_micros(col("window.start")) / lit(1000000L))
-          .cast("long").as("hour_epoch"),
-        col("event_type"), col("n_events"), col("sum_value_e6"))
-    val sink = s"q204_sink_$tag"
-    val query = counts.writeStream.format("memory").queryName(sink)
+    val sink = s"${tag}_sink_$run".replace('-', '_')
+    val query = agg(
+      StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName(sink)
       .outputMode("complete").start()
-    try query.processAllAvailable() finally query.stop()
-    s.table(sink).orderBy(col("hour_epoch"), col("event_type"))
+    try query.processAllAvailable() finally {
+      query.stop()
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+    s.table(sink)
   }
+
+  private def q204StreamWindowParity(
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q204") { stream =>
+      stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Exact.fixed(col("value"), 6)).as("sum_value_e6"))
+        .select(
+          (unix_micros(col("window.start")) / lit(1000000L))
+            .cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"), col("sum_value_e6"))
+    }.orderBy(col("hour_epoch"), col("event_type"))
 
   private val q204Sql =
     s"""SELECT (epoch_ns(ts) // $HOUR_NS) * 3600 AS hour_epoch,
@@ -1103,26 +1119,15 @@ object Events extends QueryPack {
     * the session SEMANTICS against an independent engine.
     */
   private def q224StreamSessionParity(
-      s: SparkSession, d: String): DataFrame = {
-    import graft.streaming.StreamingOps
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$tag"
-    s.read.parquet(s"$d/events.parquet")
-      .repartitionByRange(3, col("ts"))
-      .write.mode("overwrite").parquet(staging)
-    val sessions = StreamingOps
-      .readEventsStream(s, staging, maxFilesPerTrigger = 1)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start_us"),
-        col("n_events"))
-    val sink = s"q224_sink_$tag"
-    val query = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
-    try query.processAllAvailable() finally query.stop()
-    s.table(sink).orderBy(col("user_id"), col("session_start_us"))
-  }
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q224") { stream =>
+      stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+    }.orderBy(col("user_id"), col("session_start_us"))
 
   private val q224Sql =
     """WITH m AS (SELECT user_id, ts,

@@ -201,10 +201,7 @@ object Profiling extends QueryPack {
   private def q127LmFamiliarity(s: SparkSession, d: String): DataFrame = {
     val bg = docs(s, d)
       .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
-        .as("bg"))
+      .select(col("doc_id"), TextOps.bigrams("toks", " ").as("bg"))
     val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     bg.join(counts, Seq("bg"))
       .groupBy(col("doc_id"))
@@ -217,7 +214,7 @@ object Profiling extends QueryPack {
 
   private val q127Sql =
     s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       bg AS (SELECT doc_id, ${TextOps.bigramsSql("toks", " ", "i")} AS bg
               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
                     FROM base)),
        c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)

@@ -937,16 +937,16 @@ object Similarity extends QueryPack {
           VectorOps.dot(col("qv"), col("cv")).cast("long").as("score")),
       Seq(col("qid")), Seq(col("score").desc, col("cid").asc), 5)
       .select(col("qid"), col("cid"))
-    val out = top5(exactArr)
+    // x stays cached for the session (the q38 precedent): Verify
+    // clears caches per query, Bench's LRU bounds accumulation — no
+    // cache-then-unpersist dance that would leave a second pinned
+    // frame behind.
+    top5(exactArr)
       .join(top5(adcArr).withColumnRenamed("cid", "adc_cid"), Seq("qid"))
       .groupBy(col("qid"))
       .agg(sum(when(col("cid") === col("adc_cid"), lit(1L))
         .otherwise(lit(0L))).as("n_hits"))
       .orderBy(col("qid"))
-    val materialized = out.cache()
-    materialized.count()
-    x.unpersist()
-    materialized
   }
 
   private val q227Sql = {
