@@ -117,6 +117,65 @@ object Corpus extends QueryPack {
        ORDER BY q.source"""
   }
 
+  /** q229: temperature-FLATTENED token quotas — the UniMax/mT5-style
+    * counter to q178's proportional split: big web crawls shouldn't
+    * drown small high-quality sources, so apportion the budget over
+    * √tok weights (temperature α = 0.5) instead of tok. The square
+    * root is EXACT integer isqrt on both engines (float floor(sqrt)
+    * seeded, then ±1-corrected by integer comparison — immune to the
+    * double misrounding that bites near 2⁵³); the apportionment
+    * reuses [[CorpusOps.hamiltonQuotas]] verbatim, so quotas still
+    * sum to T exactly. Same scale shape as q178: everything after
+    * the one corpus aggregate runs on the |sources|-row summary.
+    */
+  private def q229FlattenedQuotas(s: SparkSession, d: String): DataFrame = {
+    val perSrc = docs(s, d)
+      .select(col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tok"))
+    val weights = perSrc
+      .withColumn("s0",
+        expr("cast(floor(sqrt(cast(tok as double))) as bigint)"))
+      .withColumn("w", expr(
+        "s0 - if(s0*s0 > tok, 1L, 0L) + if((s0+1)*(s0+1) <= tok, 1L, 0L)"))
+    CorpusOps.hamiltonQuotas(
+        weights.select(col("source"), col("w").as("tok")), 100000L)
+      .select(col("source"), col("tok").as("w_isqrt"), col("quota"))
+      .join(broadcast(perSrc), Seq("source"))
+      .select(col("source"), col("tok"), col("w_isqrt"), col("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val q229Sql =
+    s"""WITH per_src AS (SELECT source,
+            CAST(SUM(len($toksSql)) AS BIGINT) AS tok
+         FROM documents GROUP BY source),
+       isq AS (SELECT source, tok,
+            CAST(s0 - CASE WHEN s0*s0 > tok THEN 1 ELSE 0 END
+                    + CASE WHEN (s0+1)*(s0+1) <= tok THEN 1 ELSE 0 END
+              AS BIGINT) AS w
+         FROM (SELECT source, tok,
+                 CAST(FLOOR(SQRT(CAST(tok AS DOUBLE))) AS BIGINT) AS s0
+               FROM per_src)),
+       wt AS (SELECT source, tok, w,
+                CAST((100000 * w)
+                  // (SELECT CAST(SUM(w) AS BIGINT) FROM isq)
+                  AS BIGINT) AS base,
+                CAST((100000 * w)
+                  % (SELECT CAST(SUM(w) AS BIGINT) FROM isq)
+                  AS BIGINT) AS rem
+         FROM isq),
+       rr AS (SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                  AS BIGINT) AS rr,
+                (SELECT CAST(100000 - SUM(base) AS BIGINT) FROM wt)
+                  AS deficit
+         FROM wt)
+       SELECT source, tok, w AS w_isqrt,
+              CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+       FROM rr ORDER BY source"""
+
   /** q96: C4/CCNet-style boilerplate removal. Segments here are
     * fixed-width 4-token windows (the synthetic corpus has no newline
     * structure; a real corpus passes `split(text, '\n')` into the same
@@ -988,6 +1047,7 @@ object Corpus extends QueryPack {
     "q98_mixture_epochs" -> q98MixtureEpochs,
     "q178_token_quotas" -> q178TokenQuotas,
     "q179_quota_draw" -> q179QuotaDraw,
+    "q229_flattened_quotas" -> q229FlattenedQuotas,
     "q181_mlm_masking" -> q181MlmMasking,
     "q185_negative_samples" -> q185NegativeSamples,
     "q99_context_chunks" -> q99ContextChunks,
@@ -1009,6 +1069,7 @@ object Corpus extends QueryPack {
     "q98_mixture_epochs" -> q98Sql,
     "q178_token_quotas" -> q178Sql,
     "q179_quota_draw" -> q179Sql,
+    "q229_flattened_quotas" -> q229Sql,
     "q181_mlm_masking" -> q181Sql,
     "q185_negative_samples" -> q185Sql,
     "q99_context_chunks" -> q99Sql,

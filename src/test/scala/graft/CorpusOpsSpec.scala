@@ -213,6 +213,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(w2 === w)
   }
 
+  test("q229 flattened quotas sum exactly and compress the source spread") {
+    val rows = graft.queries.Corpus.all("q229_flattened_quotas")(
+      spark, "/root/testdata/sf0.001").collect()
+    val quotas = rows.map(_.getAs[Long]("quota"))
+    val toks = rows.map(_.getAs[Long]("tok"))
+    assert(quotas.sum === 100000L, "Hamilton quotas must sum to T exactly")
+    // α=0.5 flattening: the quota spread must be strictly narrower
+    // than the raw token spread (that's the point of the temperature)
+    val quotaSpread = quotas.max.toDouble / quotas.min
+    val tokSpread = toks.max.toDouble / toks.min
+    assert(quotaSpread < tokSpread,
+      s"flattening failed: quota spread $quotaSpread !< tok $tokSpread")
+  }
+
   test("q223 importance weighting enriches the target domain in the selection") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.core.Tables(spark, sf, "documents")
