@@ -176,6 +176,48 @@ object Corpus extends QueryPack {
                 AS BIGINT) AS quota
        FROM rr ORDER BY source"""
 
+  /** q230: top-k with OTHERS rollup — per language, the top-3 sources
+    * by token volume plus ONE residual row aggregating everything
+    * else: the standard dashboard report that naive top-k silently
+    * falsifies (the tail often outweighs the head). Rank and residual
+    * both derive from a single grouped aggregate (|lang|×|source|
+    * rows); the rank<=3 branch is WindowGroupLimit-eligible and the
+    * residual is a second tiny aggregate — the fact table is touched
+    * once. Deterministic source tie-break; `~other` sorts after real
+    * sources only via the explicit rk column, never by name.
+    */
+  private def q230TopSourcesWithOther(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+      .select(col("lang"), col("source"), size(toks).cast("long").as("n"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("tok"))
+    val ranked = base.withColumn("rk",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("tok").desc, col("source"))).cast("long"))
+    val top = ranked.filter(col("rk") <= 3L)
+      .select(col("lang"), col("source"), col("tok"), col("rk"))
+    val other = ranked.filter(col("rk") > 3L)
+      .groupBy(col("lang")).agg(sum(col("tok")).as("tok"))
+      .select(col("lang"), lit("~other").as("source"), col("tok"),
+        lit(4L).as("rk"))
+    top.unionByName(other).orderBy(col("lang"), col("rk"), col("source"))
+  }
+
+  private val q230Sql =
+    s"""WITH base AS (SELECT lang, source,
+            CAST(SUM(len($toksSql)) AS BIGINT) AS tok
+         FROM documents GROUP BY 1, 2),
+       ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY tok DESC, source) AS BIGINT) AS rk
+                  FROM base)
+       SELECT lang, source, tok, rk FROM ranked WHERE rk <= 3
+       UNION ALL
+       SELECT lang, '~other' AS source, CAST(SUM(tok) AS BIGINT) AS tok,
+              CAST(4 AS BIGINT) AS rk
+       FROM ranked WHERE rk > 3 GROUP BY lang
+       ORDER BY lang, rk, source"""
+
   /** q96: C4/CCNet-style boilerplate removal. Segments here are
     * fixed-width 4-token windows (the synthetic corpus has no newline
     * structure; a real corpus passes `split(text, '\n')` into the same
@@ -1048,6 +1090,7 @@ object Corpus extends QueryPack {
     "q178_token_quotas" -> q178TokenQuotas,
     "q179_quota_draw" -> q179QuotaDraw,
     "q229_flattened_quotas" -> q229FlattenedQuotas,
+    "q230_top_sources_other" -> q230TopSourcesWithOther,
     "q181_mlm_masking" -> q181MlmMasking,
     "q185_negative_samples" -> q185NegativeSamples,
     "q99_context_chunks" -> q99ContextChunks,
@@ -1070,6 +1113,7 @@ object Corpus extends QueryPack {
     "q178_token_quotas" -> q178Sql,
     "q179_quota_draw" -> q179Sql,
     "q229_flattened_quotas" -> q229Sql,
+    "q230_top_sources_other" -> q230Sql,
     "q181_mlm_masking" -> q181Sql,
     "q185_negative_samples" -> q185Sql,
     "q99_context_chunks" -> q99Sql,
