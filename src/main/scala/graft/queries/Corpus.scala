@@ -41,6 +41,35 @@ object Corpus extends QueryPack {
   private def q178TokenQuotas(s: SparkSession, d: String): DataFrame =
     tokenQuotas(s, d, 1000000L)
 
+  /** The largest-remainder (Hamilton) apportionment as reusable
+    * DuckDB CTEs — the SQL mirror of [[CorpusOps.hamiltonQuotas]].
+    * Reads `(source, <w>)` rows from `srcRel` and ends in
+    * `quota(source, <w>, quota)` with quotas summing to T exactly.
+    * ONE copy on purpose: the deficit handling and the
+    * `rem DESC, source` tie-break must never drift between the
+    * proportional (q178/q179/q187) and temperature-flattened (q229)
+    * oracles.
+    */
+  private[queries] def hamiltonCtes(T: Long, srcRel: String,
+      w: String): String =
+    s"""wt AS (SELECT source, $w,
+                CAST(($T * $w)
+                  // (SELECT CAST(SUM($w) AS BIGINT) FROM $srcRel)
+                  AS BIGINT) AS base,
+                CAST(($T * $w)
+                  % (SELECT CAST(SUM($w) AS BIGINT) FROM $srcRel)
+                  AS BIGINT) AS rem
+         FROM $srcRel),
+       rr AS (SELECT *,
+                CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                  AS BIGINT) AS rr,
+                (SELECT CAST($T - SUM(base) AS BIGINT) FROM wt) AS deficit
+         FROM wt),
+       quota AS (SELECT source, $w,
+                CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+         FROM rr)"""
+
   /** The q178 apportionment as reusable DuckDB CTEs ending in
     * `quota(source, tok, quota)` — shared by q178, q179, and (over
     * the survivor relation) Dedup's q187 manifest.
@@ -49,23 +78,7 @@ object Corpus extends QueryPack {
     s"""per_src AS (
          SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS tok
          FROM $rel GROUP BY source),
-       wt AS (SELECT source, tok,
-                CAST(($T * tok)
-                  // (SELECT CAST(SUM(tok) AS BIGINT) FROM per_src)
-                  AS BIGINT) AS base,
-                CAST(($T * tok)
-                  % (SELECT CAST(SUM(tok) AS BIGINT) FROM per_src)
-                  AS BIGINT) AS rem
-         FROM per_src),
-       rr AS (SELECT *,
-                CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
-                  AS BIGINT) AS rr,
-                (SELECT CAST($T - SUM(base) AS BIGINT) FROM wt) AS deficit
-         FROM wt),
-       quota AS (SELECT source, tok,
-                CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
-                  AS BIGINT) AS quota
-         FROM rr)"""
+       ${hamiltonCtes(T, "per_src", "tok")}"""
 
   private val q178Sql =
     s"""WITH ${quotaCtes(1000000L)}
@@ -150,31 +163,17 @@ object Corpus extends QueryPack {
     s"""WITH per_src AS (SELECT source,
             CAST(SUM(len($toksSql)) AS BIGINT) AS tok
          FROM documents GROUP BY source),
-       isq AS (SELECT source, tok,
+       isq AS (SELECT source,
             CAST(s0 - CASE WHEN s0*s0 > tok THEN 1 ELSE 0 END
                     + CASE WHEN (s0+1)*(s0+1) <= tok THEN 1 ELSE 0 END
               AS BIGINT) AS w
          FROM (SELECT source, tok,
                  CAST(FLOOR(SQRT(CAST(tok AS DOUBLE))) AS BIGINT) AS s0
                FROM per_src)),
-       wt AS (SELECT source, tok, w,
-                CAST((100000 * w)
-                  // (SELECT CAST(SUM(w) AS BIGINT) FROM isq)
-                  AS BIGINT) AS base,
-                CAST((100000 * w)
-                  % (SELECT CAST(SUM(w) AS BIGINT) FROM isq)
-                  AS BIGINT) AS rem
-         FROM isq),
-       rr AS (SELECT *,
-                CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
-                  AS BIGINT) AS rr,
-                (SELECT CAST(100000 - SUM(base) AS BIGINT) FROM wt)
-                  AS deficit
-         FROM wt)
-       SELECT source, tok, w AS w_isqrt,
-              CAST(base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END
-                AS BIGINT) AS quota
-       FROM rr ORDER BY source"""
+       ${hamiltonCtes(100000L, "isq", "w")}
+       SELECT q.source, p.tok, q.w AS w_isqrt, q.quota
+       FROM quota q JOIN per_src p USING (source)
+       ORDER BY q.source"""
 
   /** q230: top-k with OTHERS rollup — per language, the top-3 sources
     * by token volume plus ONE residual row aggregating everything
@@ -184,7 +183,11 @@ object Corpus extends QueryPack {
     * rows); the rank<=3 branch is WindowGroupLimit-eligible and the
     * residual is a second tiny aggregate — the fact table is touched
     * once. Deterministic source tie-break; `~other` sorts after real
-    * sources only via the explicit rk column, never by name.
+    * sources only via the explicit rk column, never by name. The
+    * report's row key is `(lang, rk)` — `~other` is a display label,
+    * not a key: a real source literally named "~other" would collide
+    * with it on `(lang, source)` but stays distinguishable by rk<=3
+    * vs rk=4, so consumers must key on rk.
     */
   private def q230TopSourcesWithOther(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
