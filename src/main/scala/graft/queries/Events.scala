@@ -1057,14 +1057,21 @@ object Events extends QueryPack {
     */
   /** Shared parity-gate scaffold: stage the events table as 3
     * ts-range files, replay one file per micro-batch through the
-    * caller's streaming aggregation into a complete-mode memory sink,
-    * and return the materialized sink table (order-insensitive by
-    * construction — complete mode re-emits the full state). The
-    * staging directory is deleted once the stream has consumed it;
-    * the memory-sink rows are already materialized on the driver so
-    * the returned frame doesn't depend on the files.
+    * caller's streaming transform into a memory sink, and return the
+    * materialized sink table. Complete-mode callers (q204/q224) are
+    * order-insensitive by construction — complete mode re-emits the
+    * full state; append-mode callers (q231/q232) additionally rely on
+    * the REPLAY ORDER being the event-time order, so the staged part
+    * files (range partition i ⇒ part-0000i by name) get strictly
+    * increasing modification times stamped before the stream starts —
+    * the file source picks files oldest-first, and a simultaneous
+    * bulk write would otherwise leave the tie-break to listing order.
+    * The staging directory is deleted once the stream has consumed
+    * it; the memory-sink rows are already materialized on the driver
+    * so the returned frame doesn't depend on the files.
     */
-  private def streamReplayParity(s: SparkSession, d: String, tag: String)(
+  private def streamReplayParity(s: SparkSession, d: String, tag: String,
+      mode: String = "complete")(
       agg: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingOps
     val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1072,15 +1079,23 @@ object Events extends QueryPack {
     s.read.parquet(s"$d/events.parquet")
       .repartitionByRange(3, col("ts"))
       .write.mode("overwrite").parquet(staging)
+    val stagePath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagePath.getFileSystem(s.sessionState.newHadoopConf())
+    val parts = fs.listStatus(stagePath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val base = parts.map(_.getModificationTime).max
+    parts.zipWithIndex.foreach { case (st, i) =>
+      fs.setTimes(st.getPath, base + (i + 1) * 1000L, -1L)
+    }
     val sink = s"${tag}_sink_$run".replace('-', '_')
     val query = agg(
       StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
       .writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
+      .outputMode(mode).start()
     try query.processAllAvailable() finally {
       query.stop()
-      val p = new org.apache.hadoop.fs.Path(staging)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      fs.delete(stagePath, true)
     }
     s.table(sink)
   }
@@ -1145,6 +1160,67 @@ object Events extends QueryPack {
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, session_start_us"""
 
+  /** q231: STREAMING↔batch exact-dedup parity — the cross-batch
+    * dedup-STATE seam q204/q224 don't exercise: distinct
+    * (user_id, event_type) keys via streaming `dropDuplicates` over
+    * the ordered 3-file replay into an append-mode memory sink. A key
+    * first seen in micro-batch 1 must be suppressed when it recurs in
+    * batch 3 — any state loss shows up as duplicate sink rows and a
+    * row-count mismatch against DuckDB's DISTINCT. Keys only, not
+    * rows: WHICH physical row survives dedup is arrival-order
+    * dependent inside a micro-batch, the key SET is not. The gate
+    * uses the unbounded `dropDuplicates` form (state O(|keys|), fine
+    * over a finite replay); the production ingest path is the
+    * watermark-bounded [[graft.streaming.StreamingOps.dedupStream]]
+    * (StreamingSpec), whose horizon-dependent eviction makes its
+    * emitted set not engine-mirrorable.
+    */
+  private def q231StreamDedupParity(
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q231", mode = "append") { stream =>
+      stream.select(col("user_id"), col("event_type")).dropDuplicates()
+    }.orderBy(col("user_id"), col("event_type"))
+
+  private val q231Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type"""
+
+  /** q232: STREAMING↔batch TRANSITIONS parity — the
+    * flatMapGroupsWithState seam: [[graft.streaming.StreamingOps
+    * .transitionsStream]] replays the events table one ts-range file
+    * per micro-batch, each user's last-event state carried ACROSS
+    * batch boundaries in the state store, emitted edges collected in
+    * an append-mode memory sink; the edge multiset is then aggregated
+    * batch-side into exactly q148's Markov matrix and gated against
+    * q148's own oracle SQL. In-order replay is guaranteed by the
+    * scaffold's stamped file times, and within a micro-batch the
+    * operator sorts each user's rows by (event-time µs, event_id) —
+    * the same order the batch window uses — so the emitted edge
+    * multiset equals the batch lag-pairs exactly. The one stateful
+    * operator the q204/q224 built-in aggregations can't represent,
+    * surfaced as a driver-checkable row set.
+    */
+  private def q232StreamTransitionsParity(
+      s: SparkSession, d: String): DataFrame = {
+    val edges = streamReplayParity(s, d, "q232", mode = "append") {
+      stream =>
+        import stream.sparkSession.implicits._
+        graft.streaming.StreamingOps
+          .transitionsStream(stream.as[graft.streaming.StreamEvent])
+          .toDF()
+    }
+    edges
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Same matrix, same mirror: the stream must reproduce q148. */
+  private val q232Sql = q148Sql
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1173,7 +1249,9 @@ object Events extends QueryPack {
     "q198_dow_seasonality" -> q198DowSeasonality,
     "q199_forward_fill" -> q199ForwardFill,
     "q204_stream_window_parity" -> q204StreamWindowParity,
-    "q224_stream_session_parity" -> q224StreamSessionParity)
+    "q224_stream_session_parity" -> q224StreamSessionParity,
+    "q231_stream_dedup_parity" -> q231StreamDedupParity,
+    "q232_stream_transitions_parity" -> q232StreamTransitionsParity)
 
   override val oracle: Map[String, String] = Map(
     "q48_hll_users" -> q48Sql,
@@ -1203,5 +1281,7 @@ object Events extends QueryPack {
     "q198_dow_seasonality" -> q198Sql,
     "q199_forward_fill" -> q199Sql,
     "q204_stream_window_parity" -> q204Sql,
-    "q224_stream_session_parity" -> q224Sql)
+    "q224_stream_session_parity" -> q224Sql,
+    "q231_stream_dedup_parity" -> q231Sql,
+    "q232_stream_transitions_parity" -> q232Sql)
 }

@@ -43,6 +43,16 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("stream transitions parity gate equals the batch Markov matrix") {
+    // the q232 gate replays events through flatMapGroupsWithState and
+    // must land on exactly q148's matrix — row-for-row including the
+    // double probabilities (same integer counts, same division)
+    val streamed =
+      Events.all("q232_stream_transitions_parity")(spark, sf).collect()
+    val batch = Events.all("q148_markov_transitions")(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("near-dup pipeline: jaccard>=0.8 pairs are a subset of LSH candidates") {
     val cands = Dedup.all("q28_lsh_band_pairs")(spark, sf)
       .select(col("d1"), col("d2"))
