@@ -90,11 +90,20 @@ object PerfProfile {
     // SPARK_GRAFT_ONLY (a subset may not consume them at all).
     val artifactSec = if (only.isEmpty) {
       val t0 = System.nanoTime()
-      graft.ops.CurationOps.labelsTable(
-        graft.core.Tables(spark, sfDir, "documents")).count()
-      graft.ops.SemanticOps.labelsTable(
-        graft.core.Tables(spark, sfDir, "embeddings")).count()
-      Some((System.nanoTime() - t0) / 1e9)
+      // degrade, don't abort: a broken table fails here exactly as it
+      // would inside each audit query's own try — record the profile
+      // for the rest of the pack and let those queries report the error
+      try {
+        graft.ops.CurationOps.labelsTable(
+          graft.core.Tables(spark, sfDir, "documents")).count()
+        graft.ops.SemanticOps.labelsTable(
+          graft.core.Tables(spark, sfDir, "embeddings")).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[perf] artifact build failed: ${e.getMessage}")
+          None
+      }
     } else None
 
     val entries = names.map { name =>

@@ -791,18 +791,28 @@ object Events extends QueryPack {
     * 100 TB the only heavy stage is the per-user window, which
     * range-partitions cleanly on (user, time).
     */
-  private def q148MarkovTransitions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    ev(s, d)
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .where(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+  /** (prev_type, next_type) pair rows → the ordered Markov matrix
+    * with row-normalized probabilities. ONE copy shared by q148 (lag
+    * pairs) and q232 (streamed edges) so the normalization and
+    * ordering can never drift between the batch query and its
+    * streaming parity gate.
+    */
+  private def markovMatrix(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type")))
           .cast("double"))
       .orderBy(col("prev_type"), col("next_type"))
+
+  private def q148MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    markovMatrix(ev(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type")))
   }
 
   private val q148Sql =
@@ -1084,9 +1094,11 @@ object Events extends QueryPack {
     val parts = fs.listStatus(stagePath)
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    val base = parts.map(_.getModificationTime).max
-    parts.zipWithIndex.foreach { case (st, i) =>
-      fs.setTimes(st.getPath, base + (i + 1) * 1000L, -1L)
+    if (parts.nonEmpty) { // empty input stages only _SUCCESS
+      val base = parts.map(_.getModificationTime).max
+      parts.zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, base + (i + 1) * 1000L, -1L)
+      }
     }
     val sink = s"${tag}_sink_$run".replace('-', '_')
     val query = agg(
@@ -1209,17 +1221,31 @@ object Events extends QueryPack {
           .transitionsStream(stream.as[graft.streaming.StreamEvent])
           .toDF()
     }
-    edges
-      .groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("p", col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("prev_type")))
-          .cast("double"))
-      .orderBy(col("prev_type"), col("next_type"))
+    markovMatrix(edges.select(col("prev_type"), col("next_type")))
   }
 
-  /** Same matrix, same mirror: the stream must reproduce q148. */
-  private val q232Sql = q148Sql
+  /** q148's matrix at the STREAM's event-time resolution: the
+    * streaming path carries ts as Spark TimestampType (µs ceiling —
+    * readEventsStream truncates a nanos-encoded layout with
+    * `ts DIV 1000`), so the mirror tie-breaks the per-user order on
+    * (epoch-µs, event_id) rather than raw ts. Identical to q148Sql on
+    * a µs-encoded events table; on a nanos layout it stays aligned
+    * with what the stream can actually observe instead of diverging
+    * on sub-µs orderings.
+    */
+  private val q232Sql =
+    """WITH seq AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events)
+       SELECT prev_type, event_type AS next_type,
+              COUNT(*) AS n,
+              CAST(COUNT(*) AS DOUBLE) /
+                CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+                AS p
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type
+       ORDER BY prev_type, next_type"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
