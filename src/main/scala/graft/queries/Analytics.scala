@@ -940,15 +940,18 @@ object Analytics extends QueryPack {
   /** The q162 scenario as DataFrames, parameterized on the effective
     * instants (shared by q162 and q164).
     */
-  private def scd2CustHistory(
-      s: SparkSession, d: String, t0: String, t1: String): DataFrame = {
-    val cust = Tables(s, d, "customer")
+  private def custBase(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer")
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-    val history = cust
-      .withColumn("valid_from", to_timestamp(lit(t0)))
-      .withColumn("valid_to", lit(null).cast("timestamp"))
-      .withColumn("version", lit(1L))
-    val snapshot = cust
+
+  /** The deterministic "six months later" snapshot drift (balance
+    * credits %7, segment moves %11, churn %97, inserts %13 + 1e6) —
+    * ONE copy shared by the batch merge (q162/q164) and the q233
+    * streamed-sink replay so the scenario can never diverge between
+    * the batch query and its streaming parity gate.
+    */
+  private def custDrifted(cust: DataFrame): DataFrame =
+    cust
       .filter(col("c_custkey") % 97 =!= 0)
       .select(col("c_custkey"),
         when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
@@ -958,10 +961,79 @@ object Analytics extends QueryPack {
       .unionByName(cust.filter(col("c_custkey") % 13 === 0)
         .select((col("c_custkey") + 1000000L).as("c_custkey"),
           col("c_acctbal"), col("c_mktsegment")))
-    ScdOps.scd2Apply(history, snapshot,
+
+  private def scd2CustHistory(
+      s: SparkSession, d: String, t0: String, t1: String): DataFrame = {
+    val cust = custBase(s, d)
+    val history = cust
+      .withColumn("valid_from", to_timestamp(lit(t0)))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+    ScdOps.scd2Apply(history, custDrifted(cust),
       keys = Seq("c_custkey"), tracked = Seq("c_acctbal", "c_mktsegment"),
       asOf = to_timestamp(lit(t1)))
   }
+
+  /** q233: STREAMING SCD2 SINK parity — the exactly-once foreachBatch
+    * seam under the driver's oracle: the q162 scenario's two snapshots
+    * (the version-1 seed and [[custDrifted]]) replayed as two ORDERED
+    * micro-batches through [[graft.streaming.StreamingOps.scd2Sink]]
+    * — each batch applies [[graft.ops.ScdOps.scd2Apply]] against the
+    * history strictly below its own batch id and lands in a versioned
+    * directory (the idempotent-replay contract StreamingSpec pins) —
+    * then the final history is read back and projected exactly like
+    * q162. The mirror IS q162's two-join merge: any drift in dating,
+    * versioning, closes, churn handling or bootstrap inserts
+    * hash-fails. Ordered replay: one file per snapshot with strictly
+    * increasing stamped modification times, maxFilesPerTrigger=1
+    * (same determinism argument as the events replay scaffold).
+    */
+  private def q233Scd2SinkParity(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = sys.props("java.io.tmpdir") + s"/graft-scd2-gate-$run"
+    val inDir = s"$base/in"
+    val cust = custBase(s, d)
+    val snap1 = cust
+      .withColumn("eff_ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val snap2 = custDrifted(cust)
+      .withColumn("eff_ts", to_timestamp(lit("2024-06-01 00:00:00")))
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
+    snap1.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val firstParts = fs.listStatus(inPath)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath).toSet
+    snap2.coalesce(1).write.mode("append").parquet(inDir)
+    val allParts = fs.listStatus(inPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    val tMax = allParts.map(_.getModificationTime).max
+    allParts.foreach { st =>
+      val order = if (firstParts.contains(st.getPath)) 1L else 2L
+      fs.setTimes(st.getPath, tMax + order * 1000L, -1L)
+    }
+    val stream = s.readStream.schema(snap1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val query = StreamingOps.scd2Sink(stream, s"$base/hist", s"$base/ckpt",
+      keys = Seq("c_custkey"),
+      tracked = Seq("c_acctbal", "c_mktsegment"),
+      effectiveCol = "eff_ts")
+    try query.processAllAvailable() finally {
+      query.stop()
+      fs.delete(inPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    }
+    StreamingOps.readScd2History(s, s"$base/hist")
+      .getOrElse(sys.error("q233: scd2Sink produced no history"))
+      .withColumn("valid_from", unix_micros(col("valid_from")))
+      .withColumn("valid_to", unix_micros(coalesce(col("valid_to"),
+        to_timestamp(lit("9999-12-31 00:00:00")))))
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  /** Same merge, same mirror: the streamed sink must land on exactly
+    * the q162 history.
+    */
+  private val q233Sql = q162Sql
 
   /** q164: point-in-time (temporal) join — the consumption side of the
     * q162 SCD2 history: each order joins the customer version that was
@@ -1246,6 +1318,7 @@ object Analytics extends QueryPack {
     "q203_corr_matrix" -> q203CorrMatrix,
     "q147_exact_ols" -> q147ExactOls,
     "q162_scd2_history" -> q162Scd2History,
+    "q233_scd2_sink_parity" -> q233Scd2SinkParity,
     "q164_pit_join" -> q164PointInTimeJoin,
     "q173_reconciliation" -> q173Reconciliation,
     "q174_value_histogram" -> q174ValueHistogram,
@@ -1270,6 +1343,7 @@ object Analytics extends QueryPack {
     "q203_corr_matrix" -> q203Sql,
     "q147_exact_ols" -> q147Sql,
     "q162_scd2_history" -> q162Sql,
+    "q233_scd2_sink_parity" -> q233Sql,
     "q164_pit_join" -> q164Sql,
     "q173_reconciliation" -> q173Sql,
     "q174_value_histogram" -> q174Sql,
