@@ -1247,6 +1247,53 @@ object Events extends QueryPack {
        GROUP BY prev_type, event_type
        ORDER BY prev_type, next_type"""
 
+  /** q234: STREAMING bloom-admission parity — q115's admission fast
+    * path on the streaming seam: a 65536-bit / 3-probe bloom bitmap
+    * built offline over the "historical corpus" key set (the
+    * (user, event_type, day) md5 keys of events with event_id % 5 <>
+    * 4 — 80% of rows; the day term keeps BOTH paths live at every SF:
+    * ~2/3 of batch keys are bloom-clear new days, ~1/3 are true dups
+    * that must survive the exact confirm) embeds as a literal in the
+    * per-row filter and rules most batch rows definitely-new with no
+    * join; only bloom-maybe rows (true dups + collisions) take the
+    * stream-static exact confirm. Blooms have no false negatives, so
+    * the admitted set must equal DuckDB's plain NOT-EXISTS anti-join
+    * — the bitmap is a load-bearing accelerator, not an approximation
+    * of the answer. Stateless per micro-batch ⇒ order-insensitive;
+    * the gate emits the admitted event_ids.
+    */
+  private def q234StreamBloomAdmission(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.ops.BloomOps
+    // ev() carries ts as epoch-ns LONG (Tables convention); the stream
+    // carries TimestampType — derive the SAME day string from each
+    def key(day: Column) = md5(concat(col("user_id").cast("string"),
+      lit(":"), col("event_type"), lit(":"), day))
+    val corpus = ev(s, d).filter(col("event_id") % 5 =!= 4)
+      .select(key(date_format(
+        timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")).as("h"))
+      .distinct()
+    val bitmap = BloomOps.build(corpus, "h", 1 << 16, 3)
+    streamReplayParity(s, d, "q234", mode = "append") { stream =>
+      graft.streaming.StreamingOps.bloomAdmissionStream(
+        stream.filter(col("event_id") % 5 === 4)
+          .withColumn("h", key(date_format(col("ts"), "yyyy-MM-dd"))),
+        corpus, bitmap, "h")
+        .select(col("event_id"))
+    }.orderBy(col("event_id"))
+  }
+
+  private val q234Sql =
+    """WITH keyed AS (SELECT event_id,
+           md5(CAST(user_id AS VARCHAR) || ':' || event_type
+               || ':' || strftime(ts, '%Y-%m-%d')) AS h
+         FROM events),
+       corpus AS (SELECT DISTINCT h FROM keyed WHERE event_id % 5 <> 4)
+       SELECT k.event_id FROM keyed k
+       WHERE k.event_id % 5 = 4
+         AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = k.h)
+       ORDER BY k.event_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1277,7 +1324,8 @@ object Events extends QueryPack {
     "q204_stream_window_parity" -> q204StreamWindowParity,
     "q224_stream_session_parity" -> q224StreamSessionParity,
     "q231_stream_dedup_parity" -> q231StreamDedupParity,
-    "q232_stream_transitions_parity" -> q232StreamTransitionsParity)
+    "q232_stream_transitions_parity" -> q232StreamTransitionsParity,
+    "q234_stream_bloom_admission" -> q234StreamBloomAdmission)
 
   override val oracle: Map[String, String] = Map(
     "q48_hll_users" -> q48Sql,
@@ -1309,5 +1357,6 @@ object Events extends QueryPack {
     "q204_stream_window_parity" -> q204Sql,
     "q224_stream_session_parity" -> q224Sql,
     "q231_stream_dedup_parity" -> q231Sql,
-    "q232_stream_transitions_parity" -> q232Sql)
+    "q232_stream_transitions_parity" -> q232Sql,
+    "q234_stream_bloom_admission" -> q234Sql)
 }

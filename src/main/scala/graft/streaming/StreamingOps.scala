@@ -244,7 +244,11 @@ object StreamingOps {
       .join(pk, Seq(keyCol), "left")
       .filter(col("__seen").isNull)
       .drop("__seen")
-    clear.union(confirmedNew).drop("__maybe")
+    // unionByName, not positional union: the equi-join above moves the
+    // key column to the front of confirmedNew's schema, so a
+    // positional union would misalign every multi-column stream
+    // (caught by the q234 gate; the single-column spec never saw it)
+    clear.unionByName(confirmedNew).drop("__maybe")
   }
 
   /** Stream-static enrichment join: each micro-batch joins against a
