@@ -1294,6 +1294,98 @@ object Events extends QueryPack {
          AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = k.h)
        ORDER BY k.event_id"""
 
+  /** q235: STREAM-STREAM interval-join parity — the two-sided join
+    * state seam: [[graft.streaming.StreamingOps.intervalJoinStream]]
+    * matches each purchase to the same user's views in the preceding
+    * 30 minutes as BOTH sides flow through the ordered 3-file replay
+    * (a self-join of the replayed source filtered two ways). Inner
+    * stream-stream joins emit a pair the moment both sides have
+    * arrived — no watermark hold on emission — so the finite replay's
+    * sink is exactly the matched-pair set, and the in-order replay
+    * keeps every needed view inside the state-retention bound (a view
+    * needed by a NEXT-batch purchase is at most lookback old, well
+    * inside watermark − lookback cleanup). Mirror is the plain theta
+    * join; q64 gates the binned batch rewrite of the same predicate,
+    * this gates the buffered streaming execution of it.
+    */
+  private def q235StreamIntervalJoin(
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q235", mode = "append") { stream =>
+      graft.streaming.StreamingOps.intervalJoinStream(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"))
+        .select(col("p_id"), col("v_id"))
+    }.orderBy(col("p_id"), col("v_id"))
+
+  private val q235Sql =
+    s"""SELECT p.p_id, v.v_id
+       FROM (SELECT user_id, event_id AS p_id, $tsUsSql AS p_us
+             FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT user_id, event_id AS v_id, $tsUsSql AS v_us
+             FROM events WHERE event_type = 'view') v
+         ON v.user_id = p.user_id
+            AND v.v_us >= p.p_us - 1800 * 1000000
+            AND v.v_us <= p.p_us
+       ORDER BY p.p_id, v.v_id"""
+
+  /** q236: STREAMING point-in-time enrichment parity — the
+    * stream-static join with a RANGE residual: every replayed event
+    * joins the user-segment version current AT ITS EVENT TIME from an
+    * SCD2 history built with [[graft.ops.ScdOps.scd2Apply]] (seg
+    * 'S'+id%5 seeded 2024-01-01; mid-month drift: %3 users move to
+    * 'SX', %7 users churn — their post-drift events must enrich to
+    * NULL through the left join, covering the miss path). Stateless
+    * per micro-batch ⇒ order-insensitive; the mirror hand-builds the
+    * same two-version history and runs the same validity-bounded left
+    * join, so any drift in scd2Apply's closes/opens OR in the
+    * streaming join's range residual hash-fails on 800k rows.
+    */
+  private def q236StreamPitEnrich(
+      s: SparkSession, d: String): DataFrame = {
+    val users = ev(s, d).select(col("user_id")).distinct()
+    def segOf(c: Column) =
+      concat(lit("S"), (c % 5L).cast("string"))
+    val seed = users.select(col("user_id").as("u_id"),
+        segOf(col("user_id")).as("seg"))
+      .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+    val snap2 = users.filter(col("user_id") % 7L =!= 0L)
+      .select(col("user_id").as("u_id"),
+        when(col("user_id") % 3L === 0L, lit("SX"))
+          .otherwise(segOf(col("user_id"))).as("seg"))
+    val hist = graft.ops.ScdOps.scd2Apply(seed, snap2,
+      keys = Seq("u_id"), tracked = Seq("seg"),
+      asOf = to_timestamp(lit("2024-01-16 00:00:00")))
+    streamReplayParity(s, d, "q236", mode = "append") { stream =>
+      graft.streaming.StreamingOps.enrichPointInTime(
+        stream, hist, eventKey = "user_id", dimKey = "u_id")
+        .select(col("event_id"), col("seg"), col("version"))
+    }.orderBy(col("event_id"))
+  }
+
+  private val q236Sql =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+       hist AS (
+         SELECT user_id AS u_id,
+                'S' || CAST(user_id % 5 AS VARCHAR) AS seg,
+                CAST(1 AS BIGINT) AS version,
+                TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                CASE WHEN user_id % 7 = 0 OR user_id % 3 = 0
+                     THEN TIMESTAMP '2024-01-16 00:00:00' END AS valid_to
+         FROM users
+         UNION ALL
+         SELECT user_id, 'SX', CAST(2 AS BIGINT),
+                TIMESTAMP '2024-01-16 00:00:00', NULL
+         FROM users WHERE user_id % 7 <> 0 AND user_id % 3 = 0)
+       SELECT e.event_id, h.seg, h.version
+       FROM events e LEFT JOIN hist h
+         ON h.u_id = e.user_id
+            AND epoch_us(h.valid_from) <= epoch_us(e.ts)
+            AND (h.valid_to IS NULL
+                 OR epoch_us(e.ts) < epoch_us(h.valid_to))
+       ORDER BY e.event_id"""
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1325,7 +1417,9 @@ object Events extends QueryPack {
     "q224_stream_session_parity" -> q224StreamSessionParity,
     "q231_stream_dedup_parity" -> q231StreamDedupParity,
     "q232_stream_transitions_parity" -> q232StreamTransitionsParity,
-    "q234_stream_bloom_admission" -> q234StreamBloomAdmission)
+    "q234_stream_bloom_admission" -> q234StreamBloomAdmission,
+    "q235_stream_interval_join" -> q235StreamIntervalJoin,
+    "q236_stream_pit_enrich" -> q236StreamPitEnrich)
 
   override val oracle: Map[String, String] = Map(
     "q48_hll_users" -> q48Sql,
@@ -1358,5 +1452,7 @@ object Events extends QueryPack {
     "q224_stream_session_parity" -> q224Sql,
     "q231_stream_dedup_parity" -> q231Sql,
     "q232_stream_transitions_parity" -> q232Sql,
-    "q234_stream_bloom_admission" -> q234Sql)
+    "q234_stream_bloom_admission" -> q234Sql,
+    "q235_stream_interval_join" -> q235Sql,
+    "q236_stream_pit_enrich" -> q236Sql)
 }
