@@ -880,13 +880,19 @@ object Analytics extends QueryPack {
     * never joins.
     */
   private def q162Scd2History(s: SparkSession, d: String): DataFrame =
-    scd2CustHistory(s, d, "2024-01-01 00:00:00", "2024-06-01 00:00:00")
-      // gate projection uses the conventional open-row sentinel (no
-      // NULL timestamps in compared output; the library keeps NULL).
-      // Effective instants cross the gate as epoch-micros LONGs — the
-      // events-table convention — so the comparison never depends on
-      // a parquet timestamp physical encoding (INT96/nanos vs micros).
-      .withColumn("valid_from", unix_micros(col("valid_from")))
+    historyGateProjection(
+      scd2CustHistory(s, d, "2024-01-01 00:00:00", "2024-06-01 00:00:00"))
+
+  /** Gate projection shared by q162 and its q233 streaming twin: the
+    * conventional open-row sentinel (no NULL timestamps in compared
+    * output; the library keeps NULL), effective instants crossing the
+    * gate as epoch-micros LONGs — the events-table convention — so
+    * the comparison never depends on a parquet timestamp physical
+    * encoding (INT96/nanos vs micros). ONE copy: if the sentinel or
+    * encoding convention changes, both gates move together.
+    */
+  private def historyGateProjection(h: DataFrame): DataFrame =
+    h.withColumn("valid_from", unix_micros(col("valid_from")))
       .withColumn("valid_to", unix_micros(coalesce(col("valid_to"),
         to_timestamp(lit("9999-12-31 00:00:00")))))
       .orderBy(col("c_custkey"), col("version"))
@@ -1004,30 +1010,27 @@ object Analytics extends QueryPack {
     val firstParts = fs.listStatus(inPath)
       .filter(_.getPath.getName.startsWith("part-")).map(_.getPath).toSet
     snap2.coalesce(1).write.mode("append").parquet(inDir)
-    val allParts = fs.listStatus(inPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-    val tMax = allParts.map(_.getModificationTime).max
-    allParts.foreach { st =>
-      val order = if (firstParts.contains(st.getPath)) 1L else 2L
-      fs.setTimes(st.getPath, tMax + order * 1000L, -1L)
-    }
+    val secondParts = fs.listStatus(inPath)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+      .filterNot(firstParts)
+    StreamingOps.stampReplayOrder(fs,
+      firstParts.toSeq.sortBy(_.getName) ++
+        secondParts.sortBy(_.getName))
     val stream = s.readStream.schema(snap1.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val query = StreamingOps.scd2Sink(stream, s"$base/hist", s"$base/ckpt",
       keys = Seq("c_custkey"),
       tracked = Seq("c_acctbal", "c_mktsegment"),
       effectiveCol = "eff_ts")
-    try query.processAllAvailable() finally {
-      query.stop()
-      fs.delete(inPath, true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
-    }
-    StreamingOps.readScd2History(s, s"$base/hist")
+    try query.processAllAvailable() finally query.stop()
+    val hist = StreamingOps.readScd2History(s, s"$base/hist")
       .getOrElse(sys.error("q233: scd2Sink produced no history"))
-      .withColumn("valid_from", unix_micros(col("valid_from")))
-      .withColumn("valid_to", unix_micros(coalesce(col("valid_to"),
-        to_timestamp(lit("9999-12-31 00:00:00")))))
-      .orderBy(col("c_custkey"), col("version"))
+      // pin the read-back rows (history is |dim|-sized) so the whole
+      // staging tree — in/, ckpt/ AND the versioned hist/ — can be
+      // deleted instead of leaking a tmpdir per invocation
+      .localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    historyGateProjection(hist)
   }
 
   /** Same merge, same mirror: the streamed sink must land on exactly

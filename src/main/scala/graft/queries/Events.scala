@@ -1091,15 +1091,11 @@ object Events extends QueryPack {
       .write.mode("overwrite").parquet(staging)
     val stagePath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagePath.getFileSystem(s.sessionState.newHadoopConf())
-    val parts = fs.listStatus(stagePath)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-    if (parts.nonEmpty) { // empty input stages only _SUCCESS
-      val base = parts.map(_.getModificationTime).max
-      parts.zipWithIndex.foreach { case (st, i) =>
-        fs.setTimes(st.getPath, base + (i + 1) * 1000L, -1L)
-      }
-    }
+    StreamingOps.stampReplayOrder(fs,
+      fs.listStatus(stagePath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
+        .map(_.getPath).toSeq)
     val sink = s"${tag}_sink_$run".replace('-', '_')
     val query = agg(
       StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
@@ -1248,12 +1244,17 @@ object Events extends QueryPack {
        ORDER BY prev_type, next_type"""
 
   /** q234: STREAMING bloom-admission parity — q115's admission fast
-    * path on the streaming seam: a 65536-bit / 3-probe bloom bitmap
-    * built offline over the "historical corpus" key set (the
-    * (user, event_type, day) md5 keys of events with event_id % 5 <>
-    * 4 — 80% of rows; the day term keeps BOTH paths live at every SF:
-    * ~2/3 of batch keys are bloom-clear new days, ~1/3 are true dups
-    * that must survive the exact confirm) embeds as a literal in the
+    * path on the streaming seam: a 2²⁰-bit / 3-probe bloom bitmap
+    * (sized for the sf0.1 corpus: ~67k keys → fill 0.18, FPR ~0.5%,
+    * so the fast path stays LOAD-BEARING at the bench SF — an
+    * undersized 2¹⁶ bloom saturates there and degenerates to the
+    * plain anti-join; the 16k-long literal is well under BloomOps'
+    * broadcast bound) built offline over the "historical corpus" key
+    * set (the (user, event_type, day) md5 keys of events with
+    * event_id % 5 <> 4 — 80% of rows; the day term keeps BOTH paths
+    * live at every SF: ~2/3 of batch keys are bloom-clear new days,
+    * ~1/3 are true dups that must survive the exact confirm) embedded
+    * as a literal in the
     * per-row filter and rules most batch rows definitely-new with no
     * join; only bloom-maybe rows (true dups + collisions) take the
     * stream-static exact confirm. Blooms have no false negatives, so
@@ -1269,16 +1270,20 @@ object Events extends QueryPack {
     // carries TimestampType — derive the SAME day string from each
     def key(day: Column) = md5(concat(col("user_id").cast("string"),
       lit(":"), col("event_type"), lit(":"), day))
+    // cached: the static corpus feeds the bitmap build AND the
+    // stream-static exact confirm re-resolved per micro-batch — four
+    // scans of the same md5+distinct without the pin
     val corpus = ev(s, d).filter(col("event_id") % 5 =!= 4)
       .select(key(date_format(
         timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")).as("h"))
       .distinct()
-    val bitmap = BloomOps.build(corpus, "h", 1 << 16, 3)
+      .cache()
+    val bitmap = BloomOps.build(corpus, "h", 1 << 20, 3)
     streamReplayParity(s, d, "q234", mode = "append") { stream =>
       graft.streaming.StreamingOps.bloomAdmissionStream(
         stream.filter(col("event_id") % 5 === 4)
           .withColumn("h", key(date_format(col("ts"), "yyyy-MM-dd"))),
-        corpus, bitmap, "h")
+        corpus, bitmap, "h", m = 1 << 20, k = 3)
         .select(col("event_id"))
     }.orderBy(col("event_id"))
   }

@@ -251,6 +251,24 @@ object StreamingOps {
     clear.unionByName(confirmedNew).drop("__maybe")
   }
 
+  /** Stamp strictly increasing modification times onto `files` in the
+    * given order so the file-stream source (oldest-mtime-first pick)
+    * replays them deterministically — a simultaneous bulk write leaves
+    * equal mtimes and the tie-break to listing order. Replay gates
+    * that depend on file ORDER (append-mode parity over stateful ops)
+    * call this on their staged files before starting the stream. ONE
+    * copy of the ordering contract, shared by the events replay
+    * scaffold and the SCD2 snapshot replay.
+    */
+  def stampReplayOrder(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path]): Unit =
+    if (files.nonEmpty) {
+      val base = files.map(p => fs.getFileStatus(p).getModificationTime).max
+      files.zipWithIndex.foreach { case (p, i) =>
+        fs.setTimes(p, base + (i + 1) * 1000L, -1L)
+      }
+    }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension with the planner's normal join selection (a dim
     * under the broadcast threshold broadcasts automatically; a huge
