@@ -1016,13 +1016,19 @@ object Analytics extends QueryPack {
     StreamingOps.stampReplayOrder(fs,
       firstParts.toSeq.sortBy(_.getName) ++
         secondParts.sortBy(_.getName))
-    val stream = s.readStream.schema(snap1.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val query = StreamingOps.scd2Sink(stream, s"$base/hist", s"$base/ckpt",
-      keys = Seq("c_custkey"),
-      tracked = Seq("c_acctbal", "c_mktsegment"),
-      effectiveCol = "eff_ts")
-    try query.processAllAvailable() finally query.stop()
+    // scoped to 8 shuffle partitions like the events replay scaffold:
+    // same result, lower fixed per-micro-batch overhead
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream.schema(snap1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val query = StreamingOps.scd2Sink(stream, s"$base/hist",
+        s"$base/ckpt", keys = Seq("c_custkey"),
+        tracked = Seq("c_acctbal", "c_mktsegment"),
+        effectiveCol = "eff_ts")
+      try query.processAllAvailable() finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val hist = StreamingOps.readScd2History(s, s"$base/hist")
       .getOrElse(sys.error("q233: scd2Sink produced no history"))
       // pin the read-back rows (history is |dim|-sized) so the whole

@@ -1097,14 +1097,24 @@ object Events extends QueryPack {
         .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
         .map(_.getPath).toSeq)
     val sink = s"${tag}_sink_$run".replace('-', '_')
-    val query = agg(
-      StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
-    try query.processAllAvailable() finally {
-      query.stop()
-      fs.delete(stagePath, true)
-    }
+    // Scope the replay to 8 shuffle partitions: the state-store
+    // partition count is fixed at stream START from this conf, and a
+    // 3-micro-batch gate over sf-scale data pays per-partition state
+    // commit overhead 32× per store per batch for no parallelism win
+    // — the result is partition-count-invariant, only the harness
+    // floor changes. Restored before the batch tail plans.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val query = agg(
+        StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+      try query.processAllAvailable() finally {
+        query.stop()
+        fs.delete(stagePath, true)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sink)
   }
 
