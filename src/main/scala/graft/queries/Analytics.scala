@@ -1016,11 +1016,9 @@ object Analytics extends QueryPack {
     StreamingOps.stampReplayOrder(fs,
       firstParts.toSeq.sortBy(_.getName) ++
         secondParts.sortBy(_.getName))
-    // scoped to 8 shuffle partitions like the events replay scaffold:
-    // same result, lower fixed per-micro-batch overhead
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // replay at ≤8 shuffle partitions like the events scaffold: same
+    // result, lower fixed per-micro-batch overhead
+    StreamingOps.withShufflePartitions(s, 8) {
       val stream = s.readStream.schema(snap1.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val query = StreamingOps.scd2Sink(stream, s"$base/hist",
@@ -1028,7 +1026,7 @@ object Analytics extends QueryPack {
         tracked = Seq("c_acctbal", "c_mktsegment"),
         effectiveCol = "eff_ts")
       try query.processAllAvailable() finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val hist = StreamingOps.readScd2History(s, s"$base/hist")
       .getOrElse(sys.error("q233: scd2Sink produced no history"))
       // pin the read-back rows (history is |dim|-sized) so the whole

@@ -1097,15 +1097,11 @@ object Events extends QueryPack {
         .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
         .map(_.getPath).toSeq)
     val sink = s"${tag}_sink_$run".replace('-', '_')
-    // Scope the replay to 8 shuffle partitions: the state-store
-    // partition count is fixed at stream START from this conf, and a
-    // 3-micro-batch gate over sf-scale data pays per-partition state
-    // commit overhead 32× per store per batch for no parallelism win
-    // — the result is partition-count-invariant, only the harness
-    // floor changes. Restored before the batch tail plans.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
+    // per-partition state commits per store per batch with no
+    // parallelism win on gate-sized state; result is
+    // partition-count-invariant, only the harness floor changes
+    StreamingOps.withShufflePartitions(s, 8) {
       val query = agg(
         StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
         .writeStream.format("memory").queryName(sink)
@@ -1114,7 +1110,7 @@ object Events extends QueryPack {
         query.stop()
         fs.delete(stagePath, true)
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(sink)
   }
 

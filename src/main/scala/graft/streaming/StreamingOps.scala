@@ -269,6 +269,22 @@ object StreamingOps {
       }
     }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped DOWN to at
+    * most `n` (never raised above the session's configured value),
+    * restoring the conf afterwards. Streaming replay gates fix their
+    * state-store partition count at stream START from this conf, and
+    * gate-sized state gains nothing from more partitions while paying
+    * per-partition state commits per store per micro-batch. ONE copy
+    * of the save/set/restore semantics for every replay scaffold.
+    */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(n, prev.toInt).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension with the planner's normal join selection (a dim
     * under the broadcast threshold broadcasts automatically; a huge
