@@ -103,6 +103,20 @@ object Bench {
     // back `parsed: null`), and the file is the complete record.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    // The LAST stdout line is a compact summary the driver's stdout-
+    // tail capture can always parse whole (the full per-query dump
+    // above exceeds the tail window at 229 queries): total + count +
+    // median + the slowest queries, same top-level shape.
+    val okTimes = results.collect { case (_, v, None) => v }.sorted
+    val median =
+      if (okTimes.isEmpty) 0.0
+      else if (okTimes.size % 2 == 1) okTimes(okTimes.size / 2)
+      else (okTimes(okTimes.size / 2 - 1) + okTimes(okTimes.size / 2)) / 2
+    val slowest = results.collect { case (k, v, None) => (k, v) }
+      .sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"median_sec":$median,"full":"$out"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

@@ -4,12 +4,25 @@ import org.apache.spark.sql.DataFrame
 
 /** Write-once parquet artifact registry shared by the curation APIs
   * ([[CurationOps.pairsTable]]/`labelsTable`, [[SemanticOps]] twins):
-  * a derivation keyed on the canonicalized input plan (plus the row
-  * bytes for in-memory relations, which canonicalize to their schema
-  * alone) is built and written exactly once per session and read back
-  * as a plain file scan afterwards — the shape a 100 TB run persists
-  * anyway (derive the pair/label tables once, point every audit at
-  * them).
+  * a derivation keyed on the canonicalized input plan PLUS the input's
+  * file snapshot is built and written exactly once and read back as a
+  * plain file scan afterwards — the shape a 100 TB run persists anyway
+  * (derive the pair/label tables once, point every audit at them).
+  *
+  * Staleness safety: the key folds in every input file's
+  * (path, size, mtime), taken from the plan's own FileIndex listing
+  * (driver-side metadata the scan already performed — no extra
+  * namenode round-trips). Overwriting an input table IN PLACE changes
+  * the snapshot, so the next consumer call re-derives automatically;
+  * no manual `clear()` is required for correctness.
+  *
+  * Cross-session durability: with `spark.graft.artifactDir` set, the
+  * directory is treated as a durable cache — an artifact whose
+  * `_SUCCESS`-marked output already exists under the pinned dir (same
+  * plan, same file snapshot, same params) is read back with ZERO
+  * derivation work even in a fresh session. Unset, artifacts land in
+  * a session-UUID'd tmpdir and every new session re-derives (the
+  * in-memory registry alone gates rebuilds within a session).
   */
 private[ops] object ArtifactStore {
 
@@ -20,17 +33,41 @@ private[ops] object ArtifactStore {
   private lazy val artifactRunId =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** (path, size, mtime) of every file the plan's scans will read —
+    * pulled from the FileIndex the relation already holds (statuses
+    * are cached there; this is a pure driver-side metadata walk).
+    * Sources without a FileIndex (in-memory relations) contribute
+    * nothing here and are covered by the row-bytes fold in [[key]].
+    */
+  private def fileSnapshot(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case r: HadoopFsRelation =>
+          r.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f =>
+              s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString(";")
+        case _ => ""
+      }
+    }.mkString("|")
+  }
+
   def key(df: DataFrame, kind: String, params: String): String = {
     val canon = df.queryExecution.analyzed.canonicalized
     // A canonicalized LocalRelation prints its SCHEMA but not its rows
     // — two different in-memory corpora with the same shape would
     // collide on the plan string alone. Fold the row bytes in for
-    // local leaves (file sources are distinguished by their location).
+    // local leaves; file sources are distinguished by their location
+    // AND pinned to a point-in-time content identity by the
+    // (path,size,mtime) snapshot, so an in-place overwrite can never
+    // serve a stale artifact.
     val localData = canon.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         scala.util.hashing.MurmurHash3.orderedHash(l.data)
     }.mkString(",")
-    val plan = canon.toString + "|" + localData
+    val plan = canon.toString + "|" + localData + "|" + fileSnapshot(df)
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"$kind-$h-$params"
@@ -39,21 +76,34 @@ private[ops] object ArtifactStore {
   def materializedOnce(df: DataFrame, key: String)
       (build: => DataFrame): DataFrame = {
     val spark = df.sparkSession
+    val durableBase = spark.conf.getOption("spark.graft.artifactDir")
     val path = synchronized {
       artifacts.getOrElseUpdate(key, {
-        val base = spark.conf.getOption("spark.graft.artifactDir")
-          .getOrElse(sys.props("java.io.tmpdir") +
-            s"/graft-artifacts-$artifactRunId")
+        val base = durableBase.getOrElse(sys.props("java.io.tmpdir") +
+          s"/graft-artifacts-$artifactRunId")
         val p = s"$base/$key"
-        build.write.mode("overwrite").parquet(p)
+        // a pinned artifactDir is a durable cross-session cache: a
+        // committed (_SUCCESS) artifact under the same content-
+        // addressed key is the same derivation — read it back, skip
+        // the build entirely
+        val committed = durableBase.isDefined && {
+          val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+          marker.getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(marker)
+        }
+        if (!committed) build.write.mode("overwrite").parquet(p)
         p
       })
     }
     spark.read.parquet(path)
   }
 
-  /** Drop the registry (next call re-derives and re-writes). Needed
-    * only if an input table was overwritten IN PLACE.
+  /** Drop the in-memory registry. No longer needed for staleness
+    * (the key's file snapshot handles in-place overwrites); kept as
+    * the explicit "fresh registry" hook for tests and for forcing a
+    * re-derive into a NEW tmp path. A durable `spark.graft.
+    * artifactDir` cache survives this by design — delete the
+    * directory itself to invalidate it.
     */
   def clear(): Unit = synchronized { artifacts.clear() }
 }

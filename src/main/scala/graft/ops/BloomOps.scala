@@ -25,6 +25,38 @@ import org.apache.spark.sql.functions._
   */
 object BloomOps {
 
+  /** Size a bloom from the (already materialized) corpus key count:
+    * m = next power of two ≥ bitsPerKey·n (≥ 1024, ≤ 2²⁷ — the 16 MiB
+    * broadcast ceiling documented above; shard beyond that), k =
+    * 0.6·(m/n) — deliberately a hair BELOW the FPR-optimal
+    * (m/n)·ln 2 ≈ 0.69·(m/n), because the optimum lands fill at
+    * exactly 0.5 and this sizing pins fill ≈ 0.45 as the saturation
+    * margin (FPR stays ≪ 1% at ≥10 bits/key either way). A
+    * hand-picked constant m is the classic silent-degradation trap:
+    * at 10× the keys the fill crosses saturation, FPR → ~1, and the
+    * "no-join fast path" quietly stops filtering anything while
+    * staying correct.
+    */
+  def sizeFor(n: Long, bitsPerKey: Int = 10): (Int, Int) = {
+    require(n >= 1, s"need at least one key, got $n")
+    val target = math.min(1L << 27, math.max(1024L, bitsPerKey * n))
+    val m = java.lang.Long.highestOneBit(target) match {
+      case h if h >= target => h
+      case h => h << 1
+    }
+    val k = math.max(1, math.round(0.6 * m / n).toInt)
+    (m.toInt, k)
+  }
+
+  /** Fraction of set bits — the saturation diagnostic. A healthy
+    * bloom sits well under 0.5 (the optimum fill for k = (m/n)·ln 2);
+    * approaching 1.0 means every probe answers "maybe" and the fast
+    * path has degenerated to the plain exact join.
+    */
+  def fill(bitmap: Array[Long]): Double =
+    bitmap.iterator.map(java.lang.Long.bitCount).sum.toDouble /
+      (bitmap.length * 64L)
+
   /** Bit positions of `key` under `k` seeded hash probes mod `m`. */
   private def positions(key: Column, m: Int, k: Int): Seq[Column] =
     (0 until k).map(i => pmod(xxhash64(lit(i), key), lit(m.toLong)))

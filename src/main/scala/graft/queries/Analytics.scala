@@ -1006,35 +1006,38 @@ object Analytics extends QueryPack {
       .withColumn("eff_ts", to_timestamp(lit("2024-06-01 00:00:00")))
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
-    snap1.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val firstParts = fs.listStatus(inPath)
-      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath).toSet
-    snap2.coalesce(1).write.mode("append").parquet(inDir)
-    val secondParts = fs.listStatus(inPath)
-      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
-      .filterNot(firstParts)
-    StreamingOps.stampReplayOrder(fs,
-      firstParts.toSeq.sortBy(_.getName) ++
-        secondParts.sortBy(_.getName))
-    // replay at ≤8 shuffle partitions like the events scaffold: same
-    // result, lower fixed per-micro-batch overhead
-    StreamingOps.withShufflePartitions(s, 8) {
-      val stream = s.readStream.schema(snap1.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
-      val query = StreamingOps.scd2Sink(stream, s"$base/hist",
-        s"$base/ckpt", keys = Seq("c_custkey"),
-        tracked = Seq("c_acctbal", "c_mktsegment"),
-        effectiveCol = "eff_ts")
-      try query.processAllAvailable() finally query.stop()
-    }
-    val hist = StreamingOps.readScd2History(s, s"$base/hist")
-      .getOrElse(sys.error("q233: scd2Sink produced no history"))
-      // pin the read-back rows (history is |dim|-sized) so the whole
-      // staging tree — in/, ckpt/ AND the versioned hist/ — can be
-      // deleted instead of leaking a tmpdir per invocation
-      .localCheckpoint(true)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    historyGateProjection(hist)
+    // whole gate under try/finally: a failure anywhere (staging write,
+    // stream setup, sink) must not leak the base tree in tmpdir
+    try {
+      snap1.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val firstParts = fs.listStatus(inPath)
+        .filter(_.getPath.getName.startsWith("part-")).map(_.getPath).toSet
+      snap2.coalesce(1).write.mode("append").parquet(inDir)
+      val secondParts = fs.listStatus(inPath)
+        .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+        .filterNot(firstParts)
+      StreamingOps.stampReplayOrder(fs,
+        firstParts.toSeq.sortBy(_.getName) ++
+          secondParts.sortBy(_.getName))
+      // replay at ≤8 shuffle partitions like the events scaffold: same
+      // result, lower fixed per-micro-batch overhead
+      StreamingOps.withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(snap1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val query = StreamingOps.scd2Sink(stream, s"$base/hist",
+          s"$base/ckpt", keys = Seq("c_custkey"),
+          tracked = Seq("c_acctbal", "c_mktsegment"),
+          effectiveCol = "eff_ts")
+        try query.processAllAvailable() finally query.stop()
+      }
+      val hist = StreamingOps.readScd2History(s, s"$base/hist")
+        .getOrElse(sys.error("q233: scd2Sink produced no history"))
+        // pin the read-back rows (history is |dim|-sized) so the whole
+        // staging tree — in/, ckpt/ AND the versioned hist/ — can be
+        // deleted instead of leaking a tmpdir per invocation
+        .localCheckpoint(true)
+      historyGateProjection(hist)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
   /** Same merge, same mirror: the streamed sink must land on exactly

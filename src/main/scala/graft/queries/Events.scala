@@ -1086,32 +1086,42 @@ object Events extends QueryPack {
     import graft.streaming.StreamingOps
     val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$run"
-    s.read.parquet(s"$d/events.parquet")
-      .repartitionByRange(3, col("ts"))
-      .write.mode("overwrite").parquet(staging)
     val stagePath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagePath.getFileSystem(s.sessionState.newHadoopConf())
-    StreamingOps.stampReplayOrder(fs,
-      fs.listStatus(stagePath)
-        .filter(_.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
-        .map(_.getPath).toSeq)
-    val sink = s"${tag}_sink_$run".replace('-', '_')
-    // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
-    // per-partition state commits per store per batch with no
-    // parallelism win on gate-sized state; result is
-    // partition-count-invariant, only the harness floor changes
-    StreamingOps.withShufflePartitions(s, 8) {
-      val query = agg(
-        StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(mode).start()
-      try query.processAllAvailable() finally {
-        query.stop()
-        fs.delete(stagePath, true)
+    // whole replay under try/finally: a failure in staging, agg() plan
+    // construction, or start() must not leak the staged tree in tmpdir
+    try {
+      val raw = s.read.parquet(s"$d/events.parquet")
+      // Range-partition on the µs-TRUNCATED event time (the stream's
+      // TimestampType resolution), not raw ts: two same-user events
+      // sharing an epoch-µs but differing in ns must never straddle a
+      // file boundary, or the replay's file order could contradict the
+      // mirror's (epoch_us, event_id) tie-break (q232's edge flip).
+      val usKey = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
       }
-    }
-    s.table(sink)
+      raw.repartitionByRange(3, usKey)
+        .write.mode("overwrite").parquet(staging)
+      StreamingOps.stampReplayOrder(fs,
+        fs.listStatus(stagePath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
+          .map(_.getPath).toSeq)
+      val sink = s"${tag}_sink_$run".replace('-', '_')
+      // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
+      // per-partition state commits per store per batch with no
+      // parallelism win on gate-sized state; result is
+      // partition-count-invariant, only the harness floor changes
+      StreamingOps.withShufflePartitions(s, 8) {
+        val query = agg(
+          StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(mode).start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sink)
+    } finally fs.delete(stagePath, true)
   }
 
   private def q204StreamWindowParity(
@@ -1158,18 +1168,26 @@ object Events extends QueryPack {
           col("n_events"))
     }.orderBy(col("user_id"), col("session_start_us"))
 
+  /** Gaps compared at epoch-µs resolution (like q232's mirror): the
+    * streamed side sees µs-truncated timestamps (Spark TimestampType
+    * ceiling), so a gap that is <30 min in ns but exactly 30 min after
+    * µs truncation must split sessions in the mirror too — full-ns
+    * INTERVAL arithmetic would sessionize at a resolution the stream
+    * never observes.
+    */
   private val q224Sql =
-    """WITH m AS (SELECT user_id, ts,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       m AS (SELECT user_id, us,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= 1800 * 1000000
                 THEN 1 ELSE 0 END AS brk
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-       g AS (SELECT user_id, ts,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       g AS (SELECT user_id, us,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY us
                           ROWS UNBOUNDED PRECEDING) AS sid
          FROM m)
-       SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+       SELECT user_id, MIN(us) AS session_start_us,
               COUNT(*) AS n_events
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, session_start_us"""
@@ -1250,12 +1268,12 @@ object Events extends QueryPack {
        ORDER BY prev_type, next_type"""
 
   /** q234: STREAMING bloom-admission parity — q115's admission fast
-    * path on the streaming seam: a 2²⁰-bit / 3-probe bloom bitmap
-    * (sized for the sf0.1 corpus: ~67k keys → fill 0.18, FPR ~0.5%,
-    * so the fast path stays LOAD-BEARING at the bench SF — an
-    * undersized 2¹⁶ bloom saturates there and degenerates to the
-    * plain anti-join; the 16k-long literal is well under BloomOps'
-    * broadcast bound) built offline over the "historical corpus" key
+    * path on the streaming seam: a bloom bitmap RUNTIME-SIZED from
+    * the corpus key count ([[graft.ops.BloomOps.sizeFor]]: next-pow2
+    * ≥ 10 bits/key, k = 0.6·m/n — ~67k sf0.1 keys → 2²⁰ bits / k=9,
+    * fill ≈ 0.44, FPR < 0.1%; a hand-picked constant m would saturate
+    * at the next SF up and silently degenerate to the plain
+    * anti-join) built offline over the "historical corpus" key
     * set (the (user, event_type, day) md5 keys of events with
     * event_id % 5 <> 4 — 80% of rows; the day term keeps BOTH paths
     * live at every SF: ~2/3 of batch keys are bloom-clear new days,
@@ -1284,12 +1302,19 @@ object Events extends QueryPack {
         timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")).as("h"))
       .distinct()
       .cache()
-    val bitmap = BloomOps.build(corpus, "h", 1 << 20, 3)
+    // size the bitmap from the key count the cache materializes anyway
+    // — no hardcoded m; stays load-bearing at every SF
+    val (m, k) = BloomOps.sizeFor(math.max(1L, corpus.count()))
+    val bitmap = BloomOps.build(corpus, "h", m, k)
+    val fill = BloomOps.fill(bitmap)
+    System.err.println(
+      f"[q234] bloom m=$m k=$k fill=$fill%.3f " +
+        f"fpr~${math.pow(fill, k)}%.5f")
     streamReplayParity(s, d, "q234", mode = "append") { stream =>
       graft.streaming.StreamingOps.bloomAdmissionStream(
         stream.filter(col("event_id") % 5 === 4)
           .withColumn("h", key(date_format(col("ts"), "yyyy-MM-dd"))),
-        corpus, bitmap, "h", m = 1 << 20, k = 3)
+        corpus, bitmap, "h", m = m, k = k)
         .select(col("event_id"))
     }.orderBy(col("event_id"))
   }
@@ -1397,7 +1422,92 @@ object Events extends QueryPack {
                  OR epoch_us(e.ts) < epoch_us(h.valid_to))
        ORDER BY e.event_id"""
 
+  /** q239: STREAMING CHECKPOINT-RESTART parity — the recovery path
+    * the exactly-once design actually depends on, which the other
+    * gates never exercise: q204's windowed aggregation runs through
+    * [[graft.streaming.StreamingOps.exactlyOnceParquetSink]] with a
+    * REAL checkpoint dir, is stopped after committing only the first
+    * ts-range file (the simulated crash), and then a NEW query is
+    * started from the SAME checkpoint over the remaining files. The
+    * restarted query must (a) restore batch 0's window state from the
+    * state-store checkpoint — the final aggregates include file 0's
+    * contribution although query 2 never reads file 0 — and (b) not
+    * reprocess file 0 (the source checkpoint). The final committed
+    * `batch_id=` dir (complete mode ⇒ the highest batch IS the full
+    * result) must equal the batch oracle row-for-row; the mirror is
+    * exactly q204's. Any state loss, double-read, or sink
+    * double-apply hash-fails.
+    */
+  private def q239StreamCheckpointRestart(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = sys.props("java.io.tmpdir") + s"/graft-ckpt-gate-$run"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+    try {
+      val prep = s"$base/prep"
+      val staging = s"$base/in"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val usKey = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      raw.repartitionByRange(3, usKey).write.mode("overwrite").parquet(prep)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(prep))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).map(_.getPath).toSeq
+      // stamp strictly increasing mtimes BEFORE the moves (rename
+      // preserves them), so phase-2 files always replay after file 0
+      StreamingOps.stampReplayOrder(fs, parts)
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      fs.mkdirs(stagingPath)
+      def place(p: org.apache.hadoop.fs.Path): Unit =
+        fs.rename(p, new org.apache.hadoop.fs.Path(stagingPath, p.getName))
+      def agg(stream: DataFrame) = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Exact.fixed(col("value"), 6)).as("sum_value_e6"))
+        .select(
+          (unix_micros(col("window.start")) / lit(1000000L))
+            .cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"), col("sum_value_e6"))
+      StreamingOps.withShufflePartitions(s, 8) {
+        // PHASE 1: only the first ts-range file is visible; the query
+        // commits batch 0 (window state checkpointed) and is STOPPED —
+        // the simulated crash
+        place(parts(0))
+        val q1 = StreamingOps.exactlyOnceParquetSink(
+          agg(StreamingOps.readEventsStream(s, staging,
+            maxFilesPerTrigger = 1)),
+          outDir, ckpt, outputMode = "complete")
+        try q1.processAllAvailable() finally q1.stop()
+        // PHASE 2: the remaining files arrive; a NEW query resumes
+        // from the SAME checkpoint
+        parts.drop(1).foreach(place)
+        val q2 = StreamingOps.exactlyOnceParquetSink(
+          agg(StreamingOps.readEventsStream(s, staging,
+            maxFilesPerTrigger = 1)),
+          outDir, ckpt, outputMode = "complete")
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      StreamingOps.readLatestBatch(s, outDir)
+        .getOrElse(sys.error("q239: no committed batch"))
+        // pin the (windows-sized) rows so the whole staging tree —
+        // in/, ckpt/, out/ — can be deleted before returning
+        .localCheckpoint(true)
+        .orderBy(col("hour_epoch"), col("event_type"))
+    } finally fs.delete(basePath, true)
+  }
+
+  /** The restarted stream must land on exactly the batch answer. */
+  private val q239Sql = q204Sql
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_stream_checkpoint_restart" -> q239StreamCheckpointRestart,
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
     "q40_hourly_windows" -> q40HourlyWindows,
@@ -1433,6 +1543,7 @@ object Events extends QueryPack {
     "q236_stream_pit_enrich" -> q236StreamPitEnrich)
 
   override val oracle: Map[String, String] = Map(
+    "q239_stream_checkpoint_restart" -> q239Sql,
     "q48_hll_users" -> q48Sql,
     "q177_incremental_distinct" -> q177Sql,
     "q64_interval_join" -> q64Sql,

@@ -201,6 +201,12 @@ object Profiling extends QueryPack {
   private def q127LmFamiliarity(s: SparkSession, d: String): DataFrame = {
     val bg = docs(s, d)
       .select(col("doc_id"), toks.as("toks"))
+      // bigrams requires size >= 2 (same guard as
+      // CorpusOps.importanceWeights): a 1-token document would make
+      // sequence(1, size-1) descend and element_at throw; the mirror's
+      // range(1, len) emits zero rows for such docs, so the filter is
+      // parity-neutral.
+      .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), TextOps.bigrams("toks", " ").as("bg"))
     val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     bg.join(counts, Seq("bg"))

@@ -874,6 +874,54 @@ object Relational extends QueryPack {
                                WHERE s_acctbal < 0)
        GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
+  /** q237: TPC-H Q3 shape — shipping priority: top-10 unshipped
+    * orders by revenue for one market segment (the one classic shape
+    * the q210–q222 sweep left open; reference analogue is hw4's
+    * join→aggregate→head pattern, hw4/hw4.py:60-80). Both fact
+    * filters (o_orderdate <, l_shipdate >) are scan-side pushed
+    * predicates; the segment filter prunes customer BEFORE its
+    * broadcast into orders; the final `orderBy+limit(10)` on the
+    * computed revenue plans as TakeOrderedAndProject (per-partition
+    * top-10, driver merges 10·P rows — never a global sort, the
+    * property PlanSpec pins). o_orderpriority stands in for
+    * o_shippriority, which the generated schema doesn't carry.
+    */
+  private def q237ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit("1998-06-01 00:00:00"))
+    // semi-reduce orders by the segment's customers BEFORE the fact
+    // join: the broadcast semi prunes the orders side early, so the
+    // lineitem⋈orders shuffle carries only BUILDING orders
+    val bldgOrders = Tables(s, d, "orders")
+      .filter(col("o_orderdate") < cut)
+      .join(broadcast(Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(bldgOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+        col("o_orderpriority"))
+      .agg(Exact.sumFixed(rev, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q237Sql =
+    s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+              o_orderpriority, ${Exact.sumFixedSql(revSql, 4)} AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+         AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
   /** q225: TPC-H Q6 shape — the forecast-revenue-change query: pure
     * scan-side conjunctive filter + one global exact sum, no join, no
     * group. Completes the 22-shape TPC-H family. The whole WHERE
@@ -1697,6 +1745,7 @@ object Relational extends QueryPack {
     "q220_customer_order_distribution" -> q220CustomerOrderDistribution,
     "q221_promo_revenue_share" -> q221PromoRevenueShare,
     "q222_part_supplier_counts" -> q222PartSupplierCounts,
+    "q237_shipping_priority" -> q237ShippingPriority,
     "q225_forecast_revenue" -> q225ForecastRevenue,
     "q228_percent_of_parent" -> q228PercentOfParent,
     "q4_top_orders_per_segment" -> q4TopOrdersPerSegment,
@@ -1748,6 +1797,7 @@ object Relational extends QueryPack {
     "q220_customer_order_distribution" -> q220Sql,
     "q221_promo_revenue_share" -> q221Sql,
     "q222_part_supplier_counts" -> q222Sql,
+    "q237_shipping_priority" -> q237Sql,
     "q225_forecast_revenue" -> q225Sql,
     "q228_percent_of_parent" -> q228Sql,
     "q4_top_orders_per_segment" -> q4Sql,

@@ -986,8 +986,134 @@ object Similarity extends QueryPack {
        GROUP BY et.qid ORDER BY et.qid"""
   }
 
+  /** q238: IVF×SQ8 composed serving — the query path a deployed
+    * vector store (faiss IndexIVF+SQ8) actually runs, assembled from
+    * the two audited halves: route each query to its `nprobe=2`
+    * nearest coarse-quantizer cells (q85's centroid routing), then
+    * ADC-score ONLY those cells' SQ8 codes (q227's asymmetric scoring
+    * over midpoint reconstructions) and take the top-5; the report is
+    * per-query `n_scanned` (the cost claim: ~2/|cells| of the corpus,
+    * not all of it) and `n_hits` = |IVF+ADC top-5 ∩ exact full-scan
+    * top-5| (the recall claim). Reference analogue: hw4's brute-force
+    * cosine top-1 (hw4/hw4.py:102-117) upgraded to the
+    * compressed-and-routed shape. Exactness: routing is the proven
+    * round-6dp cosine with cell tie-break; scoring is all-integer e6
+    * inner product — the oracle replays quantize→route→score→rank
+    * value-for-value. Scale shape: the centroid table broadcasts
+    * (|cells| rows), members join on the cell key (each probe touches
+    * its cell's partition only), exact ground truth is the one
+    * deliberate full scan that defines recall.
+    */
+  private def q238IvfSq8Serving(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // stats + both array rebuilds scan it — materialize once
+    val recon = VectorOps.sq8(x)
+      .select(col("vec_id"), col("dim"), col("recon").as("r"))
+    def toArr(df: DataFrame, valCol: String) = df.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col(valCol)))),
+        t => t.getField(valCol).cast("double")).as("v"))
+    val exactArr = toArr(x, "x")
+    val qs = exactArr.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // coarse routing: q85's nprobe=2 nearest-centroid assignment
+    val route = ivfAssigned(s, d, nprobe = 2)
+      .select(col("qid"), col("clabel"))
+    // the compressed database side: SQ8 reconstructions, cell-keyed
+    val members = toArr(recon, "r")
+      .join(emb(s, d).select(col("vec_id"), col("label").as("clabel")),
+        Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("clabel"), col("v").as("cv"))
+    val scored = qs.join(route, Seq("qid"))
+      .join(members, Seq("clabel"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.dot(col("qv"), col("cv")).cast("long").as("score"))
+    val nScanned = scored.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val ivfTop = TopKOps.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("score").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("ivf_cid"))
+    // exact full-scan ground truth — same metric (e6 inner product)
+    val exactTop = TopKOps.topKPerGroup(
+      qs.join(exactArr.select(col("vec_id").as("cid"), col("v").as("cv")),
+          col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          VectorOps.dot(col("qv"), col("cv")).cast("long").as("score")),
+      Seq(col("qid")), Seq(col("score").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(ivfTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("ivf_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nScanned, Seq("qid"))
+      .select(col("qid"), col("n_scanned"), col("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  private val q238Sql = {
+    val centroidCols = (0 until DIM)
+      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+                 FROM vecs GROUP BY label),
+       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
+                  FROM cents),
+       rq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < 20),
+       assigned AS (SELECT qid, clabel FROM (
+         SELECT rq.qid, c.clabel,
+           RANK() OVER (PARTITION BY rq.qid ORDER BY
+             round(${VectorOps.dotSql("qv", "cv")} / (qn * cn), 6) DESC,
+             c.clabel ASC) AS crnk
+         FROM rq CROSS JOIN cents2 c) WHERE crnk <= 2),
+       x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                 FROM x GROUP BY 1),
+       rec AS (SELECT vec_id, x.dim,
+                 mn + ((2*(((x.x - mn) * 256) // (mx - mn + 1)) + 1)
+                   * ((mx - mn) + 1)) // 512 AS r
+               FROM x JOIN stats USING (dim)),
+       ex AS (SELECT vec_id, list(CAST(x AS DOUBLE) ORDER BY dim) AS cv
+              FROM x GROUP BY 1),
+       adl AS (SELECT a.vec_id AS cid, e.label AS clabel, a.cv
+               FROM (SELECT vec_id,
+                       list(CAST(r AS DOUBLE) ORDER BY dim) AS cv
+                     FROM rec GROUP BY 1) a
+               JOIN embeddings e ON e.vec_id = a.vec_id),
+       qs AS (SELECT vec_id AS qid, cv AS qv FROM ex WHERE vec_id < 20),
+       scored AS (SELECT q.qid, m.cid,
+           CAST(${VectorOps.dotSql("q.qv", "m.cv")} AS BIGINT) AS score
+         FROM qs q JOIN assigned a ON a.qid = q.qid
+         JOIN adl m ON m.clabel = a.clabel AND m.cid <> q.qid),
+       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM scored GROUP BY 1),
+       it AS (SELECT qid, cid AS ivf_cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY score DESC, cid ASC) AS rnk FROM scored)
+         WHERE rnk <= 5),
+       et AS (SELECT qid, cid FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             RANK() OVER (PARTITION BY q.qid
+               ORDER BY CAST(${VectorOps.dotSql("q.qv", "c.cv")} AS BIGINT)
+                 DESC, c.vec_id ASC) AS rnk
+           FROM qs q JOIN ex c ON c.vec_id <> q.qid)
+         WHERE rnk <= 5),
+       hits AS (SELECT et.qid,
+           CAST(SUM(CASE WHEN et.cid = it.ivf_cid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM et JOIN it ON it.qid = et.qid GROUP BY 1)
+       SELECT h.qid, n.n_scanned, h.n_hits
+       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_sq8_adc_recall" -> q227Sq8AdcRecall,
+    "q238_ivf_sq8_serving" -> q238IvfSq8Serving,
     "q226_scalar_quantization" -> q226ScalarQuantization,
     "q200_kcenter_coreset" -> q200KcenterCoreset,
     "q201_coreset_cells" -> q201CoresetCells,
@@ -1008,6 +1134,7 @@ object Similarity extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "q227_sq8_adc_recall" -> q227Sql,
+    "q238_ivf_sq8_serving" -> q238Sql,
     "q226_scalar_quantization" -> q226Sql,
     "q200_kcenter_coreset" -> q200Sql,
     "q201_coreset_cells" -> q201Sql,

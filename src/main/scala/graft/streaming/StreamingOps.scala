@@ -324,14 +324,40 @@ object StreamingOps {
   def exactlyOnceParquetSink(
       events: DataFrame,
       path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      outputMode: String = "append")
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         writeBatchIdempotent(batch.toDF(), path, batchId)
       }
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Latest committed batch dir under an [[exactlyOnceParquetSink]]
+    * path, if any — the read side of the idempotent
+    * `batch_id=<n>` convention (for complete-mode sinks the highest
+    * batch IS the current full result; same resolution rule as
+    * [[readScd2History]]).
+    */
+  def readLatestBatch(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val batches = fs.listStatus(root).toSeq
+        .filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch_id=").toLong)
+          .toOption.map(_ -> st.getPath))
+      if (batches.isEmpty) None
+      else Some(spark.read.parquet(batches.maxBy(_._1)._2.toString))
+    }
+  }
 
   /** Streaming SCD Type-2 maintenance — the continuous twin of
     * [[graft.ops.ScdOps.scd2Apply]] (q162): each micro-batch is a full

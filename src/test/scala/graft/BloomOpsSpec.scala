@@ -61,6 +61,31 @@ class BloomOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sizeFor keeps fill under 0.5 across 4 decades of key counts") {
+    val sq = spark
+    import sq.implicits._
+    // The saturation trap sizeFor exists to prevent: a constant m that
+    // is healthy at n=1k fills up at n=100k. sizeFor must keep the
+    // built bitmap's measured fill below the 0.5 optimum at every n.
+    Seq(100L, 1000L, 10000L, 100000L).foreach { n =>
+      val (m, k) = BloomOps.sizeFor(n)
+      assert(m % 64 === 0 && (m & (m - 1)) === 0,
+        s"m=$m must be a power of two multiple of 64")
+      assert(m >= 10 * n * 0.99, s"m=$m too small for n=$n")
+      val keys = sq.range(n).select(
+        concat(lit("k-"), col("id")).as("k"))
+      val fill = BloomOps.fill(BloomOps.build(keys, "k", m, k))
+      assert(fill < 0.5,
+        f"n=$n m=$m k=$k fill=$fill%.3f — bloom saturating")
+    }
+  }
+
+  test("sizeFor caps m at the 16 MiB broadcast ceiling") {
+    val (m, k) = BloomOps.sizeFor(100000000L)
+    assert(m === (1 << 27))
+    assert(k >= 1)
+  }
+
   test("build rejects a bitmap size that is not a multiple of 64") {
     val sq = spark
     import sq.implicits._

@@ -272,6 +272,19 @@ class PlanSpec extends AnyFunSuite {
       p.contains("EqualTo(l_returnflag,R)"), p.take(4000))
   }
 
+  test("q237 shipping priority: TakeOrderedAndProject on the computed " +
+      "revenue, broadcast semi on customer, no global sort") {
+    val p = planOf(Relational.all("q237_shipping_priority")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    // the top-10 must NOT plan as a global Sort + Limit
+    assert(!p.contains("Exchange rangepartitioning"), p.take(4000))
+    // the segment's customers reduce orders via a broadcast semi join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(4000))
+    // both fact date filters reach their parquet scans
+    assert(p.contains("PushedFilters"), p.take(4000))
+  }
+
   test("q222 NOT-IN excluded suppliers plan as a broadcast anti join") {
     val p = planOf(Relational.all("q222_part_supplier_counts")(spark, sf))
     assert(p.contains("LeftAnti"), p.take(4000))
