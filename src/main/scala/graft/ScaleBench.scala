@@ -42,7 +42,12 @@ object ScaleBench {
       .format("noop").mode("overwrite").save()
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    // Subset filter (comma-separated names, same contract as Verify):
+    // used for targeted runs like the sf1 heavy-set scaling point.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def sweep(sfDir: String): Map[String, Double] =
       names.map { name =>

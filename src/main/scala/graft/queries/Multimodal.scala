@@ -39,17 +39,30 @@ object Multimodal extends QueryPack {
     * dimensions (rows-only check: codec byte streams aren't
     * SQL-expressible).
     */
-  private def q61MediaFeatures(s: SparkSession, d: String): DataFrame =
-    MultimodalOps
-      .extractFeatures(MultimodalOps.synthesizeMedia(assets(s, d))).toDF()
+  private def q61MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val synth = MultimodalOps.synthesizeMedia(assets(s, d))
+    MultimodalOps.extractFeatures(synth).toDF()
+      // self-verdict needs the DECLARED dims beside the decoded ones:
+      // a round-trip contract (encode → decode recovers the asset's
+      // own geometry) is what "the codec works" means
+      .join(synth.toDF().select(col("doc_id"), col("width"),
+        col("height")), Seq("doc_id"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("byte_len")).cast("long").as("sum_bytes"),
         sum(col("dec_width").cast("long") * col("dec_height"))
           .as("sum_dec_pixels"),
         min(col("checksum")).as("min_checksum"),
-        max(col("checksum")).as("max_checksum"))
+        max(col("checksum")).as("max_checksum"),
+        // images must decode to exactly their declared dimensions;
+        // audio decodes to (frames, channels) — assert positive
+        min(when(col("format") === "wav",
+          col("dec_width") > 0 && col("dec_height") > 0)
+          .otherwise(col("dec_width") === col("width") &&
+            col("dec_height") === col("height"))).cast("long")
+          .as("verdict"))
       .orderBy(col("format"))
+  }
 
   /** q63: the full media-normalization pipeline — synthesize real
     * payloads, resize images to ≤128 px (bilinear, aspect-preserving),
@@ -68,6 +81,15 @@ object Multimodal extends QueryPack {
         max(col("dec_width")).cast("long").as("max_dec_width"),
         max(col("dec_height")).cast("long").as("max_dec_height"),
         sum(col("byte_len")).cast("long").as("sum_bytes"))
+      // self-verdict: the normalization contract, decode-verified —
+      // every image decodes to ≤128 px on both axes after the resize;
+      // audio still decodes to a positive frame count after 4×
+      // decimation
+      .withColumn("verdict",
+        when(col("format") === "wav",
+          col("max_dec_width") > 0 && col("max_dec_height") > 0)
+          .otherwise(col("max_dec_width") <= 128 &&
+            col("max_dec_height") <= 128).cast("long"))
       .orderBy(col("format"))
   }
 
@@ -100,7 +122,7 @@ object Multimodal extends QueryPack {
       .delete(dirPath, true)
     MultimodalOps.writeMediaFiles(media, dir)
     val ingested = MultimodalOps.readMediaAssets(s, dir)
-    MultimodalOps.extractFeatures(ingested).toDF()
+    def perFormat(feats: DataFrame) = feats
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("byte_len")).cast("long").as("sum_bytes"),
@@ -108,6 +130,23 @@ object Multimodal extends QueryPack {
           .as("sum_dec_pixels"),
         min(col("checksum")).as("min_checksum"),
         max(col("checksum")).as("max_checksum"))
+    val viaFiles = perFormat(MultimodalOps.extractFeatures(ingested).toDF())
+    // self-verdict: the file round-trip is lossless — the ingested
+    // corpus's per-format feature summary must EQUAL the same summary
+    // computed on the in-flight payloads that were written (any byte
+    // corruption, missed file, or stale leftover flips it)
+    val inFlight = perFormat(MultimodalOps.extractFeatures(media).toDF())
+      .select(col("format"), col("n_assets").as("e_n"),
+        col("sum_bytes").as("e_bytes"), col("sum_dec_pixels").as("e_px"),
+        col("min_checksum").as("e_min"), col("max_checksum").as("e_max"))
+    viaFiles.join(broadcast(inFlight), Seq("format"), "left")
+      .withColumn("verdict",
+        (col("n_assets") === col("e_n") &&
+          col("sum_bytes") === col("e_bytes") &&
+          col("sum_dec_pixels") === col("e_px") &&
+          col("min_checksum") === col("e_min") &&
+          col("max_checksum") === col("e_max")).cast("long"))
+      .drop("e_n", "e_bytes", "e_px", "e_min", "e_max")
       .orderBy(col("format"))
   }
 
@@ -140,6 +179,9 @@ object Multimodal extends QueryPack {
       .select(col("doc_id"), col("phash"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // expected recall set: one twin pair per transcoded PNG (counted
+    // from the cached hash table, not a re-synthesis)
+    val expectedTwins = hashes.filter(col("doc_id") >= twinOffset).count()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -150,6 +192,13 @@ object Multimodal extends QueryPack {
       .distinct()
       .filter(col("hamming") <= 6)
       .withColumn("matched_twin", col("d2") === col("d1") + twinOffset)
+      // self-verdict: 100% twin recall — every PNG/JPEG rendering of
+      // the same pixels must be paired (the fixture-pinned contract,
+      // asserted on the real corpus too)
+      .withColumn("verdict",
+        (sum(col("matched_twin").cast("long")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          === expectedTwins).cast("long"))
       .orderBy(col("d1"), col("d2"))
   }
 

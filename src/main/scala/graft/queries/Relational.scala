@@ -1716,11 +1716,19 @@ object Relational extends QueryPack {
   /** P12: seeded sampling — RNG is engine-specific, so this is a
     * rows-only check (no oracle entry; driver verifies rows > 0).
     */
-  private def q17Sample(s: SparkSession, d: String): DataFrame =
+  private def q17Sample(s: SparkSession, d: String): DataFrame = {
+    val total = Tables(s, d, "lineitem").count()
     Tables(s, d, "lineitem")
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .agg(count(lit(1)).as("n_sampled"),
         Exact.sumFixed(col("l_quantity"), 2).as("sum_qty"))
+      // self-verdict: a Bernoulli(0.1) sample lands within ±30% of the
+      // expected size (p=0.1, n≥6000 ⇒ that band is >8 sigma — a flip
+      // means broken sampling, not bad luck)
+      .withColumn("verdict",
+        (col("n_sampled") >= (total * 0.07).toLong &&
+          col("n_sampled") <= (total * 0.13).toLong).cast("long"))
+  }
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
