@@ -33,6 +33,16 @@ object GraftSession {
       // Tables.normalizeEventTime canonicalizes the other generations
       // (TIMESTAMP(MICROS)/NTZ) to the same LONG-nanos representation.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter join pruning, pinned on: when a join's
+      // build side carries a selective filter, the optimizer injects a
+      // bloom_filter_agg on it and a bloom_filter_might_contain
+      // pre-filter on the probe-side SCAN, so a 100 TB fact table
+      // drops non-matching rows at the scan instead of carrying them
+      // to the shuffle. The default size thresholds (build ≤ 10 MB
+      // creation cost, probe ≥ 10 GB scan) gate it to exactly the
+      // big-probe/small-build joins where it pays; PlanSpec proves the
+      // injection fires with the thresholds scaled to test data.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // dogfood the cartesian/nested-loop lint on every engine query
       .config("spark.graft.failOnCartesian", "true")

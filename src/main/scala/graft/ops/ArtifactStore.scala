@@ -106,4 +106,48 @@ private[ops] object ArtifactStore {
     * directory itself to invalidate it.
     */
   def clear(): Unit = synchronized { artifacts.clear() }
+
+  /** Reclaim dead derivations from a durable `spark.graft.artifactDir`
+    * cache. Content-addressed keys ACCUMULATE by design — every
+    * in-place overwrite of an input changes its file snapshot, mints a
+    * new key, and strands the previous key's directory, which nothing
+    * will ever read again. This is the retention GC a long-lived cache
+    * needs: delete cache entries that are (a) not referenced by this
+    * session's live registry and (b) older than `retainMs` (mtime of
+    * the entry's `_SUCCESS` commit marker — uncommitted/partial trees
+    * from a crashed build are reclaimed on age too). Returns the
+    * deleted entry names. A no-op (Nil) when no durable dir is
+    * configured: session-UUID'd tmpdir caches die with the JVM's
+    * tmpdir and never accumulate across runs.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      retainMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    spark.conf.getOption("spark.graft.artifactDir") match {
+      case None => Nil
+      case Some(base) => synchronized {
+        val basePath = new org.apache.hadoop.fs.Path(base)
+        val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(basePath)) Nil
+        else {
+          val live = artifacts.values.toSet
+          val cutoff = System.currentTimeMillis() - retainMs
+          fs.listStatus(basePath).toSeq
+            .filter(_.isDirectory)
+            // registry values are "$base/$key" strings while listStatus
+            // returns qualified URIs — match on the content-addressed
+            // entry name, which is unique by construction
+            .filterNot(st =>
+              live.exists(_.endsWith("/" + st.getPath.getName)))
+            .filter { st =>
+              val marker = new org.apache.hadoop.fs.Path(st.getPath,
+                "_SUCCESS")
+              val mtime = if (fs.exists(marker))
+                fs.getFileStatus(marker).getModificationTime
+              else st.getModificationTime
+              mtime < cutoff
+            }
+            .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+        }
+      }
+    }
 }

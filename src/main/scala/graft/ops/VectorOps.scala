@@ -147,4 +147,83 @@ object VectorOps {
       .withColumn("recon",
         col("mn") + expr("((2*code + 1) * (rng + 1)) div 512"))
   }
+
+  /** The lifted frame split into `m` PQ subspaces: (vec_id, sub, j, x)
+    * with sub = dim div subDim, j = dim mod subDim. Pure projection.
+    */
+  def pqSubspaces(x: org.apache.spark.sql.DataFrame, subDim: Int)
+      : org.apache.spark.sql.DataFrame =
+    x.select(col("vec_id"), expr(s"dim div $subDim").as("sub"),
+      (col("dim") % subDim).as("j"), col("x"))
+
+  /** Product-quantization codebook over the subspace frame: k
+    * centroids per subspace, trained with `rounds` integer-exact
+    * Lloyd iterations. The 16-64× compression layer a 10 B-vector
+    * store runs (faiss IndexPQ / IVF+PQ): each vector becomes m
+    * sub-codes of log2(k) bits, and serving scores against a
+    * per-query distance table instead of the raw floats.
+    *
+    * Everything replays in the oracle:
+    *  - seeding is hash-rank deterministic (md5-prefix64 of
+    *    "pqseed:"+vec_id, vec_id tie-break) — the k seed vectors'
+    *    subvectors initialize every subspace's centroids, no RNG;
+    *  - assignment distance is exact integer Σ(x−v)² (e6 components →
+    *    per-term ≤ 4·10¹², subDim-term sums far under 2⁵³), argmin
+    *    tie-breaks on centroid id;
+    *  - the centroid update is floor-division in BOTH engines: Spark
+    *    `div` truncates toward zero while DuckDB `//` floors, so the
+    *    mean is computed on a +2·10⁶-per-element SHIFTED numerator
+    *    (unit-vector components are ≥ −10⁶, so the shifted sum is
+    *    non-negative and truncation ≡ floor), then unshifted;
+    *  - a centroid whose cluster empties keeps its previous value.
+    * Output: (sub, c, j, v). Lloyd is k·m small aggregates per round
+    * over a frame of |corpus|·DIM rows — linear passes, the k×m×subDim
+    * codebook (a few KB) broadcasts everywhere it joins.
+    */
+  def pqCodebook(xs: org.apache.spark.sql.DataFrame, k: Int,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // k smallest (hash, id) via global top-k (TakeOrderedAndProject —
+    // no full sort at corpus scale); the rank-assignment window then
+    // runs over exactly k rows
+    val topK = xs.select(col("vec_id")).distinct()
+      .withColumn("h", graft.ops.TextOps.tokenHashReference(
+        concat(lit("pqseed:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+    val seeds = topK
+      .withColumn("c",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("c").cast("long").as("c"))
+    var cent = xs.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("c"), col("j"), col("x").as("v"))
+    for (_ <- 1 to rounds) {
+      val assigned = pqAssign(xs, cent)
+      val updated = assigned.join(xs, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("c"), col("j"))
+        .agg(expr("(sum(x) + count(1) * 2000000) div count(1) - 2000000")
+          .as("nv"))
+      cent = cent.join(updated, Seq("sub", "c", "j"), "left")
+        .select(col("sub"), col("c"), col("j"),
+          coalesce(col("nv"), col("v")).as("v"))
+    }
+    cent
+  }
+
+  /** Nearest-centroid assignment per (vec, subspace): exact integer
+    * squared-L2 argmin with centroid-id tie-break → (vec_id, sub, c).
+    * After training this IS the PQ encoder (m codes per vector).
+    */
+  def pqAssign(xs: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = xs.join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("vec_id"), col("sub"), col("c"))
+      .agg(sum((col("x") - col("v")) * (col("x") - col("v"))).as("dd"))
+    dist.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dd"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("c"))
+  }
 }

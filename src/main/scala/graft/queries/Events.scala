@@ -1081,7 +1081,7 @@ object Events extends QueryPack {
     * so the returned frame doesn't depend on the files.
     */
   private def streamReplayParity(s: SparkSession, d: String, tag: String,
-      mode: String = "complete")(
+      mode: String = "complete", stateStoreProvider: Option[String] = None)(
       agg: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingOps
     val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1113,12 +1113,16 @@ object Events extends QueryPack {
       // per-partition state commits per store per batch with no
       // parallelism win on gate-sized state; result is
       // partition-count-invariant, only the harness floor changes
-      StreamingOps.withShufflePartitions(s, 8) {
+      def replay(): Unit = StreamingOps.withShufflePartitions(s, 8) {
         val query = agg(
           StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
           .writeStream.format("memory").queryName(sink)
           .outputMode(mode).start()
         try query.processAllAvailable() finally query.stop()
+      }
+      stateStoreProvider match {
+        case Some(p) => StreamingOps.withStateStoreProvider(s, p)(replay())
+        case None => replay()
       }
       s.table(sink)
     } finally fs.delete(stagePath, true)
@@ -1160,6 +1164,36 @@ object Events extends QueryPack {
   private def q224StreamSessionParity(
       s: SparkSession, d: String): DataFrame =
     streamReplayParity(s, d, "q224") { stream =>
+      stream
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+    }.orderBy(col("user_id"), col("session_start_us"))
+
+  /** q240: the q224 SESSION parity gate on the ROCKSDB state store —
+    * identical replay, identical merging `session_window` state,
+    * identical DuckDB mirror, but the state between micro-batches
+    * lives in RocksDB instead of the default on-heap HDFS-backed
+    * maps. This is the provider a 100 TB deployment actually runs:
+    * keyed session state over billions of users exceeds executor
+    * heap, and RocksDB makes state size a native-storage problem with
+    * incremental changelog checkpoints
+    * ([[graft.streaming.StreamingOps.withStateStoreProvider]]).
+    * Gate-green here proves the engine's stateful semantics are
+    * PROVIDER-INVARIANT — swap the store, get byte-identical
+    * sessions — so the heap→RocksDB migration at scale is a conf
+    * change, not a correctness risk. Session merging is the
+    * stressiest store pattern of the pack's stateful ops (get +
+    * merge + put + range-delete per key per batch vs the windowed
+    * agg's get/put).
+    */
+  private def q240StreamRocksdbSession(
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q240",
+      stateStoreProvider = Some(graft.streaming.StreamingOps
+        .RocksDbProvider)) { stream =>
       stream
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -1536,6 +1570,7 @@ object Events extends QueryPack {
     "q199_forward_fill" -> q199ForwardFill,
     "q204_stream_window_parity" -> q204StreamWindowParity,
     "q224_stream_session_parity" -> q224StreamSessionParity,
+    "q240_stream_rocksdb_session" -> q240StreamRocksdbSession,
     "q231_stream_dedup_parity" -> q231StreamDedupParity,
     "q232_stream_transitions_parity" -> q232StreamTransitionsParity,
     "q234_stream_bloom_admission" -> q234StreamBloomAdmission,
@@ -1572,6 +1607,7 @@ object Events extends QueryPack {
     "q199_forward_fill" -> q199Sql,
     "q204_stream_window_parity" -> q204Sql,
     "q224_stream_session_parity" -> q224Sql,
+    "q240_stream_rocksdb_session" -> q224Sql,
     "q231_stream_dedup_parity" -> q231Sql,
     "q232_stream_transitions_parity" -> q232Sql,
     "q234_stream_bloom_admission" -> q234Sql,

@@ -1111,7 +1111,143 @@ object Similarity extends QueryPack {
        FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
   }
 
+  /** q241: PRODUCT quantization — the compression layer past q226's
+    * SQ8: m=8 subspaces × k=16 centroids trained with 2 integer-exact
+    * Lloyd rounds ([[VectorOps.pqCodebook]]), so each 64-dim float
+    * vector becomes 8 four-bit codes (a 64× cut vs float32 — the
+    * faiss IndexPQ layout a 10 B-vector store runs where even SQ8's
+    * 4× doesn't fit RAM). Serving is the PQ ADC shape: per query, an
+    * m×k distance TABLE (Σ(qx−v)² per subspace centroid, computed
+    * once), then each candidate's distance is m table LOOKUPS summed
+    * — no per-candidate arithmetic on raw vectors at all. Report is
+    * recall@5 vs the exact integer L2 top-5. Deterministic end to
+    * end (hash-rank seeding, argmin tie-breaks, shift-floor centroid
+    * means — see pqCodebook's scaladoc), so the DuckDB oracle replays
+    * the full train→encode→table→lookup→rank chain value-for-value
+    * with the two Lloyd rounds unrolled as CTEs (the q129 MMR
+    * precedent). Scale shape: training is linear passes with a
+    * broadcast codebook (k·m·subDim rows ≈ KBs); the ADC join is
+    * codes⋈table on (sub, c) — candidate-driven, never
+    * queries×corpus×dims. Reference analogue: hw4's brute-force
+    * cosine top-1 (hw4/hw4.py:102-117), upgraded to the
+    * memory-bounded shape that actually serves at 100 TB.
+    */
+  private def q241PqAdcRecall(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // subspace frame, norms and ground truth all scan it
+    val xs = VectorOps.pqSubspaces(x, subDim = 8)
+    val cent = VectorOps.pqCodebook(xs, k = 16, rounds = 2).cache()
+    cent.count() // k·m·subDim rows; pin the trained codebook (the
+    // Lloyd loop otherwise re-derives through a 2-round-deep plan)
+    val codes = VectorOps.pqAssign(xs, cent)
+    val qxs = xs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sub"), col("j"),
+        col("x").as("qx"))
+    val tab = qxs.join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("qid"), col("sub"), col("c"))
+      .agg(sum((col("qx") - col("v")) * (col("qx") - col("v"))).as("dd"))
+    val adc = codes.join(broadcast(tab), Seq("sub", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dd")).as("dist"))
+      .select(col("qid"), col("vec_id").as("cid"), col("dist"))
+    val pqTop = TopKOps.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("pq_cid"))
+    // exact integer-L2 ground truth: ‖q‖²+‖c‖²−2⟨q,c⟩ over the same
+    // e6 ints (identical to Σ(q−c)², which the oracle computes)
+    val arrs = x.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("x")))),
+        t => t.getField("x").cast("double")).as("v"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    val q = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val exactTop = TopKOps.topKPerGroup(
+      q.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("n2").as("cn2")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") -
+            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+            .as("dist")),
+      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(pqTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("pq_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  private val q241Sql = {
+    // one Lloyd round as a CTE pair: assignment against codebook `cp`,
+    // then the shift-floor mean update with empty-cluster carry-over
+    def round(cp: String, a: String, u: String, cn: String) =
+      s"""$a AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs.vec_id, xs.sub, c.c,
+                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
+                 FROM xs JOIN $cp c ON c.sub = xs.sub AND c.j = xs.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+         $u AS (SELECT a.sub, a.c, xs.j,
+             (SUM(xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN xs ON xs.vec_id = a.vec_id AND xs.sub = a.sub
+           GROUP BY 1, 2, 3),
+         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
+           FROM $cp p LEFT JOIN $u u
+             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       xs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM x),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
+                 AS BIGINT), vec_id) AS rn
+           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
+       c0 AS (SELECT xs.sub, s.c, xs.j, xs.x AS v
+              FROM seeds s JOIN xs ON xs.vec_id = s.vec_id),
+       ${round("c0", "a1", "u1", "c1")},
+       ${round("c1", "a2", "u2", "c2")},
+       codes AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs.vec_id, xs.sub, c.c,
+                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
+                 FROM xs JOIN c2 c ON c.sub = xs.sub AND c.j = xs.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+       tab AS (SELECT q.vec_id AS qid, c.sub, c.c,
+               SUM((q.x - c.v)*(q.x - c.v)) AS dd
+             FROM xs q JOIN c2 c ON c.sub = q.sub AND c.j = q.j
+             WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+       adc AS (SELECT t.qid, k.vec_id AS cid, SUM(t.dd) AS dist
+             FROM codes k JOIN tab t ON t.sub = k.sub AND t.c = k.c
+             WHERE k.vec_id <> t.qid GROUP BY 1, 2),
+       pt AS (SELECT qid, cid AS pq_cid FROM (
+           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 5),
+       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+               SUM((q.x - c.x)*(q.x - c.x)) AS dist
+             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+             WHERE q.vec_id < 20 GROUP BY 1, 2),
+       et AS (SELECT qid, cid FROM (
+           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5)
+       SELECT et.qid,
+         CAST(SUM(CASE WHEN et.cid = pt.pq_cid THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hits
+       FROM et JOIN pt ON pt.qid = et.qid
+       GROUP BY et.qid ORDER BY et.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_pq_adc_recall" -> q241PqAdcRecall,
     "q227_sq8_adc_recall" -> q227Sq8AdcRecall,
     "q238_ivf_sq8_serving" -> q238IvfSq8Serving,
     "q226_scalar_quantization" -> q226ScalarQuantization,
@@ -1133,6 +1269,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q241_pq_adc_recall" -> q241Sql,
     "q227_sq8_adc_recall" -> q227Sql,
     "q238_ivf_sq8_serving" -> q238Sql,
     "q226_scalar_quantization" -> q226Sql,

@@ -285,6 +285,35 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with the streaming state store backed by a different
+    * provider (conf saved/restored like [[withShufflePartitions]]).
+    * The interesting value is RocksDB
+    * (`org.apache.spark.sql.execution.streaming.state
+    * .RocksDBStateStoreProvider`): the default HDFS-backed provider
+    * holds every partition's state map ON HEAP, so a 100 TB deployment
+    * whose keyed state (sessions over billions of users, dedup keys
+    * over a day's documents) exceeds executor memory OOMs; RocksDB
+    * keeps state off-heap in native storage with incremental
+    * changelog checkpointing, making state size a disk problem
+    * instead of a heap problem. The provider is chosen when a query
+    * STARTS, so scoping the conf around start() is sufficient and
+    * queries running outside `body` are untouched.
+    */
+  def withStateStoreProvider[T](spark: org.apache.spark.sql.SparkSession,
+      providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * static dimension with the planner's normal join selection (a dim
     * under the broadcast threshold broadcasts automatically; a huge

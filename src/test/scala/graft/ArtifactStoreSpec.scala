@@ -76,4 +76,50 @@ class ArtifactStoreSpec extends AnyFunSuite {
       ArtifactStore.clear()
     }
   }
+
+  test("vacuum reclaims aged dead cache entries, keeps live and young") {
+    val sq = spark
+    val input = tmp("vacuum") + "/in.parquet"
+    sq.range(8).select(col("id"), col("id").as("v"))
+      .write.mode("overwrite").parquet(input)
+    val cacheDir = tmp("vacuum-cache")
+    sq.conf.set("spark.graft.artifactDir", cacheDir)
+    try {
+      def derive(params: String): Unit = {
+        val d = sq.read.parquet(input)
+        ArtifactStore.materializedOnce(
+          d, ArtifactStore.key(d, "spec-vacuum", params)) {
+          d.groupBy().agg(sum(col("v")).as("s"))
+        }.collect()
+      }
+      derive("live")
+      derive("dead")
+      // simulate "dead" being from an earlier run: evict it from the
+      // registry and age its commit marker past the retention window
+      ArtifactStore.clear()
+      derive("live") // re-registers the live key (cache hit, no build)
+      val deadDir = new java.io.File(cacheDir).listFiles()
+        .filter(_.getName.endsWith("-dead")).head
+      val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+      new java.io.File(deadDir, "_SUCCESS").setLastModified(old)
+      val deleted = ArtifactStore.vacuum(sq)
+      assert(deleted.exists(_.endsWith("-dead")),
+        s"aged dead entry must be reclaimed, got $deleted")
+      assert(new java.io.File(cacheDir).listFiles()
+        .exists(_.getName.endsWith("-live")),
+        "live entry must survive vacuum")
+      // a dead-but-YOUNG entry survives (retention window)
+      ArtifactStore.clear()
+      derive("young")
+      ArtifactStore.clear()
+      assert(ArtifactStore.vacuum(sq) === Nil,
+        "entries younger than the retention window must survive")
+      // no durable dir configured → no-op
+      sq.conf.unset("spark.graft.artifactDir")
+      assert(ArtifactStore.vacuum(sq) === Nil)
+    } finally {
+      sq.conf.unset("spark.graft.artifactDir")
+      ArtifactStore.clear()
+    }
+  }
 }

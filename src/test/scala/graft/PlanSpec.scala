@@ -451,4 +451,46 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.SemanticOps.release()
     graft.ops.CurationOps.clearArtifacts()
   }
+
+  test("selective build-side filter injects a runtime bloom filter " +
+    "on the probe-side scan (thresholds scaled to test data)") {
+    import org.apache.spark.sql.functions._
+    // The production thresholds (build ≤ 10 MB, probe scan ≥ 10 GB)
+    // target exactly the 100 TB fact ⋈ filtered dim shape; test data
+    // is below both, so scale them to the fixture and pin that the
+    // injection FIRES: bloom_filter_agg over the filtered build side's
+    // join keys, might_contain guarding the probe scan. Broadcast is
+    // disabled because a broadcast-hash join already prunes at the
+    // probe via its hash relation — the bloom path is the
+    // shuffle-join (too-big-to-broadcast) case.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "0")
+      spark.conf.set(keys(1), "-1")
+      val line = spark.read.parquet(s"$sf/lineitem.parquet")
+      val urgent = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = line.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt.take(3000))
+      assert(opt.contains("bloom_filter_agg"), opt.take(3000))
+      // and the result is identical with the filter injected vs not
+      val withBloom = j.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without =
+        try j.collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(withBloom == without)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

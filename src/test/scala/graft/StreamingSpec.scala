@@ -559,4 +559,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.forall(_._4 <= quota), "running totals must respect quota")
     } finally query.stop()
   }
+
+  test("withStateStoreProvider scopes the provider conf and restores " +
+    "it on both success and failure") {
+    import graft.streaming.StreamingOps
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val seen = StreamingOps.withStateStoreProvider(
+      spark, StreamingOps.RocksDbProvider) { spark.conf.get(key) }
+    assert(seen === StreamingOps.RocksDbProvider)
+    assert(spark.conf.getOption(key) === before, "restore after success")
+    intercept[RuntimeException] {
+      StreamingOps.withStateStoreProvider(spark,
+        StreamingOps.RocksDbProvider) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.getOption(key) === before, "restore after failure")
+  }
 }
