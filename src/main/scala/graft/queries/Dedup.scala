@@ -1207,18 +1207,35 @@ object Dedup extends QueryPack {
          AND greatest(n_shared / n1, n_shared / n2) >= 0.9
        ORDER BY d1, d2"""
 
-  /** q153: EXACT threshold similarity join at scale —
-    * [[CurationOps.exactPrefixJoin]] (AllPairs/PPJoin-family prefix
-    * filtering over a rarest-first global token order). The oracle is
-    * the brute-force definition: every pair sharing ≥1 distinct
-    * shingle, exact distinct-set Jaccard, threshold 0.8 — so the
-    * hash-equality check IS the no-false-negative proof of the prefix
-    * filter on this corpus. Complements q31 (LSH + verify,
-    * probabilistic recall) with a deterministic-recall path whose cost
-    * is still candidate-driven, not all-pairs.
+  /** q153: EXACT threshold similarity join at scale — now COST-BASED
+    * ([[CurationOps.exactSimilarityJoin]]): prefix filtering
+    * (AllPairs/PPJoin family, rarest-first order) when prefix buckets
+    * are selective, pigeonhole segmentation
+    * ([[CurationOps.exactSegmentJoin]], PTJ family) when the token
+    * universe has saturated and token df grows with the corpus — the
+    * regime where prefix candidates explode as Σ df² (measured 151×
+    * on 10× docs on this vocabulary at sf1). The oracle is the
+    * brute-force definition: every pair sharing ≥1 distinct shingle,
+    * exact distinct-set Jaccard, threshold 0.8 — so the hash-equality
+    * check IS the no-false-negative proof of whichever physical
+    * strategy the probe picks. Complements q31 (LSH + verify,
+    * probabilistic recall) with a deterministic-recall path whose
+    * cost is candidate-driven, not all-pairs.
     */
   private def q153PrefixJoin(s: SparkSession, d: String): DataFrame =
-    CurationOps.exactPrefixJoin(docs(s, d))
+    CurationOps.exactSimilarityJoin(docs(s, d))
+      .orderBy(col("d1"), col("d2"))
+
+  /** q242: the pigeonhole-segmentation strategy pinned on (the PTJ
+    * path q153's cost probe takes only past the saturation point), so
+    * the segment machinery itself is oracle-gated at every SF: size
+    * groups → per-group-pair K = ⌈(D+1)/2⌉ universe partition → full
+    * + 1-deletion signatures → (group-pair, segment, signature)
+    * equi-join → exact verify. Same brute-force oracle as q153 —
+    * the two strategies must produce the identical exact answer.
+    */
+  private def q242SegmentJoin(s: SparkSession, d: String): DataFrame =
+    CurationOps.exactSegmentJoin(docs(s, d))
       .orderBy(col("d1"), col("d2"))
 
   private val q153Sql =
@@ -1291,6 +1308,7 @@ object Dedup extends QueryPack {
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_containment" -> q152Containment,
     "q153_prefix_join" -> q153PrefixJoin,
+    "q242_segment_join" -> q242SegmentJoin,
     "q155_neardup_kcore" -> q155KCore,
     "q27_minhash_signatures" -> q27MinhashSignatures,
     "q28_lsh_band_pairs" -> q28LshBandPairs,
@@ -1332,6 +1350,7 @@ object Dedup extends QueryPack {
     "q31_ngram_jaccard" -> q31Sql,
     "q152_containment" -> q152Sql,
     "q153_prefix_join" -> q153Sql,
+    "q242_segment_join" -> q153Sql,
     "q155_neardup_kcore" -> q155Sql,
     "q75_neardup_clusters" -> q75Sql,
     "q182_split_leakage" -> q182Sql,

@@ -153,13 +153,27 @@ object Multimodal extends QueryPack {
   /** q157: cross-codec perceptual media dedup — every synthesized PNG
     * gets a lossy JPEG twin (identical pixels, entirely different
     * bytes, so q60's md5 can never pair them), then 64-bit aHashes
-    * ([[MultimodalOps.perceptualHashes]]) go through the exact q30
-    * SimHash machinery: 4×16-bit band keys → equi-join candidates →
-    * Hamming ≤ 6 verify. `matched_twin` marks pairs that are a
-    * PNG/JPEG rendering of the same source — the recall readout.
-    * Rows-only (codec bytes aren't SQL-expressible); MultimodalSpec
-    * pins twin recall = 100% on a fixture. WAV assets flow through the
-    * same hash (energy-envelope bits) exercising the audio path.
+    * ([[MultimodalOps.perceptualHashes]]) are deduplicated at CLASS
+    * granularity: identical hashes collapse to one representative
+    * BEFORE any pairing, the 4×16-bit band join + Hamming ≤ 6 verify
+    * runs over DISTINCT hashes only, and class edges + member→rep
+    * stars feed [[graft.ops.GraphOps.connectedComponents]]. The class
+    * layer is the scale fix: perceptual hashes concentrate (a corpus
+    * rendered from bounded templates collapses to ≲9k distinct hashes
+    * no matter how many documents carry them — exactly what
+    * boilerplate images do at 100 TB), so doc-level banding pairs
+    * every hash class quadratically (measured 44.8× runtime on a 10×
+    * corpus) while class-level work is bounded by #distinct hashes
+    * and the per-doc output stays linear.
+    *
+    * Output: one row per asset with its hash class, class size and
+    * near-dup component. Self-verdict: 100% twin recall — every
+    * PNG and its JPEG twin must land in the SAME component (hamming
+    * ≤ 6 holds per twin, so class banding must link them; the
+    * fixture-pinned contract, asserted on the real corpus too).
+    * Rows-only (codec bytes aren't SQL-expressible). WAV assets flow
+    * through the same hash (energy-envelope bits), exercising the
+    * audio path.
     */
   private def q157PhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -170,36 +184,51 @@ object Multimodal extends QueryPack {
       .map(a => a.copy(doc_id = a.doc_id + twinOffset))
     val hashes = MultimodalOps.perceptualHashes(base.union(twins))
       .toDF().cache()
-    hashes.count() // materialize before the self-join (design rule 8)
+    hashes.count() // materialize before reuse (design rule 8)
+    val classes = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("class_size"))
+      .cache()
+    classes.count() // feeds the band join, the stars and the output
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(phash, ${16 * b}) & 65535").as("key"))
     }: _*)
-    val banded = hashes
-      .select(col("doc_id"), col("phash"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("phash"),
+    val banded = classes
+      .select(col("phash"), col("rep"), explode(bandStructs).as("bk"))
+      .select(col("phash"), col("rep"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    // expected recall set: one twin pair per transcoded PNG (counted
-    // from the cached hash table, not a re-synthesis)
-    val expectedTwins = hashes.filter(col("doc_id") >= twinOffset).count()
-    banded.as("a")
+    val classEdges = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.phash") < col("b.phash"))
+      .select(col("a.rep").as("d1"), col("b.rep").as("d2"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 6)
-      .withColumn("matched_twin", col("d2") === col("d1") + twinOffset)
-      // self-verdict: 100% twin recall — every PNG/JPEG rendering of
-      // the same pixels must be paired (the fixture-pinned contract,
-      // asserted on the real corpus too)
-      .withColumn("verdict",
-        (sum(col("matched_twin").cast("long")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy())
-          === expectedTwins).cast("long"))
-      .orderBy(col("d1"), col("d2"))
+      .select(col("d1"), col("d2"))
+    val stars = hashes.join(classes, "phash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    val comp = graft.ops.GraphOps.connectedComponents(
+      classEdges.unionByName(stars), "d1", "d2")
+    val perDoc = hashes.join(classes, "phash")
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("format"), col("phash"),
+        col("class_size"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    // twin recall: every (png, jpeg-twin) pair shares a component
+    val twinCheck = perDoc.filter(col("doc_id") >= twinOffset)
+      .select((col("doc_id") - twinOffset).as("orig_id"),
+        col("comp").as("twin_comp"))
+      .join(perDoc.select(col("doc_id").as("orig_id"),
+        col("comp").as("orig_comp")), "orig_id")
+      .agg(count(lit(1)).as("n_twins"),
+        sum(when(col("twin_comp") === col("orig_comp"), lit(1L))
+          .otherwise(lit(0L))).as("n_twins_joined"))
+      .select((col("n_twins") === col("n_twins_joined")).cast("long")
+        .as("verdict"))
+    perDoc.crossJoin(broadcast(twinCheck))
+      .orderBy(col("doc_id"))
   }
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(

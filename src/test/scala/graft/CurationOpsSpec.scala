@@ -287,6 +287,59 @@ class CurationOpsSpec extends AnyFunSuite {
     CurationOps.release()
   }
 
+  test("exactSegmentJoin equals brute-force pairs — pigeonhole is exact") {
+    val brute = CurationOps.exactJaccardPairs(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seg = CurationOps.exactSegmentJoin(docsDf,
+        thresholdNum = 1, thresholdDen = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(seg === brute,
+      s"segment join must be exact: seg=$seg brute=$brute")
+    assert(seg.nonEmpty, "fixture must produce at least one pair")
+    CurationOps.release()
+  }
+
+  test("exactSegmentJoin boundary sizes and empty-segment coverage") {
+    val sq = spark
+    import sq.implicits._
+    // identical docs at the prefix test's boundary count, PLUS a tiny
+    // doc pair whose shingle sets are so small that most universe
+    // segments are EMPTY on both sides — the case a naive segment
+    // signature join drops or pairs virally; the 1-deletion budget
+    // halves K so both-empty stays a valid (and rare) 0-diff match
+    val words = (1 to 15).map(i => s"w$i").mkString(" ")
+    val tiny = "alpha beta gamma delta epsilon"
+    val d = Seq((1L, words), (2L, words),
+      (3L, (1 to 15).map(i => s"v$i").mkString(" ")),
+      (4L, tiny), (5L, tiny)).toDF("doc_id", "text")
+    val out = CurationOps.exactSegmentJoin(d,
+        thresholdNum = 4, thresholdDen = 5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(out === Set((1L, 2L), (4L, 5L)),
+      s"twins (incl. tiny docs) must pair, disjoint doc must not: $out")
+    CurationOps.release()
+  }
+
+  test("exactSimilarityJoin cost probe: both routes return the exact answer") {
+    val brute = CurationOps.exactJaccardPairs(docsDf, threshold = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // budget 0 forces the segment route; a huge budget forces prefix
+    val viaSegment = CurationOps.exactSimilarityJoin(docsDf,
+        thresholdNum = 1, thresholdDen = 2, candidateBudgetPerDoc = 0)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val viaPrefix = CurationOps.exactSimilarityJoin(docsDf,
+        thresholdNum = 1, thresholdDen = 2,
+        candidateBudgetPerDoc = Int.MaxValue)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(viaSegment === brute && viaPrefix === brute,
+      s"both physical routes must be exact: seg=$viaSegment " +
+        s"pref=$viaPrefix brute=$brute")
+    CurationOps.release()
+  }
+
   test("curate drops non-canonical dups AND low-quality docs, keeps schema") {
     val out = CurationOps.curate(docsDf, threshold = 0.5, minQuality = 0.1)
     assert(out.columns.toSet === Set("doc_id", "quality"),

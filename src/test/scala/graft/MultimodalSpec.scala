@@ -202,4 +202,27 @@ class MultimodalSpec extends AnyFunSuite {
       .map(h => h.doc_id -> h.phash).sortBy(_._1)
     assert(wavs.nonEmpty && wavs.toSeq === wavs2.toSeq)
   }
+
+  test("q157 class-level dedup: per-asset rows, twin components, verdict") {
+    val out = graft.SparkEntry.queries("q157_phash_dedup")(spark, sf)
+      .collect()
+    // linear output: exactly one row per asset (docs + jpeg twins of
+    // the png third), never a pair list that can go quadratic
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nPng = (0L until nDocs).count(_ % 3 == 0)
+    assert(out.length === nDocs + nPng,
+      s"one row per asset expected: ${out.length} vs ${nDocs + nPng}")
+    // the self-verdict (100% twin recall via shared components) holds
+    assert(out.forall(_.getAs[Long]("verdict") === 1L),
+      "every png/jpeg twin must share a near-dup component")
+    // identical hashes collapse into one class: class_size sums back
+    // to the corpus and each twin sits in its original's component
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val twinOffset = 10000000L
+    byId.keys.filter(_ >= twinOffset).foreach { tid =>
+      assert(byId(tid).getAs[Long]("comp") ===
+        byId(tid - twinOffset).getAs[Long]("comp"),
+        s"twin $tid must share its original's component")
+    }
+  }
 }
