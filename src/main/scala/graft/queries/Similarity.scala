@@ -1246,7 +1246,203 @@ object Similarity extends QueryPack {
        GROUP BY et.qid ORDER BY et.qid"""
   }
 
+  /** q243: streaming ANN delta-index ingestion + merged serving — the
+    * lifecycle a deployed vector store actually runs: an immutable BASE
+    * index built from a snapshot (coarse quantizer = per-label
+    * exact-fixed-point centroids over base rows only), then NEW vectors
+    * arriving continuously are quantized IN-STREAM — each micro-batch
+    * assigns its rows to the nearest base centroid with a stateless,
+    * codegen'd argmax over the broadcast quantizer (the quantizer is
+    * small by definition; collecting its |cells| rows to build the
+    * literal is the documented ≤k-row driver edge) — and land in a
+    * DELTA side-index. Serving then probes nprobe=2 base cells AND the
+    * delta members of those same cells, merges, and reports per query
+    * `n_scanned`/`n_delta_scanned`/`n_hits` (recall@5 vs an exact
+    * full-scan over base∪delta). The streamed assignments are gated
+    * hard: the serving candidates come FROM the memory-sink table, and
+    * `n_delta_total`/`delta_checksum` (Σ vec_id·clabel over every
+    * streamed row) pin the entire assignment table, so a dropped or
+    * misrouted delta row breaks the hash. Reference analogue: hw4's
+    * cosine top-1 (hw4/hw4.py:102-117) upgraded to the base+delta
+    * shape ingestion-time vector search needs at 100 TB. Scale shape:
+    * the stream side holds NO state (no state store, no shuffle — one
+    * projection per row, quantizer broadcast); the serving join is
+    * cell-keyed and candidate-driven; the one full scan is the
+    * deliberate ground-truth pass that defines recall. Determinism:
+    * round-6dp cosine + clabel/cid ASC tie-breaks end to end, so the
+    * DuckDB oracle replays train→assign→route→score→rank
+    * value-for-value.
+    */
+  private def q243StreamAnnDelta(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = vecs(s, d)
+    val base = v.filter(col("vec_id") % 5 =!= 4)
+    // coarse quantizer trained on the BASE snapshot only
+    val centroids = base
+      .groupBy(col("label"))
+      .agg(array((0 until DIM).map(i =>
+        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .select(col("label").as("clabel"), col("cv"),
+        VectorOps.norm(col("cv")).as("cn"))
+      .cache()
+    // |cells| rows (10 labels): THE coarse quantizer — bounded driver
+    // edge, broadcast into the stream as a literal array
+    val cents = centroids.collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+    val scoredArr = array(cents.map { case (cl, cvArr, cn) =>
+      struct(
+        round(VectorOps.dot(col("v"), array(cvArr.map(lit): _*)) /
+          (col("nrm") * lit(cn)), 6).as("ccos"),
+        lit(-cl).as("neg"))
+    }: _*)
+    val best = array_max(scoredArr)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val staging =
+      s"${System.getProperty("java.io.tmpdir")}/graft_q243_$run"
+    val stagePath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagePath.getFileSystem(s.sessionState.newHadoopConf())
+    // whole replay under try/finally — a failure anywhere must not
+    // leak the staged tree in tmpdir
+    val dAssign = try {
+      v.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), col("v"), col("nrm"))
+        .repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("nrm", DoubleType)))
+      val sink = s"q243_sink_$run"
+      val query = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .select(col("vec_id"),
+          (-best.getField("neg")).as("clabel"),
+          best.getField("ccos").as("ccos"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      // memory sink rows survive the staging delete below
+      val a = s.table(sink).select(col("vec_id"), col("clabel")).cache()
+      a.count()
+      a
+    } finally fs.delete(stagePath, true)
+    val baseC = base.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("v").as("cv"), col("nrm").as("cn"),
+      lit("base").as("src"))
+    val deltaC = v.select(col("vec_id"), col("v"), col("nrm"))
+      .join(dAssign, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("clabel"), col("v").as("cv"),
+        col("nrm").as("cn"), lit("delta").as("src"))
+    val qs = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probes = TopKOps.topKPerGroup(
+      qs.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("clabel"), cosCol.as("ccos")),
+      Seq(col("qid")), Seq(col("ccos").desc, col("clabel").asc), 2,
+      rankCol = "crnk")
+      .select(col("qid"), col("clabel"))
+    val scored = qs.join(probes, Seq("qid"))
+      .join(baseC.unionByName(deltaC), Seq("clabel"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("src"), cosCol.as("cos"))
+    val nsc = scored.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_scanned"),
+      sum(when(col("src") === "delta", lit(1L)).otherwise(lit(0L)))
+        .as("n_delta_scanned"))
+    val annTop = TopKOps.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("cos").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("ann_cid"))
+    // exact ground truth: full scan over base ∪ delta (= the table)
+    val exactTop = TopKOps.topKPerGroup(
+      qs.join(v.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosCol.as("cos")),
+      Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    val deltaSum = dAssign.agg(
+      count(lit(1)).as("n_delta_total"),
+      coalesce(sum(col("vec_id") * col("clabel")), lit(0L))
+        .as("delta_checksum"))
+    exactTop.join(annTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("ann_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nsc, Seq("qid"))
+      .crossJoin(broadcast(deltaSum))
+      .select(col("qid"), col("n_scanned"), col("n_delta_scanned"),
+        col("n_hits"), col("n_delta_total"), col("delta_checksum"))
+      .orderBy(col("qid"))
+  }
+
+  private val q243Sql = {
+    val centroidCols = (0 until DIM)
+      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       base AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
+       delta AS (SELECT * FROM n WHERE vec_id % 5 = 4),
+       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+                 FROM base GROUP BY label),
+       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
+                  FROM cents),
+       dassign AS (SELECT vec_id, clabel FROM (
+         SELECT d.vec_id, c.clabel,
+           RANK() OVER (PARTITION BY d.vec_id ORDER BY
+             round(${VectorOps.dotSql("d.v", "c.cv")} / (d.nrm * c.cn), 6)
+               DESC, c.clabel ASC) AS rnk
+         FROM delta d CROSS JOIN cents2 c) WHERE rnk = 1),
+       rq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM base
+              WHERE vec_id < 20),
+       probe AS (SELECT qid, clabel FROM (
+         SELECT rq.qid, c.clabel,
+           RANK() OVER (PARTITION BY rq.qid ORDER BY
+             round(${VectorOps.dotSql("rq.qv", "c.cv")} / (rq.qn * c.cn), 6)
+               DESC, c.clabel ASC) AS crnk
+         FROM rq CROSS JOIN cents2 c) WHERE crnk <= 2),
+       members AS (
+         SELECT vec_id AS cid, label AS clabel, v AS cv, nrm AS cn,
+                'base' AS src
+         FROM base
+         UNION ALL
+         SELECT d.vec_id AS cid, a.clabel, d.v AS cv, d.nrm AS cn,
+                'delta' AS src
+         FROM delta d JOIN dassign a ON a.vec_id = d.vec_id),
+       scored AS (SELECT q.qid, m.cid, m.src,
+           round(${VectorOps.dotSql("q.qv", "m.cv")} / (q.qn * m.cn), 6)
+             AS cos
+         FROM rq q JOIN probe p ON p.qid = q.qid
+         JOIN members m ON m.clabel = p.clabel AND m.cid <> q.qid),
+       nsc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN src = 'delta' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta_scanned
+         FROM scored GROUP BY 1),
+       at AS (SELECT qid, cid AS ann_cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY cos DESC, cid ASC) AS rnk FROM scored)
+         WHERE rnk <= 5),
+       et AS (SELECT qid, cid FROM (
+           SELECT q.qid, c.vec_id AS cid,
+             RANK() OVER (PARTITION BY q.qid ORDER BY
+               round(${VectorOps.dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6)
+                 DESC, c.vec_id ASC) AS rnk
+           FROM rq q JOIN n c ON c.vec_id <> q.qid) WHERE rnk <= 5),
+       ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_delta_total,
+           CAST(COALESCE(SUM(vec_id * clabel), 0) AS BIGINT)
+             AS delta_checksum
+         FROM dassign),
+       hits AS (SELECT et.qid,
+           CAST(SUM(CASE WHEN et.cid = at.ann_cid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM et JOIN at ON at.qid = et.qid GROUP BY 1)
+       SELECT h.qid, s.n_scanned, s.n_delta_scanned, h.n_hits,
+         ds.n_delta_total, ds.delta_checksum
+       FROM hits h JOIN nsc s ON s.qid = h.qid CROSS JOIN ds
+       ORDER BY h.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_stream_ann_delta" -> q243StreamAnnDelta,
     "q241_pq_adc_recall" -> q241PqAdcRecall,
     "q227_sq8_adc_recall" -> q227Sq8AdcRecall,
     "q238_ivf_sq8_serving" -> q238IvfSq8Serving,
@@ -1269,6 +1465,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q243_stream_ann_delta" -> q243Sql,
     "q241_pq_adc_recall" -> q241Sql,
     "q227_sq8_adc_recall" -> q227Sql,
     "q238_ivf_sq8_serving" -> q238Sql,
