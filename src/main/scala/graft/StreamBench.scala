@@ -79,14 +79,15 @@ object StreamBench {
       df.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[StreamEvent]
 
-    def run(name: String)(build: DataFrame => DataFrame): (String, Double) = {
+    def run(name: String, mode: String = "append")(
+        build: DataFrame => DataFrame): (String, Double) = {
       val src = StreamingOps.readEventsStream(spark, feed,
         maxFilesPerTrigger = 1)
       val t0 = System.nanoTime()
       val q = build(src).writeStream
         .format("noop")
         .option("checkpointLocation", s"$work/ckpt_$name")
-        .outputMode("append")
+        .outputMode(mode)
         .start()
       q.processAllAvailable()
       q.stop()
@@ -100,7 +101,11 @@ object StreamBench {
       run("sessionize")(s =>
         StreamingOps.sessionize(toStreamEvents(s)).toDF()),
       run("transitions")(s =>
-        StreamingOps.transitionsStream(toStreamEvents(s)).toDF()))
+        StreamingOps.transitionsStream(toStreamEvents(s)).toDF()),
+      // bounded-state sketch: 64 registers/type forever, the contrast
+      // to dedup_exact's per-key state
+      run("hll_registers", mode = "complete")(s =>
+        StreamingOps.hllRegistersStream(s, "event_type", "user_id", 64)))
 
     def f(d: Double) = f"$d%.3f"
     val ops = results.map { case (n, sec) =>

@@ -1456,6 +1456,42 @@ object Events extends QueryPack {
                  OR epoch_us(e.ts) < epoch_us(h.valid_to))
        ORDER BY e.event_id"""
 
+  /** q246: STREAMING HLL-register parity — continuous distinct
+    * counting as mergeable-sketch state. The replayed stream
+    * accumulates HyperLogLog registers per event_type through
+    * [[graft.streaming.StreamingOps.hllRegistersStream]] (state =
+    * 64 max-rho integers per type, never growing with cardinality —
+    * the "distinct users since launch" counter a 100 TB/day pipeline
+    * keeps running forever), and the gate compares the REGISTERS
+    * bit-for-bit against DuckDB computing them from the same rows:
+    * bucket = low 6 bits, rho = leading-zero run of the high 54 bits
+    * of the shared 60-bit md5-prefix hash. Register equality is a
+    * strictly stronger claim than estimate equality — one dropped,
+    * duplicated-with-different-key, or misrouted row that changes any
+    * bucket's max flips a row of the hash. max() is commutative and
+    * idempotent, so the 3-file replay order and micro-batch
+    * boundaries cannot move the result; complete mode re-emits the
+    * final register table. The estimate side of HLL is q48's
+    * accuracy-contract verdict; this gate pins the sketch STATE.
+    */
+  private def q246StreamHllParity(
+      s: SparkSession, d: String): DataFrame =
+    streamReplayParity(s, d, "q246") { stream =>
+      graft.streaming.StreamingOps.hllRegistersStream(
+        stream, groupCol = "event_type", keyCol = "user_id", buckets = 64)
+    }.orderBy(col("event_type"), col("bucket"))
+
+  private val q246Sql = {
+    val h = graft.ops.TextOps
+      .tokenHashSql("'hll:' || CAST(user_id AS VARCHAR)")
+    s"""WITH h AS (SELECT event_type, $h AS h FROM events),
+       r AS (SELECT event_type, h % 64 AS bucket, h // 64 AS rest FROM h)
+       SELECT event_type, bucket,
+         CAST(MAX(CASE WHEN rest = 0 THEN 55
+                       ELSE 55 - length(bin(rest)) END) AS BIGINT) AS rho
+       FROM r GROUP BY 1, 2 ORDER BY event_type, bucket"""
+  }
+
   /** q239: STREAMING CHECKPOINT-RESTART parity — the recovery path
     * the exactly-once design actually depends on, which the other
     * gates never exercise: q204's windowed aggregation runs through
@@ -1575,7 +1611,8 @@ object Events extends QueryPack {
     "q232_stream_transitions_parity" -> q232StreamTransitionsParity,
     "q234_stream_bloom_admission" -> q234StreamBloomAdmission,
     "q235_stream_interval_join" -> q235StreamIntervalJoin,
-    "q236_stream_pit_enrich" -> q236StreamPitEnrich)
+    "q236_stream_pit_enrich" -> q236StreamPitEnrich,
+    "q246_stream_hll_parity" -> q246StreamHllParity)
 
   override val oracle: Map[String, String] = Map(
     "q239_stream_checkpoint_restart" -> q239Sql,
@@ -1612,5 +1649,6 @@ object Events extends QueryPack {
     "q232_stream_transitions_parity" -> q232Sql,
     "q234_stream_bloom_admission" -> q234Sql,
     "q235_stream_interval_join" -> q235Sql,
-    "q236_stream_pit_enrich" -> q236Sql)
+    "q236_stream_pit_enrich" -> q236Sql,
+    "q246_stream_hll_parity" -> q246Sql)
 }

@@ -1715,7 +1715,92 @@ object Similarity extends QueryPack {
        ORDER BY q.qid"""
   }
 
+  /** q247: k-NN GRAPH construction — the all-node top-3 neighbor
+    * graph that semantic clustering, graph-based curation and
+    * NN-descent-style index builds start from. The naive form is
+    * all-pairs (the one shape this pack bans); the scale answer here
+    * is a quantizer whose RESOLUTION GROWS WITH THE CORPUS: nodes are
+    * bucketed by the first k sign-bits of the deterministic
+    * 8-hyperplane LSH bucket, where k is the smallest value in [3,8]
+    * with 2^k ≥ n/64 — computed as the exact integer bit-length of
+    * (n−1) div 64, no floating log. Expected cell size stays ≤ ~64 at
+    * ANY corpus size, so per-cell pairing is a constant-bounded
+    * quadratic and total work is O(n·64) — linear — while the cell
+    * key stays a uniform equi-join key (hot cells under adversarial
+    * skew route to CurationOps.lshCandidatePairsCapped's star cap,
+    * measured in ITERSCALE). Masking the 8-bit bucket to its low k
+    * bits keeps the full static plane machinery shared with
+    * q34/DuckDB: the oracle computes n, derives the same k, applies
+    * the same mask, and replays the graph edge-for-edge. Per node the
+    * report carries its top-3 same-cell neighbors (round-6dp cosine,
+    * cid tie-break) and n_cands — the measured per-node candidate
+    * cost whose flatness across SFs is the linearity claim. Reference
+    * analogue: hw4's cosine top-1 (hw4/hw4.py:102-117) lifted from 20
+    * probe queries to every node.
+    */
+  private def q247KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    // smallest k in [3,8] with 2^k >= n/64, via exact integer
+    // bit-length — both engines compute bin() identically
+    val kRow = v.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(3), least(lit(8),
+        when(expr("(n - 1) div 64") === 0, lit(0))
+          .otherwise(length(bin(expr("(n - 1) div 64")))))).as("k"))
+    val bucketed = v
+      .select(col("vec_id"), col("v"), col("nrm"),
+        VectorOps.lshBucket(col("v"), DIM, PLANES).as("b8"))
+      .crossJoin(broadcast(kRow))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (col("b8") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
+    val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cell"))
+    val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("cell").as("cell2"))
+    val scored = a
+      .join(b, col("cell") === col("cell2") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosCol.as("cos"))
+    val nCands = scored.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cands"))
+    TopKOps.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid").asc), 3)
+      .join(nCands, Seq("qid"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
+        col("cos"), col("n_cands"))
+      .orderBy(col("qid"), col("rnk"), col("cid"))
+  }
+
+  private val q247Sql = {
+    val planeCols = (0 until PLANES)
+      .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       planes AS (SELECT $planeCols),
+       kk AS (SELECT GREATEST(3, LEAST(8,
+                CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
+                     ELSE length(bin((COUNT(*) - 1) // 64)) END)) AS k
+              FROM n),
+       bucketed AS (SELECT vec_id, v, nrm,
+           ${VectorOps.lshBucketSql("v", DIM, PLANES)}
+             % (CAST(1 AS BIGINT) << k) AS cell
+         FROM n CROSS JOIN planes CROSS JOIN kk),
+       bp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS av,
+                b.v AS bv, a.nrm AS an, b.nrm AS bn
+              FROM bucketed a JOIN bucketed b
+                ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp),
+       nc AS (SELECT qid, COUNT(*) AS n_cands FROM bscored GROUP BY 1)
+       SELECT s.qid, CAST(s.rnk AS BIGINT) AS rnk, s.cid, s.cos,
+         nc.n_cands
+       FROM (SELECT qid, cid, cos,
+               RANK() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, cid ASC) AS rnk
+             FROM bscored) s
+       JOIN nc ON nc.qid = s.qid
+       WHERE s.rnk <= 3 ORDER BY s.qid, s.rnk, s.cid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_knn_graph" -> q247KnnGraph,
     "q245_filtered_ann" -> q245FilteredAnn,
     "q244_index_compaction" -> q244IndexCompaction,
     "q243_stream_ann_delta" -> q243StreamAnnDelta,
@@ -1741,6 +1826,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q247_knn_graph" -> q247Sql,
     "q245_filtered_ann" -> q245Sql,
     "q244_index_compaction" -> q244Sql,
     "q243_stream_ann_delta" -> q243Sql,

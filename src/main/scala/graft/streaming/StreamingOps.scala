@@ -163,6 +163,48 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming HyperLogLog register accumulation — continuous
+    * distinct-counting as MERGEABLE STATE instead of a key set. The
+    * state per group is exactly `buckets` small integers (max-rho
+    * registers), so memory is O(groups·buckets) FOREVER — unlike
+    * dedup-key state it never grows with cardinality and needs no
+    * watermark eviction; this is how a 100 TB/day pipeline keeps
+    * "distinct users per type, since launch" running continuously.
+    * Registers are engine-portable by construction: the bucket is the
+    * low log2(buckets) bits and rho the leading-zero run of the high
+    * bits of the shared 60-bit md5-prefix hash
+    * ([[graft.ops.TextOps.tokenHash]]), so an independent engine
+    * computes bit-identical registers from the same rows — the
+    * estimate is merely a projection of them. max() is commutative and
+    * idempotent, so replay order, micro-batch boundaries and
+    * at-least-once re-delivery all leave the registers unchanged.
+    * Works unchanged on a batch DataFrame (the q246 parity gate's
+    * oracle is exactly that).
+    */
+  def hllRegistersStream(
+      events: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val lg = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val restBits = 60 - lg // tokenHash is a 60-bit md5 prefix
+    events
+      .select(col(groupCol),
+        graft.ops.TextOps
+          .tokenHash(concat(lit("hll:"), col(keyCol).cast("string")))
+          .as("h"))
+      .select(col(groupCol), (col("h") % buckets).as("bucket"),
+        expr(s"h div $buckets").as("rest"))
+      .select(col(groupCol), col("bucket"),
+        when(col("rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("rho0"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho0")).as("rho"))
+  }
+
   /** Streaming exact-dedup — the streaming twin of q26: drop events
     * whose dedup key was already seen, KEY-ONLY (a re-delivery with a
     * different event-time is still a duplicate — the at-least-once

@@ -575,4 +575,48 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(spark.conf.getOption(key) === before, "restore after failure")
   }
+
+  test("HLL registers accumulate across micro-batches and equal the " +
+    "batch registers; estimate lands near the exact count") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = StreamingOps
+      .hllRegistersStream(input.toDF(), "event_type", "user_id", 64)
+      .writeStream.format("memory").queryName("hllreg")
+      .outputMode("complete").start()
+    val events = (1L to 300L).map(u =>
+      ev(u, u, u % 60, if (u % 2 == 0) "view" else "click"))
+    try {
+      input.addData(events.take(100): _*)
+      query.processAllAvailable()
+      input.addData(events.drop(100): _*) // state must MERGE, not reset
+      query.processAllAvailable()
+      val got = spark.table("hllreg").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("rho"))).toSet
+      val want = StreamingOps
+        .hllRegistersStream(events.toDF(), "event_type", "user_id", 64)
+        .collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("rho"))).toSet
+      assert(got === want, "streamed registers must equal batch registers")
+      assert(got.forall(t => t._2 >= 0 && t._2 < 64), "bucket range")
+      assert(got.forall(t => t._3 >= 1 && t._3 <= 55), "rho range")
+      // raw HLL estimate (alpha_64 * m^2 / sum 2^-rho) over present
+      // registers (absent = 0): coarse, but must land within 25% on
+      // 150 distinct keys per type — a wrong bucket/rho formula lands
+      // orders of magnitude off
+      Seq("view", "click").foreach { tpe =>
+        val rhos = got.filter(_._1 == tpe).map(t => t._2 -> t._3).toMap
+        val z = (0 until 64)
+          .map(b => math.pow(2.0, -rhos.getOrElse(b.toLong, 0L).toDouble))
+          .sum
+        val est = 0.709 * 64 * 64 / z
+        assert(math.abs(est - 150.0) <= 37.5,
+          s"$tpe estimate $est too far from 150")
+      }
+    } finally query.stop()
+  }
 }
