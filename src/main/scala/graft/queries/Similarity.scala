@@ -1799,7 +1799,146 @@ object Similarity extends QueryPack {
        WHERE s.rnk <= 3 ORDER BY s.qid, s.rnk, s.cid"""
   }
 
+  /** q248: MULTI-PROBE LSH — the recall lever a production LSH index
+    * pulls before it adds tables: besides its own sign-bucket, each
+    * query probes the buckets reached by flipping its 2
+    * LOWEST-MARGIN sign bits (margin = |round-6dp hyperplane dot| —
+    * the planes the query sits closest to, hence the flips most
+    * likely to hold true neighbors; Lv et al., VLDB'07). The margin
+    * rank (margin asc, plane asc) is a total order so both engines
+    * pick the identical 2 flips, and the 3 probed buckets are
+    * pairwise distinct (different bits) so no candidate double-counts.
+    * Report per query: single vs multi candidate counts (the cost:
+    * ~3× buckets, each cell-sized) and single vs multi hit against
+    * the exact top-5 (the recall: multi candidates ⊇ single, so
+    * multi_hit can only improve). Query-side bounded (vec_id < 20)
+    * like q34/q38 — at scale this runs per serving query, cost
+    * = 3 cells, corpus-size-independent given q247's count-scaled
+    * cells. Reference analogue: hw4's cosine top-1
+    * (hw4/hw4.py:102-117) as the exact scorer over probed buckets.
+    */
+  private def q248MultiprobeLsh(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+      VectorOps.lshBucket(col("v"), DIM, PLANES).as("bkt"))
+    val qs = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bkt").as("b0"))
+    val planeDots = array((0 until PLANES).map(j =>
+      struct(lit(j.toLong).as("j"),
+        abs(round(VectorOps.dot(col("qv"), VectorOps.plane(j, DIM)), 6))
+          .as("adj"))): _*)
+    val flips = TopKOps.topKPerGroup(
+      qs.select(col("qid"), col("b0"), explode(planeDots).as("pd"))
+        .select(col("qid"), col("b0"), col("pd.j").as("j"),
+          col("pd.adj").as("adj")),
+      Seq(col("qid")), Seq(col("adj").asc, col("j").asc), 2)
+      .select(col("qid"),
+        expr("b0 ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
+          .as("probe"))
+    val probes = qs.select(col("qid"), col("b0").as("probe"))
+      .unionByName(flips)
+    val cands = probes
+      .join(qs.select(col("qid"), col("qv"), col("qn"), col("b0")),
+        Seq("qid"))
+      .join(bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bkt")),
+        col("bkt") === col("probe") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosCol.as("cos"),
+        when(col("probe") === col("b0"), lit(1L)).otherwise(lit(0L))
+          .as("own"))
+    val counts = cands.groupBy(col("qid"))
+      .agg(sum(col("own")).as("n_single"), count(lit(1)).as("n_multi"))
+    val exact5 = TopKOps
+      .topKPerGroup(scoredPairs(s, d, col("vec_id") < 20),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    def bestHit(pool: DataFrame, name: String) =
+      exact5.join(
+        TopKOps.topKPerGroup(pool, Seq(col("qid")),
+          Seq(col("cos").desc, col("cid").asc), 1)
+          .select(col("qid"), col("cid").as("best_cid")),
+        Seq("qid"), "left")
+        .groupBy(col("qid"))
+        .agg(max(when(col("cid") === col("best_cid"), lit(1L))
+          .otherwise(lit(0L))).as(name))
+    qs.select(col("qid"))
+      .join(counts, Seq("qid"), "left")
+      .join(bestHit(cands.filter(col("own") === 1L), "single_hit"),
+        Seq("qid"), "left")
+      .join(bestHit(cands, "multi_hit"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_single"), lit(0L)).as("n_single"),
+        coalesce(col("n_multi"), lit(0L)).as("n_multi"),
+        coalesce(col("single_hit"), lit(0L)).as("single_hit"),
+        coalesce(col("multi_hit"), lit(0L)).as("multi_hit"))
+      .orderBy(col("qid"))
+  }
+
+  private val q248Sql = {
+    val planeCols = (0 until PLANES)
+      .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
+      .mkString(", ")
+    val pdArms = (0 until PLANES).map { j =>
+      s"""SELECT qid, b0, CAST($j AS BIGINT) AS j,
+            abs(round(${VectorOps.dotSql("qv", s"__pl$j")}, 6)) AS adj
+          FROM qs CROSS JOIN planes"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $vecsCte, $scoredCte,
+       planes AS (SELECT $planeCols),
+       bucketed AS (SELECT vec_id, v, nrm,
+           ${VectorOps.lshBucketSql("v", DIM, PLANES)} AS bkt
+         FROM n CROSS JOIN planes),
+       qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt AS b0
+              FROM bucketed WHERE vec_id < 20),
+       pd AS ($pdArms),
+       flips AS (SELECT qid, xor(b0, (CAST(1 AS BIGINT) << j)) AS probe
+         FROM (SELECT qid, b0, j,
+                 RANK() OVER (PARTITION BY qid
+                   ORDER BY adj ASC, j ASC) AS rnk
+               FROM pd) WHERE rnk <= 2),
+       probes AS (SELECT qid, b0 AS probe FROM qs
+                  UNION ALL SELECT qid, probe FROM flips),
+       cands AS (SELECT q.qid, c.vec_id AS cid,
+           round(${VectorOps.dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6)
+             AS cos,
+           CASE WHEN p.probe = q.b0 THEN 1 ELSE 0 END AS own
+         FROM probes p JOIN qs q ON q.qid = p.qid
+         JOIN bucketed c ON c.bkt = p.probe AND c.vec_id <> p.qid),
+       counts AS (SELECT qid, CAST(SUM(own) AS BIGINT) AS n_single,
+                    COUNT(*) AS n_multi
+                  FROM cands GROUP BY 1),
+       exact5 AS (SELECT qid, cid FROM (
+         SELECT qid, cid,
+           RANK() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)
+             AS rnk
+         FROM scored) WHERE rnk <= 5),
+       sbest AS (SELECT qid, cid AS best_cid FROM (
+         SELECT qid, cid, RANK() OVER (PARTITION BY qid
+           ORDER BY cos DESC, cid ASC) AS rnk
+         FROM cands WHERE own = 1) WHERE rnk = 1),
+       mbest AS (SELECT qid, cid AS best_cid FROM (
+         SELECT qid, cid, RANK() OVER (PARTITION BY qid
+           ORDER BY cos DESC, cid ASC) AS rnk
+         FROM cands) WHERE rnk = 1),
+       shit AS (SELECT e.qid, CAST(MAX(CASE WHEN e.cid = s.best_cid
+             THEN 1 ELSE 0 END) AS BIGINT) AS single_hit
+         FROM exact5 e LEFT JOIN sbest s ON s.qid = e.qid GROUP BY 1),
+       mhit AS (SELECT e.qid, CAST(MAX(CASE WHEN e.cid = m.best_cid
+             THEN 1 ELSE 0 END) AS BIGINT) AS multi_hit
+         FROM exact5 e LEFT JOIN mbest m ON m.qid = e.qid GROUP BY 1)
+       SELECT q.qid, COALESCE(c.n_single, 0) AS n_single,
+         COALESCE(c.n_multi, 0) AS n_multi,
+         COALESCE(sh.single_hit, 0) AS single_hit,
+         COALESCE(mh.multi_hit, 0) AS multi_hit
+       FROM qs q LEFT JOIN counts c ON c.qid = q.qid
+       LEFT JOIN shit sh ON sh.qid = q.qid
+       LEFT JOIN mhit mh ON mh.qid = q.qid
+       ORDER BY q.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_multiprobe_lsh" -> q248MultiprobeLsh,
     "q247_knn_graph" -> q247KnnGraph,
     "q245_filtered_ann" -> q245FilteredAnn,
     "q244_index_compaction" -> q244IndexCompaction,
@@ -1826,6 +1965,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q248_multiprobe_lsh" -> q248Sql,
     "q247_knn_graph" -> q247Sql,
     "q245_filtered_ann" -> q245Sql,
     "q244_index_compaction" -> q244Sql,
