@@ -24,4 +24,6 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.StreamBench ST
 echo "STREAM_EXIT=$?" >> /tmp/r7_status.log
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/r7_bench.log 2>&1
 echo "BENCH_EXIT=$?" >> /tmp/r7_status.log
+sbt -batch "runMain graft.PlanDump" > /tmp/r7_plans.log 2>&1
+echo "PLANS_EXIT=$?" >> /tmp/r7_status.log
 echo "ALL_DONE" >> /tmp/r7_status.log

@@ -1937,7 +1937,77 @@ object Similarity extends QueryPack {
        ORDER BY q.qid"""
   }
 
+  /** q249: ANN index HEALTH report — the per-cell dashboard an
+    * operator reads before q244's compaction or a quantizer retrain:
+    * membership, tightness (min and exact-integer-average
+    * member→centroid cosine — a cell whose min_cos sags holds vectors
+    * its centroid no longer represents, the routing-miss precursor)
+    * and imbalance_e2 (cell size vs perfectly-balanced share, ×100 —
+    * the skew number that decides whether one probe costs 1/|cells|
+    * of the corpus or much more). The dedup family has had audits
+    * since round 4 (q82/q89/q105-q108); this is the same
+    * observability for the vector-serving family. Exactness: the
+    * average is an e6 integer sum shifted nonnegative before the
+    * floor division so Spark's `div` and DuckDB's `//` agree for any
+    * sign; counts and shares are pure integer arithmetic. Scale: one
+    * broadcast-centroid join + one groupBy — linear, no pairs.
+    */
+  private def q249IndexHealth(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val cents = v.groupBy(col("label"))
+      .agg(array((0 until DIM).map(i =>
+        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .select(col("label").as("clabel"), col("cv"),
+        VectorOps.norm(col("cv")).as("cn"))
+    val scored = v.join(broadcast(cents), col("label") === col("clabel"))
+      .select(col("clabel"),
+        round(VectorOps.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn")), 6).as("ccos"))
+    val glob = v.agg(count(lit(1)).as("n_total"),
+      countDistinct(col("label")).as("n_cells"))
+    scored.groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("ccos")).as("min_cos"),
+        sum(round(col("ccos") * lit(1000000L)).cast("long") +
+          lit(1000000L)).as("sum_shift"))
+      .crossJoin(broadcast(glob))
+      .select(col("clabel"), col("n_members"), col("min_cos"),
+        (expr("sum_shift div n_members") - lit(1000000L))
+          .as("avg_cos_e6"),
+        expr("(n_members * n_cells * 100) div n_total")
+          .as("imbalance_e2"))
+      .orderBy(col("clabel"))
+  }
+
+  private val q249Sql = {
+    val centroidCols = (0 until DIM)
+      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+      .mkString(", ")
+    s"""WITH $vecsCte,
+       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+                 FROM vecs GROUP BY label),
+       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
+                  FROM cents),
+       scored AS (SELECT n.label AS clabel,
+           round(${VectorOps.dotSql("n.v", "c.cv")} / (n.nrm * c.cn), 6)
+             AS ccos
+         FROM n JOIN cents2 c ON c.clabel = n.label),
+       gstats AS (SELECT COUNT(*) AS n_total,
+                  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_cells
+                FROM n),
+       per AS (SELECT clabel, COUNT(*) AS n_members,
+                 MIN(ccos) AS min_cos,
+                 CAST(SUM(CAST(ROUND(ccos * 1000000) AS BIGINT) + 1000000)
+                   AS BIGINT) AS sum_shift
+               FROM scored GROUP BY 1)
+       SELECT p.clabel, p.n_members, p.min_cos,
+         (p.sum_shift // p.n_members) - 1000000 AS avg_cos_e6,
+         (p.n_members * g.n_cells * 100) // g.n_total AS imbalance_e2
+       FROM per p CROSS JOIN gstats g ORDER BY p.clabel"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_index_health" -> q249IndexHealth,
     "q248_multiprobe_lsh" -> q248MultiprobeLsh,
     "q247_knn_graph" -> q247KnnGraph,
     "q245_filtered_ann" -> q245FilteredAnn,
@@ -1965,6 +2035,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q249_index_health" -> q249Sql,
     "q248_multiprobe_lsh" -> q248Sql,
     "q247_knn_graph" -> q247Sql,
     "q245_filtered_ann" -> q245Sql,
