@@ -26,4 +26,6 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/
 echo "BENCH_EXIT=$?" >> /tmp/r7_status.log
 sbt -batch "runMain graft.PlanDump" > /tmp/r7_plans.log 2>&1
 echo "PLANS_EXIT=$?" >> /tmp/r7_status.log
+sbt -batch "runMain graft.IterScale ITERSCALE_r07.json" > /tmp/r7_iter.log 2>&1
+echo "ITER_EXIT=$?" >> /tmp/r7_status.log
 echo "ALL_DONE" >> /tmp/r7_status.log
