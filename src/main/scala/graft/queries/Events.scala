@@ -1325,9 +1325,15 @@ object Events extends QueryPack {
       s: SparkSession, d: String): DataFrame = {
     import graft.ops.BloomOps
     // ev() carries ts as epoch-ns LONG (Tables convention); the stream
-    // carries TimestampType — derive the SAME day string from each
-    def key(day: Column) = md5(concat(col("user_id").cast("string"),
-      lit(":"), col("event_type"), lit(":"), day))
+    // carries TimestampType — derive the SAME day string from each.
+    // The key is the shared 60-bit md5-prefix LONG, not the 32-hex
+    // string: the bloom xxhash64-probes it k times per row and the
+    // confirm join shuffles it — longs keep all of that off the
+    // string path (the mirror derives the identical long, so even a
+    // key collision is mirrored bit-for-bit)
+    def key(day: Column) = graft.ops.TextOps.tokenHash(
+      concat(col("user_id").cast("string"),
+        lit(":"), col("event_type"), lit(":"), day))
     // cached: the static corpus feeds the bitmap build AND the
     // stream-static exact confirm re-resolved per micro-batch — four
     // scans of the same md5+distinct without the pin
@@ -1353,16 +1359,17 @@ object Events extends QueryPack {
     }.orderBy(col("event_id"))
   }
 
-  private val q234Sql =
-    """WITH keyed AS (SELECT event_id,
-           md5(CAST(user_id AS VARCHAR) || ':' || event_type
-               || ':' || strftime(ts, '%Y-%m-%d')) AS h
-         FROM events),
+  private val q234Sql = {
+    val h = graft.ops.TextOps.tokenHashSql(
+      "CAST(user_id AS VARCHAR) || ':' || event_type" +
+        " || ':' || strftime(ts, '%Y-%m-%d')")
+    s"""WITH keyed AS (SELECT event_id, $h AS h FROM events),
        corpus AS (SELECT DISTINCT h FROM keyed WHERE event_id % 5 <> 4)
        SELECT k.event_id FROM keyed k
        WHERE k.event_id % 5 = 4
          AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = k.h)
        ORDER BY k.event_id"""
+  }
 
   /** q235: STREAM-STREAM interval-join parity — the two-sided join
     * state seam: [[graft.streaming.StreamingOps.intervalJoinStream]]
