@@ -2139,7 +2139,163 @@ object Similarity extends QueryPack {
        ORDER BY m.qid, m.rnk, m.cid"""
   }
 
+  /** q251: TRAINED-quantizer IVF serving — closes the one gap between
+    * this pack's IVF family (q37/q85/q238/q243-q245 route on LABEL
+    * cells, a partition the data happens to ship) and a real index:
+    * the coarse quantizer here is TRAINED — k=16 full-space centroids
+    * from 2 integer-exact Lloyd rounds ([[VectorOps.pqCodebook]] with
+    * one subspace = plain k-means; hash-rank seeding, argmin
+    * tie-breaks, shift-floor means — every step the q241 oracle
+    * already replays). Queries route to their nprobe=2 nearest
+    * trained centroids by exact integer L2 and scan only those
+    * cells' members; report = n_scanned (the cost) and n_hits vs the
+    * exact full-scan top-5 (the recall). This is faiss IndexIVFFlat
+    * end to end: train → assign → route → scan → rank, every stage
+    * DuckDB-replayed with the Lloyd rounds unrolled as CTEs. Scale
+    * shape: training is linear passes with a broadcast codebook;
+    * membership is one argmin per vector; serving joins on the
+    * trained cell id — candidate-driven, never queries×corpus.
+    * Reference analogue: hw4's cosine top-1 (hw4/hw4.py:102-117)
+    * behind a trained router.
+    */
+  private def q251TrainedIvf(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // codebook training, membership and ground truth scan it
+    val xs = VectorOps.pqSubspaces(x, subDim = DIM) // one subspace
+    val cent = VectorOps.pqCodebook(xs, k = 16, rounds = 2).cache()
+    cent.count()
+    val cells = VectorOps.pqAssign(xs, cent)
+      .select(col("vec_id"), col("c"))
+    val qxs = xs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sub"), col("j"),
+        col("x").as("qx"))
+    val route = TopKOps.topKPerGroup(
+      qxs.join(broadcast(cent), Seq("sub", "j"))
+        .groupBy(col("qid"), col("c"))
+        .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
+          .as("dd")),
+      Seq(col("qid")), Seq(col("dd").asc, col("c").asc), 2)
+      .select(col("qid"), col("c"))
+    val arrs = x.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("x")))),
+        t => t.getField("x").cast("double")).as("v"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    val qv = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val members = cells.join(arrs, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("c"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val scanned = route.join(qv, Seq("qid"))
+      .join(members, Seq("c"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (col("qn2") + col("cn2") -
+          lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+          .as("dist"))
+    val nScanned = scanned.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val ivfTop = TopKOps.topKPerGroup(scanned, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("ivf_cid"))
+    val exactTop = TopKOps.topKPerGroup(
+      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("n2").as("cn2")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") -
+            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+            .as("dist")),
+      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(ivfTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("ivf_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nScanned, Seq("qid"))
+      .select(col("qid"), col("n_scanned"), col("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  private val q251Sql = {
+    // one Lloyd round (assignment + shift-floor mean update), same
+    // text as q241's but over the single full-space subspace
+    def round(cp: String, a: String, u: String, cn: String) =
+      s"""$a AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs.vec_id, xs.sub, c.c,
+                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
+                 FROM xs JOIN $cp c ON c.sub = xs.sub AND c.j = xs.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+         $u AS (SELECT a.sub, a.c, xs.j,
+             (SUM(xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN xs ON xs.vec_id = a.vec_id AND xs.sub = a.sub
+           GROUP BY 1, 2, 3),
+         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
+           FROM $cp p LEFT JOIN $u u
+             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       xs AS (SELECT vec_id, dim // $DIM AS sub, dim % $DIM AS j, x
+              FROM x),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
+                 AS BIGINT), vec_id) AS rn
+           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
+       c0 AS (SELECT xs.sub, s.c, xs.j, xs.x AS v
+              FROM seeds s JOIN xs ON xs.vec_id = s.vec_id),
+       ${round("c0", "a1", "u1", "c1")},
+       ${round("c1", "a2", "u2", "c2")},
+       cells AS (SELECT vec_id, c FROM (
+           SELECT d.vec_id, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs.vec_id, c.c,
+                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
+                 FROM xs JOIN c2 c ON c.sub = xs.sub AND c.j = xs.j
+                 GROUP BY 1, 2) d) WHERE rn = 1),
+       route AS (SELECT qid, c FROM (
+           SELECT d.qid, d.c,
+             RANK() OVER (PARTITION BY d.qid ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT q.vec_id AS qid, c.c,
+                   SUM((q.x - c.v)*(q.x - c.v)) AS dd
+                 FROM xs q JOIN c2 c ON c.sub = q.sub AND c.j = q.j
+                 WHERE q.vec_id < 20 GROUP BY 1, 2) d) WHERE rn <= 2),
+       scanned AS (SELECT r.qid, m.vec_id AS cid,
+             SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
+           FROM route r JOIN cells m ON m.c = r.c
+           JOIN x q ON q.vec_id = r.qid
+           JOIN x m2 ON m2.vec_id = m.vec_id AND m2.dim = q.dim
+           WHERE m.vec_id <> r.qid
+           GROUP BY 1, 2),
+       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM scanned
+               GROUP BY 1),
+       it AS (SELECT qid, cid AS ivf_cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM scanned) WHERE rn <= 5),
+       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+               SUM((q.x - c.x)*(q.x - c.x)) AS dist
+             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+             WHERE q.vec_id < 20 GROUP BY 1, 2),
+       et AS (SELECT qid, cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
+       hits AS (SELECT et.qid,
+           CAST(SUM(CASE WHEN et.cid = it.ivf_cid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM et JOIN it ON it.qid = et.qid GROUP BY 1)
+       SELECT h.qid, n.n_scanned, h.n_hits
+       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_trained_ivf" -> q251TrainedIvf,
     "q250_knn_incremental" -> q250KnnIncremental,
     "q249_index_health" -> q249IndexHealth,
     "q248_multiprobe_lsh" -> q248MultiprobeLsh,
@@ -2169,6 +2325,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q251_trained_ivf" -> q251Sql,
     "q250_knn_incremental" -> q250Sql,
     "q249_index_health" -> q249Sql,
     "q248_multiprobe_lsh" -> q248Sql,
