@@ -1499,6 +1499,68 @@ object Events extends QueryPack {
        FROM r GROUP BY 1, 2 ORDER BY event_type, bucket"""
   }
 
+  /** q252: TEMPORAL train/eval split — the split-hygiene axis q182's
+    * cluster-keyed split doesn't cover: interaction data must split
+    * BY TIME (train strictly before eval) or the model trains on the
+    * future it will be evaluated on. Per event_type the cut is
+    * RANK-based, not value-based: rows ranked by (epoch-µs, event_id)
+    * take the first ceil(0.8·n) as train — deterministic under
+    * timestamp ties (the value-based cut would put an unpredictable
+    * tie mass on one side), so both engines split row-for-row. The
+    * report carries the audit a pipeline gates on: per-type train and
+    * eval counts, the exact 80/20 contract (n_train =
+    * floor(0.8·(n_train+n_test)) — integer arithmetic, rn·5 ≤ n·4),
+    * the boundary timestamps, and `no_future_leak` =
+    * max_train_us ≤ min_test_us — the verdict that the train side
+    * never sees an event later than the earliest eval event. Scale:
+    * one window rank per type + one grouped aggregate; the rank is
+    * the same per-group total order every sessionization query
+    * already shuffles on.
+    */
+  private def q252TemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ranked = ev(s, d)
+      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("is_train", col("rn") * 5 <= col("n") * 4)
+    ranked.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("is_train"), lit(1L)).otherwise(lit(0L)))
+          .as("n_train"),
+        sum(when(!col("is_train"), lit(1L)).otherwise(lit(0L)))
+          .as("n_test"),
+        max(when(col("is_train"), col("us"))).as("max_train_us"),
+        min(when(!col("is_train"), col("us"))).as("min_test_us"))
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        col("max_train_us"), col("min_test_us"),
+        when(col("max_train_us") <= col("min_test_us"), lit(1L))
+          .otherwise(lit(0L)).as("no_future_leak"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q252Sql =
+    s"""WITH ranked AS (SELECT event_type, event_id, $tsUsSql AS us,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY $tsUsSql ASC, event_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events),
+       flagged AS (SELECT event_type, us, rn * 5 <= n * 4 AS is_train
+                   FROM ranked)
+       SELECT event_type,
+         CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_test,
+         MAX(CASE WHEN is_train THEN us END) AS max_train_us,
+         MIN(CASE WHEN NOT is_train THEN us END) AS min_test_us,
+         CAST(CASE WHEN MAX(CASE WHEN is_train THEN us END) <=
+                        MIN(CASE WHEN NOT is_train THEN us END)
+              THEN 1 ELSE 0 END AS BIGINT) AS no_future_leak
+       FROM flagged GROUP BY 1 ORDER BY event_type"""
+
   /** q239: STREAMING CHECKPOINT-RESTART parity — the recovery path
     * the exactly-once design actually depends on, which the other
     * gates never exercise: q204's windowed aggregation runs through
@@ -1619,7 +1681,8 @@ object Events extends QueryPack {
     "q234_stream_bloom_admission" -> q234StreamBloomAdmission,
     "q235_stream_interval_join" -> q235StreamIntervalJoin,
     "q236_stream_pit_enrich" -> q236StreamPitEnrich,
-    "q246_stream_hll_parity" -> q246StreamHllParity)
+    "q246_stream_hll_parity" -> q246StreamHllParity,
+    "q252_temporal_split" -> q252TemporalSplit)
 
   override val oracle: Map[String, String] = Map(
     "q239_stream_checkpoint_restart" -> q239Sql,
@@ -1657,5 +1720,6 @@ object Events extends QueryPack {
     "q234_stream_bloom_admission" -> q234Sql,
     "q235_stream_interval_join" -> q235Sql,
     "q236_stream_pit_enrich" -> q236Sql,
-    "q246_stream_hll_parity" -> q246Sql)
+    "q246_stream_hll_parity" -> q246Sql,
+    "q252_temporal_split" -> q252Sql)
 }
