@@ -1504,18 +1504,23 @@ object Events extends QueryPack {
     * BY TIME (train strictly before eval) or the model trains on the
     * future it will be evaluated on. Per event_type the cut is
     * RANK-based, not value-based: rows ranked by (epoch-µs, event_id)
-    * take the first ceil(0.8·n) as train — deterministic under
+    * take the first floor(0.8·n) as train — deterministic under
     * timestamp ties (the value-based cut would put an unpredictable
     * tie mass on one side), so both engines split row-for-row. The
     * report carries the audit a pipeline gates on: per-type train and
     * eval counts, the exact 80/20 contract (n_train =
     * floor(0.8·(n_train+n_test)) — integer arithmetic, rn·5 ≤ n·4),
-    * the boundary timestamps, and `no_future_leak` =
-    * max_train_us ≤ min_test_us — the verdict that the train side
-    * never sees an event later than the earliest eval event. Scale:
-    * one window rank per type + one grouped aggregate; the rank is
-    * the same per-group total order every sessionization query
-    * already shuffles on.
+    * the boundary timestamps, and `boundary_clean` = max_train_us
+    * STRICTLY < min_test_us — 0 means the rank cut landed inside a
+    * timestamp tie, i.e. the train side contains an event
+    * simultaneous with an eval event and the operator should re-cut
+    * at a tie-free boundary. (A ≤ verdict would be true by
+    * construction under a rank cut — it could never flag anything;
+    * strictness is what makes the column a signal. Degenerate splits
+    * with an empty side are vacuously clean.) Scale: one window rank
+    * per type + one grouped aggregate; the rank is the same
+    * per-group total order every sessionization query already
+    * shuffles on.
     */
   private def q252TemporalSplit(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -1536,8 +1541,9 @@ object Events extends QueryPack {
         min(when(!col("is_train"), col("us"))).as("min_test_us"))
       .select(col("event_type"), col("n_train"), col("n_test"),
         col("max_train_us"), col("min_test_us"),
-        when(col("max_train_us") <= col("min_test_us"), lit(1L))
-          .otherwise(lit(0L)).as("no_future_leak"))
+        when(col("max_train_us").isNull || col("min_test_us").isNull ||
+          col("max_train_us") < col("min_test_us"), lit(1L))
+          .otherwise(lit(0L)).as("boundary_clean"))
       .orderBy(col("event_type"))
   }
 
@@ -1556,9 +1562,11 @@ object Events extends QueryPack {
            AS n_test,
          MAX(CASE WHEN is_train THEN us END) AS max_train_us,
          MIN(CASE WHEN NOT is_train THEN us END) AS min_test_us,
-         CAST(CASE WHEN MAX(CASE WHEN is_train THEN us END) <=
+         CAST(CASE WHEN MAX(CASE WHEN is_train THEN us END) IS NULL
+                     OR MIN(CASE WHEN NOT is_train THEN us END) IS NULL
+                     OR MAX(CASE WHEN is_train THEN us END) <
                         MIN(CASE WHEN NOT is_train THEN us END)
-              THEN 1 ELSE 0 END AS BIGINT) AS no_future_leak
+              THEN 1 ELSE 0 END AS BIGINT) AS boundary_clean
        FROM flagged GROUP BY 1 ORDER BY event_type"""
 
   /** q239: STREAMING CHECKPOINT-RESTART parity — the recovery path

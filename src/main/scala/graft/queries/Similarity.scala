@@ -484,14 +484,26 @@ object Similarity extends QueryPack {
     * centroid build, query set, and the per-query `nprobe`
     * nearest-centroid assignment.
     */
+  /** 64 exact fixed-point centroid means of `v` — THE coarse-cell
+    * centroid definition every IVF-family query shares (q37/q85/q238/
+    * q243/q244/q245/q249); one definition so the fixed-point scale
+    * can never drift between builds, compactions and audits.
+    */
+  private def centroidArr: org.apache.spark.sql.Column =
+    array((0 until DIM).map(i =>
+      Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*)
+
+  /** SQL twin of [[centroidArr]] over a relation exposing `v`. */
+  private val centroidColsSql = (0 until DIM)
+    .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
+    .mkString(", ")
+
   private def ivfAssigned(
       s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    // centroid arrays: 64 exact fixed-point means per label
     val centroids = emb(s, d)
       .select(col("label"), VectorOps.toDouble(col("embedding")).as("v"))
       .groupBy(col("label"))
-      .agg(array((0 until DIM).map(i =>
-        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .agg(centroidArr.as("cv"))
       .select(col("label").as("clabel"), col("cv"),
         VectorOps.norm(col("cv")).as("cn"))
     val q = vecs(s, d).filter(col("vec_id") < 20)
@@ -551,11 +563,8 @@ object Similarity extends QueryPack {
   }
 
   private val q37Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM vecs GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -582,11 +591,8 @@ object Similarity extends QueryPack {
   }
 
   private val q85Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM vecs GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -1052,11 +1058,8 @@ object Similarity extends QueryPack {
   }
 
   private val q238Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM vecs GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -1280,8 +1283,7 @@ object Similarity extends QueryPack {
     // coarse quantizer trained on the BASE snapshot only
     val centroids = base
       .groupBy(col("label"))
-      .agg(array((0 until DIM).map(i =>
-        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .agg(centroidArr.as("cv"))
       .select(col("label").as("clabel"), col("cv"),
         VectorOps.norm(col("cv")).as("cn"))
       .cache()
@@ -1376,13 +1378,10 @@ object Similarity extends QueryPack {
   }
 
   private val q243Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
        base AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
        delta AS (SELECT * FROM n WHERE vec_id % 5 = 4),
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM base GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -1468,8 +1467,6 @@ object Similarity extends QueryPack {
     val v = vecs(s, d)
     val base = v.filter(col("vec_id") % 5 =!= 4)
     val delta = v.filter(col("vec_id") % 5 === 4)
-    def centroidArr = array((0 until DIM).map(i =>
-      Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*)
     val oldC = base.groupBy(col("label"))
       .agg(centroidArr.as("cv"))
       .select(col("label").as("clabel"), col("cv"),
@@ -1521,13 +1518,10 @@ object Similarity extends QueryPack {
   }
 
   private val q244Sql = {
-    def centroidCols(src: String) = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"$src[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
        base AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
        delta AS (SELECT * FROM n WHERE vec_id % 5 = 4),
-       oldc AS (SELECT label AS clabel, [${centroidCols("v")}] AS cv
+       oldc AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                 FROM base GROUP BY label),
        oldc2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                  FROM oldc),
@@ -1541,7 +1535,7 @@ object Similarity extends QueryPack {
          SELECT vec_id, v, nrm, label AS clabel, 'base' AS src FROM base
          UNION ALL
          SELECT vec_id, v, nrm, clabel, 'delta' AS src FROM dassign),
-       newc AS (SELECT clabel, [${centroidCols("v")}] AS nv,
+       newc AS (SELECT clabel, [$centroidColsSql] AS nv,
            CAST(SUM(CASE WHEN src = 'base' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_base,
            CAST(SUM(CASE WHEN src = 'delta' THEN 1 ELSE 0 END) AS BIGINT)
@@ -1626,12 +1620,17 @@ object Similarity extends QueryPack {
       .join(cands, col("mlabel") === col("clabel") &&
         col("clang") === col("qlang") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), scoreCos.as("cos"))
+    // n_sc rides the rank's window partition so the union of the two
+    // scan paths executes once, not once per aggregate
     val scored = preScored.unionByName(postScored)
-    val nScanned = scored.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_sc"))
+      .withColumn("n_sc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))))
     val annTop = TopKOps.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("cos").desc, col("cid").asc), 5)
-      .select(col("qid"), col("cid").as("acid"))
+      .select(col("qid"), col("cid").as("acid"), col("n_sc"))
+    val nScanned = annTop.groupBy(col("qid"))
+      .agg(max(col("n_sc")).as("n_sc"))
     // exact filtered ground truth: full scan of the lang subset
     val exactTop = TopKOps.topKPerGroup(
       qs.join(cands,
@@ -1653,9 +1652,6 @@ object Similarity extends QueryPack {
   }
 
   private val q245Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
        m AS (SELECT n.vec_id, n.label, n.v, n.nrm, d.lang
              FROM n JOIN documents d ON d.doc_id = n.vec_id),
@@ -1667,7 +1663,7 @@ object Similarity extends QueryPack {
                      THEN 'pre' ELSE 'post' END AS strategy
               FROM m JOIN lc ON lc.lang = m.lang CROSS JOIN tc
               WHERE m.vec_id < 20),
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM vecs GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -1738,14 +1734,27 @@ object Similarity extends QueryPack {
     * analogue: hw4's cosine top-1 (hw4/hw4.py:102-117) lifted from 20
     * probe queries to every node.
     */
-  private def q247KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    // smallest k in [3,8] with 2^k >= n/64, via exact integer
-    // bit-length — both engines compute bin() identically
-    val kRow = v.agg(count(lit(1)).as("n"))
+  /** Count-scaled quantizer resolution shared by q247 (graph build)
+    * and q250 (incremental maintenance — whose rebuild-equivalence
+    * proof DEPENDS on using exactly the same rule): the smallest k in
+    * [3,8] with 2^k ≥ n/64, via exact integer bit-length (both
+    * engines compute bin() identically). One row, column `k`.
+    */
+  private def scaledKRow(basis: DataFrame): DataFrame =
+    basis.agg(count(lit(1)).as("n"))
       .select(greatest(lit(3), least(lit(8),
         when(expr("(n - 1) div 64") === 0, lit(0))
           .otherwise(length(bin(expr("(n - 1) div 64")))))).as("k"))
+
+  /** SQL twin of [[scaledKRow]]'s k expression (over COUNT(*)). */
+  private val scaledKSql =
+    """GREATEST(3, LEAST(8,
+         CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
+              ELSE length(bin((COUNT(*) - 1) // 64)) END))"""
+
+  private def q247KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val kRow = scaledKRow(v)
     val bucketed = v
       .select(col("vec_id"), col("v"), col("nrm"),
         VectorOps.lshBucket(col("v"), DIM, PLANES).as("b8"))
@@ -1756,14 +1765,17 @@ object Similarity extends QueryPack {
       col("nrm").as("qn"), col("cell"))
     val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cn"), col("cell").as("cell2"))
+    // n_cands rides the SAME window partition the rank uses — one
+    // pass over the self-join (a separate groupBy+re-join would
+    // execute the dominant-cost join twice)
     val scored = a
       .join(b, col("cell") === col("cell2") && col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosCol.as("cos"))
-    val nCands = scored.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_cands"))
+      .withColumn("n_cands", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))))
     TopKOps.topKPerGroup(scored, Seq(col("qid")),
         Seq(col("cos").desc, col("cid").asc), 3)
-      .join(nCands, Seq("qid"))
       .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"),
         col("cos"), col("n_cands"))
       .orderBy(col("qid"), col("rnk"), col("cid"))
@@ -1775,10 +1787,7 @@ object Similarity extends QueryPack {
       .mkString(", ")
     s"""WITH $vecsCte,
        planes AS (SELECT $planeCols),
-       kk AS (SELECT GREATEST(3, LEAST(8,
-                CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
-                     ELSE length(bin((COUNT(*) - 1) // 64)) END)) AS k
-              FROM n),
+       kk AS (SELECT $scaledKSql AS k FROM n),
        bucketed AS (SELECT vec_id, v, nrm,
            ${VectorOps.lshBucketSql("v", DIM, PLANES)}
              % (CAST(1 AS BIGINT) << k) AS cell
@@ -1787,16 +1796,14 @@ object Similarity extends QueryPack {
                 b.v AS bv, a.nrm AS an, b.nrm AS bn
               FROM bucketed a JOIN bucketed b
                 ON b.cell = a.cell AND b.vec_id <> a.vec_id),
-       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp),
-       nc AS (SELECT qid, COUNT(*) AS n_cands FROM bscored GROUP BY 1)
-       SELECT s.qid, CAST(s.rnk AS BIGINT) AS rnk, s.cid, s.cos,
-         nc.n_cands
+       bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp)
+       SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, cos, n_cands
        FROM (SELECT qid, cid, cos,
                RANK() OVER (PARTITION BY qid
-                 ORDER BY cos DESC, cid ASC) AS rnk
-             FROM bscored) s
-       JOIN nc ON nc.qid = s.qid
-       WHERE s.rnk <= 3 ORDER BY s.qid, s.rnk, s.cid"""
+                 ORDER BY cos DESC, cid ASC) AS rnk,
+               COUNT(*) OVER (PARTITION BY qid) AS n_cands
+             FROM bscored)
+       WHERE rnk <= 3 ORDER BY qid, rnk, cid"""
   }
 
   /** q248: MULTI-PROBE LSH — the recall lever a production LSH index
@@ -1955,8 +1962,7 @@ object Similarity extends QueryPack {
   private def q249IndexHealth(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     val cents = v.groupBy(col("label"))
-      .agg(array((0 until DIM).map(i =>
-        Exact.avgFixed(element_at(col("v"), i + 1), 7)): _*).as("cv"))
+      .agg(centroidArr.as("cv"))
       .select(col("label").as("clabel"), col("cv"),
         VectorOps.norm(col("cv")).as("cn"))
     val scored = v.join(broadcast(cents), col("label") === col("clabel"))
@@ -1980,11 +1986,8 @@ object Similarity extends QueryPack {
   }
 
   private val q249Sql = {
-    val centroidCols = (0 until DIM)
-      .map(i => Exact.avgFixedSql(s"v[${i + 1}]", 7))
-      .mkString(", ")
     s"""WITH $vecsCte,
-       cents AS (SELECT label AS clabel, [$centroidCols] AS cv
+       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
                  FROM vecs GROUP BY label),
        cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
                   FROM cents),
@@ -2031,12 +2034,11 @@ object Similarity extends QueryPack {
     val v = vecs(s, d)
     val base = v.filter(col("vec_id") % 5 =!= 4)
     val delta = v.filter(col("vec_id") % 5 === 4)
-    // the index's existing resolution: k from the BASE count (q247's
-    // rule), kept fixed while the delta streams in
-    val kRow = base.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(3), least(lit(8),
-        when(expr("(n - 1) div 64") === 0, lit(0))
-          .otherwise(length(bin(expr("(n - 1) div 64")))))).as("k"))
+    // the index's existing resolution: k from the BASE count
+    // (scaledKRow = q247's rule, shared so the rebuild-equivalence
+    // proof can never drift from the build), fixed while the delta
+    // streams in
+    val kRow = scaledKRow(base)
     def bucket(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("v"), col("nrm"),
         VectorOps.lshBucket(col("v"), DIM, PLANES).as("b8"))
@@ -2084,10 +2086,7 @@ object Similarity extends QueryPack {
       .mkString(", ")
     s"""WITH $vecsCte,
        planes AS (SELECT $planeCols),
-       kk AS (SELECT GREATEST(3, LEAST(8,
-                CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
-                     ELSE length(bin((COUNT(*) - 1) // 64)) END)) AS k
-              FROM n WHERE vec_id % 5 <> 4),
+       kk AS (SELECT $scaledKSql AS k FROM n WHERE vec_id % 5 <> 4),
        bucketed AS (SELECT vec_id, v, nrm,
            ${VectorOps.lshBucketSql("v", DIM, PLANES)}
              % (CAST(1 AS BIGINT) << k) AS cell,
