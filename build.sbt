@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify mains print one machine-parsed JSON line; route the forked
+// JVM's stdout straight through (no "[info] " logger prefix) and suppress
+// sbt's trailing "[success] Total time" line so the JSON stays the last
+// stdout line a tail-capture sees.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

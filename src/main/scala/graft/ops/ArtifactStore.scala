@@ -33,25 +33,36 @@ private[ops] object ArtifactStore {
   private lazy val artifactRunId =
     java.util.UUID.randomUUID().toString.take(8)
 
-  /** (path, size, mtime) of every file the plan's scans will read —
-    * pulled from the FileIndex the relation already holds (statuses
-    * are cached there; this is a pure driver-side metadata walk).
-    * Sources without a FileIndex (in-memory relations) contribute
-    * nothing here and are covered by the row-bytes fold in [[key]].
+  /** Fold (path, size, mtime) of every file the plan's scans will read
+    * into `md` — pulled from the FileIndex the relation already holds
+    * (statuses are cached there; this is a pure driver-side metadata
+    * walk). Each status is digested individually (sorted for
+    * determinism), never concatenated into one listing string: at
+    * 100 TB a table is millions of files and an O(files) string
+    * allocation per consumer call is real driver pressure, while the
+    * digest's running state is constant-size. Sources without a
+    * FileIndex (in-memory relations) contribute nothing here and are
+    * covered by the row-bytes fold in [[key]].
     */
-  private def fileSnapshot(df: DataFrame): String = {
+  private def digestFileSnapshot(df: DataFrame,
+      md: java.security.MessageDigest): Unit = {
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
-    df.queryExecution.analyzed.collect {
+    df.queryExecution.analyzed.foreach {
       case lr: LogicalRelation => lr.relation match {
         case r: HadoopFsRelation =>
-          r.location.listFiles(Nil, Nil).flatMap(_.files)
+          r.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
             .map(f =>
               s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-            .sorted.mkString(";")
-        case _ => ""
+            .toArray.sorted
+            .foreach { s =>
+              md.update(s.getBytes("UTF-8")); md.update(';'.toByte)
+            }
+          md.update('|'.toByte)
+        case _ => ()
       }
-    }.mkString("|")
+      case _ => ()
+    }
   }
 
   def key(df: DataFrame, kind: String, params: String): String = {
@@ -67,9 +78,13 @@ private[ops] object ArtifactStore {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         scala.util.hashing.MurmurHash3.orderedHash(l.data)
     }.mkString(",")
-    val plan = canon.toString + "|" + localData + "|" + fileSnapshot(df)
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(canon.toString.getBytes("UTF-8"))
+    md.update('|'.toByte)
+    md.update(localData.getBytes("UTF-8"))
+    md.update('|'.toByte)
+    digestFileSnapshot(df, md)
+    val h = md.digest().map("%02x".format(_)).mkString
     s"$kind-$h-$params"
   }
 

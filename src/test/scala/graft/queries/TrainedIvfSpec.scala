@@ -29,7 +29,7 @@ class TrainedIvfSpec extends AnyFunSuite {
 
   test("the trained index finds real neighbors") {
     assert(out.map(_.getAs[Long]("n_hits")).sum > 0L)
-    assert(out.forall(r => r.getAs[Long]("n_hits") <= 5L ||
+    assert(out.forall(r => r.getAs[Long]("n_hits") <= 5L &&
       r.getAs[Long]("n_hits") <= r.getAs[Long]("n_scanned")))
   }
 }
