@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.core.{GraftSession, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fit-once/serve-many contract of the persisted ANN-index layer:
+  * every [[IndexStore]] artifact (a) equals the direct inline
+  * derivation value-for-value, and (b) serves any LATER consumer —
+  * even one holding a freshly-constructed input frame — as a bare
+  * parquet scan (a `LogicalRelation` leaf with no Aggregate/Join/
+  * Window above it), which is the difference between "computes an
+  * index" and "ships one".
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables(spark, dir, "embeddings")
+
+  private def lifted: DataFrame =
+    VectorOps.liftE6(emb, "vec_id", "embedding")
+
+  private def idVecs: DataFrame = emb
+    .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    .select(col("vec_id"), col("v"), VectorOps.norm(col("v")).as("nrm"))
+
+  private def isBareScan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case _: LogicalRelation => true
+      case other =>
+        // column pruning may leave a Project over the relation
+        other.collectLeaves().forall(_.isInstanceOf[LogicalRelation]) &&
+          other.children.size == 1 &&
+          other.getClass.getSimpleName == "Project"
+    }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("trained codebook artifact equals the direct Lloyd derivation") {
+    val xs = VectorOps.pqSubspaces(lifted, subDim = 8)
+    val direct = sortedRows(VectorOps.pqCodebook(xs, k = 16, rounds = 2))
+    val stored = sortedRows(IndexStore.codebook(xs, k = 16, rounds = 2))
+    assert(stored === direct)
+    assert(stored.nonEmpty)
+  }
+
+  test("second codebook call (fresh frame) plans a bare file scan") {
+    val xs = VectorOps.pqSubspaces(lifted, subDim = 8)
+    IndexStore.codebook(xs, k = 16, rounds = 2).count()
+    val again = IndexStore.codebook(
+      VectorOps.pqSubspaces(lifted, subDim = 8), k = 16, rounds = 2)
+    assert(isBareScan(again),
+      s"expected a parquet read-back, got:\n${again.queryExecution.optimizedPlan}")
+  }
+
+  test("codes artifact equals direct assignment and reads back as a scan") {
+    val xs = VectorOps.pqSubspaces(lifted, subDim = 8)
+    val direct = sortedRows(
+      VectorOps.pqAssign(xs, VectorOps.pqCodebook(xs, k = 16, rounds = 2)))
+    assert(sortedRows(IndexStore.codes(xs, k = 16, rounds = 2)) === direct)
+    assert(isBareScan(IndexStore.codes(xs, k = 16, rounds = 2)))
+  }
+
+  test("sq8 artifact equals the direct quantization") {
+    val direct = sortedRows(VectorOps.sq8(lifted))
+    assert(sortedRows(IndexStore.sq8Table(lifted)) === direct)
+    assert(isBareScan(IndexStore.sq8Table(lifted)))
+  }
+
+  test("label-centroid artifact is shared across consumers by plan key") {
+    val lv = emb.select(col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val first = IndexStore.labelCentroids(lv, 64)
+    assert(first.count() > 0)
+    // a DIFFERENT DataFrame object built through the same projection
+    // must hit the same artifact — this is what lets routing, health
+    // and filtered serving share one standing quantizer
+    val again = IndexStore.labelCentroids(
+      emb.select(col("label"),
+        VectorOps.toDouble(col("embedding")).as("v")), 64)
+    assert(isBareScan(again))
+    assert(sortedRows(again) === sortedRows(first))
+  }
+
+  test("knn graph artifact equals the q247 shape and serves as a scan") {
+    val g = IndexStore.knnGraph(idVecs, 64, 8)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // top-3 contract with rank ties only from equal (cos, cid) — rnk ≤ 3
+    assert(rows.forall(_.getAs[Long]("rnk") <= 3L))
+    assert(isBareScan(IndexStore.knnGraph(idVecs, 64, 8)))
+  }
+
+  test("lsh bucket artifact reads back as a scan with stable buckets") {
+    val b = IndexStore.lshBuckets(idVecs, 64, 8)
+    val direct = idVecs.select(col("vec_id"),
+      VectorOps.lshBucket(col("v"), 64, 8).as("bkt"))
+    assert(sortedRows(b.select(col("vec_id"), col("bkt"))) ===
+      sortedRows(direct))
+    assert(isBareScan(IndexStore.lshBuckets(idVecs, 64, 8)))
+  }
+}
