@@ -1653,7 +1653,95 @@ object Events extends QueryPack {
   /** The restarted stream must land on exactly the batch answer. */
   private val q239Sql = q204Sql
 
+  /** q254: RESTART UNDER RECONFIGURATION — q239's recovery path under
+    * the two knobs an operator actually changes between runs of a
+    * long-lived job: the restarted session sets a DIFFERENT
+    * `spark.sql.shuffle.partitions` (8 → 3) and swaps the state-store
+    * provider conf to RocksDB (q240's machinery). Spark records both
+    * in the checkpoint's offset metadata and re-pins the CHECKPOINTED
+    * values on restart (state-store partitioning and provider are
+    * properties of the persisted state, not of the session that
+    * happens to resume it) — so the resumed query must restore batch
+    * 0's window state, skip file 0, and land on exactly the batch
+    * answer even though the operator "reconfigured" it. Any
+    * state-partition mismatch, provider-format confusion, or
+    * double-read hash-fails against q204's mirror. This is the gate
+    * that makes conf drift between deploys a non-event instead of a
+    * silent state-corruption risk at 100 TB.
+    */
+  private def q254StreamRestartReconfig(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = sys.props("java.io.tmpdir") + s"/graft-ckpt-reconf-$run"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+    try {
+      val prep = s"$base/prep"
+      val staging = s"$base/in"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val usKey = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      raw.repartitionByRange(3, usKey).write.mode("overwrite").parquet(prep)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(prep))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).map(_.getPath).toSeq
+      StreamingOps.stampReplayOrder(fs, parts)
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      fs.mkdirs(stagingPath)
+      def place(p: org.apache.hadoop.fs.Path): Unit =
+        fs.rename(p, new org.apache.hadoop.fs.Path(stagingPath, p.getName))
+      def agg(stream: DataFrame) = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Exact.fixed(col("value"), 6)).as("sum_value_e6"))
+        .select(
+          (unix_micros(col("window.start")) / lit(1000000L))
+            .cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"), col("sum_value_e6"))
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partsKey)
+      try {
+        // PHASE 1: 8 shuffle partitions, default (HDFS-backed) state
+        // provider; batch 0 commits and the query is STOPPED
+        s.conf.set(partsKey, "8")
+        place(parts(0))
+        val q1 = StreamingOps.exactlyOnceParquetSink(
+          agg(StreamingOps.readEventsStream(s, staging,
+            maxFilesPerTrigger = 1)),
+          outDir, ckpt, outputMode = "complete")
+        try q1.processAllAvailable() finally q1.stop()
+        // PHASE 2: the "reconfigured deploy" — different partition
+        // count AND a different provider conf; the checkpoint's offset
+        // metadata must win both
+        s.conf.set(partsKey, "3")
+        StreamingOps.withStateStoreProvider(s,
+          StreamingOps.RocksDbProvider) {
+          parts.drop(1).foreach(place)
+          val q2 = StreamingOps.exactlyOnceParquetSink(
+            agg(StreamingOps.readEventsStream(s, staging,
+              maxFilesPerTrigger = 1)),
+            outDir, ckpt, outputMode = "complete")
+          try q2.processAllAvailable() finally q2.stop()
+        }
+      } finally s.conf.set(partsKey, prevParts)
+      StreamingOps.readLatestBatch(s, outDir)
+        .getOrElse(sys.error("q254: no committed batch"))
+        .localCheckpoint(true)
+        .orderBy(col("hour_epoch"), col("event_type"))
+    } finally fs.delete(basePath, true)
+  }
+
+  /** Reconfigured restart must still land on exactly the batch answer. */
+  private val q254Sql = q204Sql
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_stream_restart_reconfig" -> q254StreamRestartReconfig,
     "q239_stream_checkpoint_restart" -> q239StreamCheckpointRestart,
     "q64_interval_join" -> q64IntervalJoin,
     "q130_cohort_retention" -> q130CohortRetention,
@@ -1693,6 +1781,7 @@ object Events extends QueryPack {
     "q252_temporal_split" -> q252TemporalSplit)
 
   override val oracle: Map[String, String] = Map(
+    "q254_stream_restart_reconfig" -> q254Sql,
     "q239_stream_checkpoint_restart" -> q239Sql,
     "q48_hll_users" -> q48Sql,
     "q177_incremental_distinct" -> q177Sql,
