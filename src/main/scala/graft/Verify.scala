@@ -26,9 +26,30 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // ENFORCED self-verdicts: a query without a DuckDB mirror
+        // (rows-only driver check) must carry a `verdict` column and
+        // every row must be 1 — otherwise its output is REMOVED so
+        // the driver's gate records a red error row instead of a
+        // green-looking rows-only count.
+        if (!SparkEntry.oracleSql.contains(name)) {
+          val back = spark.read.parquet(s"$outDir/$name")
+          val flipped =
+            if (!back.columns.contains("verdict")) -1L
+            else back.filter(org.apache.spark.sql.functions
+              .col("verdict") =!= 1).count()
+          if (flipped != 0L) {
+            val out = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+            out.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(out, true)
+            sys.error(
+              if (flipped < 0) "rows-only query lacks a verdict column"
+              else s"$flipped rows with verdict != 1")
+          }
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query caches (q54 signatures, q71 tokens, ML
