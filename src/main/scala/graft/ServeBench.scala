@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{IndexStore, VectorOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Point-query serving-latency harness: the claim a vector store makes
+  * is milliseconds-per-query against a STANDING index, not seconds per
+  * batch job — with the ANN index family persisted through
+  * [[graft.ops.IndexStore]], the engine is finally shaped to measure
+  * it. Per scale factor:
+  *   1. build/refresh the trained-IVF artifacts ONCE (coarse codebook
+  *      + cell-keyed member table) and report `build_sec` — the batch
+  *      cost a deployment schedules, never pays per query;
+  *   2. serve single-vector queries one at a time (route the query to
+  *      its nprobe=2 trained cells via the broadcast codebook, scan
+  *      ONLY those cells' members from the artifact, exact integer-L2
+  *      top-5) and report min/p50/max wall-clock per query over the
+  *      query set, min-of-N repeats each.
+  * The scan is candidate-driven (2 of k cells) so per-query latency is
+  * dominated by fixed job-scheduling overhead plus a cell-sized scan —
+  * the number that should stay FLAT as the corpus grows, which is the
+  * serving-side scaling claim. One JSON line to stdout (also written
+  * to the output file).
+  */
+object ServeBench {
+  private val CELLS = 16 // trained cells (matches the q251/q253 index)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("SERVE_LOCAL.json")
+    val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SERVE_SFS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.failOnCartesian", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").write
+      .format("noop").mode("overwrite").save()
+
+    def f(d: Double) = f"$d%.3f"
+    val perSf = sfDirs.map { dir =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val x = VectorOps.liftE6(emb, "vec_id", "embedding")
+      val xs = VectorOps.pqSubspaces(x, subDim = 64)
+      // fit once: train + encode + lay out the member table
+      val t0 = System.nanoTime()
+      IndexStore.codebook(xs, k = CELLS, rounds = 2).count()
+      IndexStore.ivfMembers(x, k = CELLS, rounds = 2, dim = 64).count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val cb = IndexStore.codebook(xs, k = CELLS, rounds = 2)
+      val members = IndexStore.ivfMembers(x, k = CELLS, rounds = 2,
+        dim = 64)
+      // serve many: one query at a time against the standing artifact
+      def serve(qid: Long): Int = {
+        val qxs = xs.filter(col("vec_id") === lit(qid))
+          .select(col("sub"), col("j"), col("x").as("qx"))
+        val route = qxs.join(broadcast(cb), Seq("sub", "j"))
+          .groupBy(col("c"))
+          .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
+            .as("dd"))
+          .orderBy(col("dd"), col("c")).limit(2)
+          .select(col("c"))
+        val qv = members.filter(col("vec_id") === lit(qid))
+          .select(col("v").as("qv"), col("n2").as("qn2"))
+        route.join(members, Seq("c"))
+          .filter(col("vec_id") =!= lit(qid))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (col("qn2") + col("n2") -
+              lit(2L) * VectorOps.dot(col("qv"), col("v")).cast("long"))
+              .as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(5)
+          .collect().length
+      }
+      serve(0L) // warm the serving plan's codegen outside the timings
+      val lats = (0L until 20L).map { qid =>
+        (1 to repeats).map { _ =>
+          val t = System.nanoTime()
+          val n = serve(qid)
+          val ms = (System.nanoTime() - t) / 1e6
+          require(n > 0, s"empty serve result for qid $qid")
+          ms
+        }.min
+      }.sorted
+      val p50 = lats(lats.size / 2)
+      System.err.println(s"[serve] $dir build=${f(buildSec)}s " +
+        s"p50=${f(p50)}ms")
+      s""""$dir":{"build_sec":${f(buildSec)},"n_queries":${lats.size},""" +
+        s""""min_ms":${f(lats.head)},"p50_ms":${f(p50)},""" +
+        s""""max_ms":${f(lats.last)}}"""
+    }
+    val json =
+      s"""{"metric":"serve_latency","nprobe":2,"cells":$CELLS,"repeats":$repeats,"per_sf":{${perSf.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}
