@@ -54,21 +54,53 @@ object SemanticOps {
       .select(col("vec_id"), col("v"),
         VectorOps.norm(col("v")).as("nrm"))
 
+  /** Count-scaled band resolution — the q247/q250 rule applied per
+    * band, and the fix the full-pack sf1 sweep demanded: a FIXED band
+    * key space saturates (at 10× the shipped corpus, 16 keys per band
+    * held ~300 vectors each and pairing went quadratic — measured
+    * 41×/24× on the 10× step). Each band computes its full 8-bit sign
+    * key and keeps only the low r bits, where r is the smallest value
+    * in [minRows, 8] with 2^r ≥ n/32 (exact integer bit-length of
+    * (n−1) div 32, both engines compute it identically), so the
+    * expected band-bucket size stays ≤ ~32 at any corpus size and
+    * candidate work stays linear. At the shipped SFs r = minRows and
+    * the recall curve is the standard 1-(1-p^r)^bands banding
+    * amplification; masking (rather than re-planing) keeps the plane
+    * machinery static so the DuckDB mirror derives the same r from
+    * its own COUNT(*) and applies the same mask. One row, column `r`.
+    */
+  private def scaledRowsRow(v: DataFrame, minRows: Int): DataFrame =
+    v.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(minRows), least(lit(8),
+        when(expr("(n - 1) div 32") === 0, lit(0))
+          .otherwise(length(bin(expr("(n - 1) div 32")))))).as("r"))
+
+  /** The shared (vec_id, band, bkey) banding frame: full 8-bit band
+    * keys masked to the count-scaled low r bits.
+    */
+  private def bandKeyed(v: DataFrame, dim: Int, bands: Int,
+      minRows: Int): DataFrame =
+    v.select(col("vec_id"),
+        explode(VectorOps.lshBandKeys(col("v"), dim, bands, 8)).as("bk"))
+      .crossJoin(broadcast(scaledRowsRow(v, minRows)))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        (col("bk.bkey") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
+          .as("bkey"))
+
   /** Verified near-dup pairs (d1 < d2, cos): banded hyperplane-LSH
     * candidates (uniform equi-join, quadratic work confined to
     * buckets), exact cosine ≥ `threshold` computed for candidates
-    * only. `dim` must match the embedding width; banding recall is
-    * the standard 1-(1-p^rows)^bands curve.
+    * only. `dim` must match the embedding width; `rowsPerBand` is the
+    * resolution FLOOR — the effective bits per band scale with the
+    * corpus count ([[bandKeyed]]), so bucket sizes stay bounded and
+    * candidate work stays linear at any SF; recall follows the
+    * standard 1-(1-p^r)^bands curve at the derived r.
     */
   def neardupPairs(emb: DataFrame, threshold: Double = 0.45,
       dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = materialize(normalized(emb, idCol, vecCol))
-    val keyed = v.select(col("vec_id"),
-      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
-        .as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+    val keyed = bandKeyed(v, dim, bands, rowsPerBand)
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -121,11 +153,7 @@ object SemanticOps {
       vecCol: String = "embedding"): DataFrame = {
     require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
     val v = materialize(normalized(emb, idCol, vecCol))
-    val keyed = materialize(v.select(col("vec_id"),
-      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
-        .as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey")))
+    val keyed = materialize(bandKeyed(v, dim, bands, rowsPerBand))
     val stats = keyed.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("rep"))
     val sized = keyed.join(stats, Seq("band", "bkey"))
@@ -167,11 +195,7 @@ object SemanticOps {
       dim: Int = 64, bands: Int = 4, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = materialize(normalized(emb, idCol, vecCol))
-    val keyed = v.select(col("vec_id"),
-      explode(VectorOps.lshBandKeys(col("v"), dim, bands, rowsPerBand))
-        .as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+    val keyed = bandKeyed(v, dim, bands, rowsPerBand)
     val nw = keyed.filter(isNew)
       .select(col("vec_id").as("dn"), col("band"), col("bkey"))
     val cand = nw

@@ -82,6 +82,11 @@ object Similarity extends QueryPack {
     IndexStore.labelCentroids(labelVecs(s, d), DIM).count()
     IndexStore.lshBuckets(idVecs(s, d), DIM, PLANES).count()
     IndexStore.knnGraph(idVecs(s, d), DIM, PLANES).count()
+    // the BASE-snapshot twins the q243/q244/q250 lifecycle steps read
+    IndexStore.labelCentroids(baseLabelVecs(s, d), DIM).count()
+    IndexStore.knnGraph(
+      vecs(s, d).filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id"), col("v"), col("nrm")), DIM, PLANES).count()
     ()
   }
 
@@ -126,15 +131,19 @@ object Similarity extends QueryPack {
   private val ROWS_PER_BAND = 4
 
   /** q33: embedding near-dup pairs (cos ≥ 0.45), candidate-driven —
-    * banded hyperplane LSH (4 bands × 4 bits) generates candidates
-    * through a uniform (band, bkey) equi-join, then the exact cosine
-    * verifies candidates only. No unbounded nested-loop join anywhere:
-    * the previous exact all-pairs form was O(n²) over the corpus — a
-    * BroadcastNestedLoopJoin that 100×'s into 10,000× work — whereas
-    * this is the same band→bucket→verify shape the Dedup pack ships for
-    * MinHash (q28→q31), linear in candidates. Recall is the banding
-    * curve 1-(1-p^4)^4; both engines mirror the identical candidate set
-    * so the oracle comparison stays exact.
+    * banded hyperplane LSH (4 bands × COUNT-SCALED bits, floor 4)
+    * generates candidates through a uniform (band, bkey) equi-join,
+    * then the exact cosine verifies candidates only. No unbounded
+    * nested-loop join anywhere: the previous exact all-pairs form was
+    * O(n²) over the corpus — a BroadcastNestedLoopJoin that 100×'s
+    * into 10,000× work — whereas this is the same band→bucket→verify
+    * shape the Dedup pack ships for MinHash (q28→q31), linear in
+    * candidates. Round 8's full-pack sf1 sweep caught the FIXED key
+    * space saturating (41× on a 10× step), so the band key is now the
+    * low r bits of a full 8-bit sign key with r count-scaled exactly
+    * like q247's cells ([[graft.ops.SemanticOps]]). Recall is the
+    * banding curve 1-(1-p^r)^4; both engines mirror the identical
+    * candidate set so the oracle comparison stays exact.
     */
   private[queries] def q33EmbeddingNeardup(
       s: SparkSession, d: String): DataFrame =
@@ -151,16 +160,25 @@ object Similarity extends QueryPack {
     * (semantic-dedup cluster formation over the same edge set).
     */
   private[queries] val neardupCtes = {
-    val nPlanes = BANDS * ROWS_PER_BAND
+    // full 8-bit band keys masked to the count-scaled low r bits —
+    // the mirror of SemanticOps.bandKeyed (fixed band-key spaces
+    // saturate: the full-pack sf1 sweep measured 41× on the 10× step
+    // before this)
+    val nPlanes = BANDS * 8
     val planeCols = (0 until nPlanes)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     val keyedBranches = (0 until BANDS)
       .map(b => s"""SELECT vec_id, $b AS band,
-            ${VectorOps.lshBandKeySql("v", b, ROWS_PER_BAND)} AS bkey
-          FROM nn""")
+            ${VectorOps.lshBandKeySql("v", b, 8)}
+              % (CAST(1 AS BIGINT) << r) AS bkey
+          FROM nn CROSS JOIN rr""")
       .mkString(" UNION ALL ")
     s"""planes AS (SELECT $planeCols),
+       rr AS (SELECT GREATEST($ROWS_PER_BAND, LEAST(8,
+            CASE WHEN (COUNT(*) - 1) // 32 = 0 THEN 0
+                 ELSE length(bin((COUNT(*) - 1) // 32)) END)) AS r
+          FROM n),
        nn AS (SELECT n.vec_id, n.v, planes.* FROM n CROSS JOIN planes),
        keyed AS ($keyedBranches),
        cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
@@ -2506,7 +2524,211 @@ object Similarity extends QueryPack {
        FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
   }
 
+  /** q255: RESIDUAL-encoded IndexIVFPQ — the refinement that makes
+    * q253 faiss's actual default (`by_residual=true`): PQ is trained
+    * and applied on RESIDUALS x − centroid(cell(x)) instead of raw
+    * vectors, because within a cell the residuals occupy a much
+    * smaller box than the raw corpus, so the same 16-centroid budget
+    * quantizes far finer exactly where the search happens. The ADC
+    * consequence is structural: the query's residual DIFFERS PER
+    * PROBED CELL, so the distance table is keyed (query, cell, sub,
+    * centroid) and each candidate's 8 lookups resolve through its own
+    * cell's table — the per-probe table faiss builds per inverted
+    * list. Same report as q253 (n_scanned identical by construction —
+    * same trained route, same cells; n_hits measures what residual
+    * encoding buys). Residual safety: e6 unit-vector components and
+    * their cell means are each in [−10⁶, 10⁶], so residuals are
+    * ≥ −2·10⁶ and the shift-floor mean update in
+    * [[VectorOps.pqCodebook]] keeps its non-negative-numerator
+    * contract unchanged. Every table (coarse codebook, cells,
+    * residual codebook, residual codes) is a standing [[IndexStore]]
+    * artifact; the oracle unrolls BOTH Lloyd chains — the coarse one
+    * over raw vectors and the PQ one over the DERIVED residual frame
+    * — and replays route→residualize→table→lookup→rank
+    * value-for-value. Scale shape identical to q253 plus one
+    * broadcast centroid join to form residuals.
+    */
+  private def q255IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // residual build, query frames and ground truth scan it
+    val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
+    val coarse = IndexStore.codebook(xsc, k = 16, rounds = 2)
+    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
+      .select(col("vec_id"), col("c").as("cell"))
+    val coarseByDim = coarse.select(col("c").as("cell"),
+      col("j").as("dim"), col("v").as("cv"))
+    // residual frame: every vector minus ITS OWN cell's centroid
+    val rx = x.join(cells, Seq("vec_id"))
+      .join(broadcast(coarseByDim), Seq("cell", "dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x"))
+    val rxs = VectorOps.pqSubspaces(rx, subDim = 8)
+    val rCent = IndexStore.codebook(rxs, k = 16, rounds = 2)
+    val rCodes = IndexStore.codes(rxs, k = 16, rounds = 2)
+    // route: q253's trained nprobe=2 assignment, unchanged
+    val qxsc = xsc.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sub"), col("j"),
+        col("x").as("qx"))
+    val route = TopKOps.topKPerGroup(
+      qxsc.join(broadcast(coarse), Seq("sub", "j"))
+        .groupBy(col("qid"), col("c"))
+        .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
+          .as("dd")),
+      Seq(col("qid")), Seq(col("dd").asc, col("c").asc), 2)
+      .select(col("qid"), col("c").as("cell"))
+    // per-(query, probed cell) residual → per-cell ADC table
+    val qr = x.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("dim"), col("x").as("qx"))
+      .join(route, Seq("qid"))
+      .join(broadcast(coarseByDim), Seq("cell", "dim"))
+      .select(col("qid"), col("cell"), expr("dim div 8").as("sub"),
+        (col("dim") % 8).as("j"), (col("qx") - col("cv")).as("qx"))
+    val tab = qr.join(broadcast(rCent), Seq("sub", "j"))
+      .groupBy(col("qid"), col("cell"), col("sub"), col("c"))
+      .agg(sum((col("qx") - col("v")) * (col("qx") - col("v"))).as("dd"))
+    val cands = route.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("vec_id").as("cid"))
+    val adc = cands
+      .join(rCodes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(tab), Seq("qid", "cell", "sub", "c"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("dd")).as("dist"))
+    val nScanned = cands.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val pqTop = TopKOps.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("pq_cid"))
+    // exact integer-L2 full-scan ground truth (identical to q253's)
+    val arrs = x.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("x")))),
+        t => t.getField("x").cast("double")).as("v"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    val qv = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val exactTop = TopKOps.topKPerGroup(
+      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("n2").as("cn2")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") -
+            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+            .as("dist")),
+      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(pqTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("pq_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nScanned, Seq("qid"))
+      .select(col("qid"), col("n_scanned"), col("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  private val q255Sql = {
+    // q253's parameterized Lloyd round — here unrolled over BOTH the
+    // raw coarse frame (xc) and the DERIVED residual frame (rxs)
+    def round(xs: String, cp: String, a: String, u: String, cn: String) =
+      s"""$a AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT $xs.vec_id, $xs.sub, c.c,
+                   SUM(($xs.x - c.v)*($xs.x - c.v)) AS dd
+                 FROM $xs JOIN $cp c ON c.sub = $xs.sub AND c.j = $xs.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+         $u AS (SELECT a.sub, a.c, $xs.j,
+             (SUM($xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN $xs ON $xs.vec_id = a.vec_id AND $xs.sub = a.sub
+           GROUP BY 1, 2, 3),
+         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
+           FROM $cp p LEFT JOIN $u u
+             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
+    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       xc AS (SELECT vec_id, dim // $DIM AS sub, dim % $DIM AS j, x
+              FROM x),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
+                 AS BIGINT), vec_id) AS rn
+           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
+       c0c AS (SELECT xc.sub, s.c, xc.j, xc.x AS v
+               FROM seeds s JOIN xc ON xc.vec_id = s.vec_id),
+       ${round("xc", "c0c", "a1c", "u1c", "c1c")},
+       ${round("xc", "c1c", "a2c", "u2c", "c2c")},
+       cells AS (SELECT vec_id, c FROM (
+           SELECT d.vec_id, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xc.vec_id, c.c,
+                   SUM((xc.x - c.v)*(xc.x - c.v)) AS dd
+                 FROM xc JOIN c2c c ON c.sub = xc.sub AND c.j = xc.j
+                 GROUP BY 1, 2) d) WHERE rn = 1),
+       route AS (SELECT qid, c FROM (
+           SELECT d.qid, d.c,
+             RANK() OVER (PARTITION BY d.qid ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT q.vec_id AS qid, c.c,
+                   SUM((q.x - c.v)*(q.x - c.v)) AS dd
+                 FROM xc q JOIN c2c c ON c.sub = q.sub AND c.j = q.j
+                 WHERE q.vec_id < 20 GROUP BY 1, 2) d) WHERE rn <= 2),
+       rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
+              FROM x JOIN cells cl ON cl.vec_id = x.vec_id
+              JOIN c2c cv ON cv.c = cl.c AND cv.j = x.dim),
+       rxs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM rx),
+       c0r AS (SELECT rxs.sub, s.c, rxs.j, rxs.x AS v
+               FROM seeds s JOIN rxs ON rxs.vec_id = s.vec_id),
+       ${round("rxs", "c0r", "a1r", "u1r", "c1r")},
+       ${round("rxs", "c1r", "a2r", "u2r", "c2r")},
+       rcodes AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT rxs.vec_id, rxs.sub, c.c,
+                   SUM((rxs.x - c.v)*(rxs.x - c.v)) AS dd
+                 FROM rxs JOIN c2r c ON c.sub = rxs.sub AND c.j = rxs.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+       qr AS (SELECT q.vec_id AS qid, r.c AS cell,
+                q.dim // 8 AS sub, q.dim % 8 AS j, q.x - cv.v AS qx
+              FROM x q JOIN route r ON r.qid = q.vec_id
+              JOIN c2c cv ON cv.c = r.c AND cv.j = q.dim
+              WHERE q.vec_id < 20),
+       rtab AS (SELECT qr.qid, qr.cell, qr.sub, c.c,
+                SUM((qr.qx - c.v)*(qr.qx - c.v)) AS dd
+              FROM qr JOIN c2r c ON c.sub = qr.sub AND c.j = qr.j
+              GROUP BY 1, 2, 3, 4),
+       cand AS (SELECT r.qid, r.c AS cell, m.vec_id AS cid
+              FROM route r JOIN cells m ON m.c = r.c
+              WHERE m.vec_id <> r.qid),
+       radc AS (SELECT cd.qid, cd.cid, SUM(t.dd) AS dist
+              FROM cand cd JOIN rcodes k ON k.vec_id = cd.cid
+              JOIN rtab t ON t.qid = cd.qid AND t.cell = cd.cell
+                AND t.sub = k.sub AND t.c = k.c
+              GROUP BY 1, 2),
+       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
+       pt AS (SELECT qid, cid AS pq_cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM radc) WHERE rn <= 5),
+       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+               SUM((q.x - c.x)*(q.x - c.x)) AS dist
+             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+             WHERE q.vec_id < 20 GROUP BY 1, 2),
+       et AS (SELECT qid, cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
+       hits AS (SELECT et.qid,
+           CAST(SUM(CASE WHEN et.cid = pt.pq_cid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM et JOIN pt ON pt.qid = et.qid GROUP BY 1)
+       SELECT h.qid, n.n_scanned, h.n_hits
+       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
+  }
+
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_ivfpq_residual" -> q255IvfPqResidual,
     "q253_ivfpq_serving" -> q253IvfPqServing,
     "q251_trained_ivf" -> q251TrainedIvf,
     "q250_knn_incremental" -> q250KnnIncremental,
@@ -2538,6 +2760,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q255_ivfpq_residual" -> q255Sql,
     "q253_ivfpq_serving" -> q253Sql,
     "q251_trained_ivf" -> q251Sql,
     "q250_knn_incremental" -> q250Sql,

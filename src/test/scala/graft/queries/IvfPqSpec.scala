@@ -39,4 +39,28 @@ class IvfPqSpec extends AnyFunSuite {
   test("the composed approximations still find real neighbors") {
     assert(out.map(_.getAs[Long]("n_hits")).sum > 0L)
   }
+
+  private lazy val res = graft.SparkEntry
+    .queries("q255_ivfpq_residual")(spark, dir)
+    .collect()
+
+  test("residual encoding shares the exact routing cost of q253") {
+    // same trained route, same cells ⇒ n_scanned must be IDENTICAL;
+    // only the ADC ranking (and hence n_hits) may differ
+    val raw = out.map(r =>
+      r.getAs[Long]("qid") -> r.getAs[Long]("n_scanned")).toMap
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_scanned") === raw(r.getAs[Long]("qid")))
+    }
+  }
+
+  test("residual ADC hits are bounded and nonzero across the set") {
+    res.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 5L &&
+        hits <= r.getAs[Long]("n_scanned"))
+    }
+    assert(res.map(_.getAs[Long]("n_hits")).sum > 0L)
+  }
 }
