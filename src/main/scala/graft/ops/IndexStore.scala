@@ -135,6 +135,38 @@ object IndexStore {
         when(expr("(n - 1) div 64") === 0, lit(0))
           .otherwise(length(bin(expr("(n - 1) div 64")))))).as("k"))
 
+  /** The un-persisted kNN-graph derivation — exposed separately so
+    * the plan audit (PlanDump/PlanSpec) can inspect the BUILD's join
+    * shape (cell equi-join, never a cartesian) independently of the
+    * artifact readback that serving plans as.
+    */
+  def knnGraphBuild(v: DataFrame, dim: Int, planes: Int): DataFrame = {
+    val bucketed = v
+      .select(col("vec_id"), col("v"), col("nrm"),
+        VectorOps.lshBucket(col("v"), dim, planes).as("b8"))
+      .crossJoin(broadcast(scaledKRow(v)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (col("b8") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
+    val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cell"))
+    val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("cell").as("cell2"))
+    // n_cands rides the SAME window partition the rank uses — one
+    // pass over the self-join
+    val scored = a
+      .join(b, col("cell") === col("cell2") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.dot(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6).as("cos"))
+      .withColumn("n_cands", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))))
+    TopKOps.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("cid"), col("cos"), col("n_cands"))
+  }
+
   /** All-node top-3 kNN graph over a (vec_id, v, nrm) frame, built
     * with the count-scaled LSH quantizer (cells ∝ n ⇒ per-node cost
     * flat) — (qid, rnk, cid, cos, n_cands). THE graph artifact: built
@@ -144,29 +176,6 @@ object IndexStore {
   def knnGraph(v: DataFrame, dim: Int, planes: Int): DataFrame =
     ArtifactStore.materializedOnce(v,
       ArtifactStore.key(v, "knngraph", s"d$dim-p$planes")) {
-      val bucketed = v
-        .select(col("vec_id"), col("v"), col("nrm"),
-          VectorOps.lshBucket(col("v"), dim, planes).as("b8"))
-        .crossJoin(broadcast(scaledKRow(v)))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          (col("b8") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
-      val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cell"))
-      val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
-        col("nrm").as("cn"), col("cell").as("cell2"))
-      // n_cands rides the SAME window partition the rank uses — one
-      // pass over the self-join
-      val scored = a
-        .join(b, col("cell") === col("cell2") && col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          round(VectorOps.dot(col("qv"), col("cv")) /
-            (col("qn") * col("cn")), 6).as("cos"))
-        .withColumn("n_cands", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid"))))
-      TopKOps.topKPerGroup(scored, Seq(col("qid")),
-          Seq(col("cos").desc, col("cid").asc), 3)
-        .select(col("qid"), col("rnk").cast("long").as("rnk"),
-          col("cid"), col("cos"), col("n_cands"))
+      knnGraphBuild(v, dim, planes)
     }
 }
