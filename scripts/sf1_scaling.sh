@@ -14,7 +14,7 @@
 set -e
 cd /root/repo
 
-HEAVY="q1_pricing_summary,q3_revenue_by_nation,q217_returned_items,q237_shipping_priority,q26_exact_dedup,q28_lsh_band_pairs,q31_ngram_jaccard,q33_embedding_neardup,q54_ml_lsh_pairs,q56_als_all_recommend,q86_incremental_dedup,q89_dedup_recall,q93_subword_tokens,q100_tfidf_keywords,q101_textrank,q103_exact_substrings,q109_span_purge,q119_cooccurrence_triangles,q129_mmr_rerank,q143_association_rules,q153_prefix_join,q242_segment_join,q157_phash_dedup,q180_entity_clusters,q202_set_cover,q238_ivf_sq8_serving,q244_index_compaction,q245_filtered_ann,q247_knn_graph"
+HEAVY="q1_pricing_summary,q3_revenue_by_nation,q217_returned_items,q237_shipping_priority,q26_exact_dedup,q28_lsh_band_pairs,q31_ngram_jaccard,q33_embedding_neardup,q54_ml_lsh_pairs,q56_als_all_recommend,q86_incremental_dedup,q89_dedup_recall,q93_subword_tokens,q100_tfidf_keywords,q101_textrank,q103_exact_substrings,q109_span_purge,q119_cooccurrence_triangles,q129_mmr_rerank,q143_association_rules,q153_prefix_join,q242_segment_join,q157_phash_dedup,q180_entity_clusters,q202_set_cover,q238_ivf_sq8_serving,q244_index_compaction,q245_filtered_ann,q247_knn_graph,q253_ivfpq_serving,q255_ivfpq_residual,q112_semantic_dedup,q208_semantic_incremental"
 
 if [ ! -d testdata-sf0.1-synth/lineitem.parquet ]; then
   echo "[sf1] generating synth sf0.1"

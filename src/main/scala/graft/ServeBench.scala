@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * dominated by fixed job-scheduling overhead plus a cell-sized scan —
   * the number that should stay FLAT as the corpus grows, which is the
   * serving-side scaling claim. One JSON line to stdout (also written
-  * to the output file).
+  * to the output file). Caveat: with `spark.graft.artifactDir` pinned
+  * to a cache that already holds this corpus's committed index,
+  * `build_sec` measures the (cheap) artifact readback, not training —
+  * run against a fresh dir to measure the true one-time build.
   */
 object ServeBench {
   private val CELLS = 16 // trained cells (matches the q251/q253 index)

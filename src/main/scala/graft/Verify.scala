@@ -35,18 +35,26 @@ object Verify {
         // the driver's gate records a red error row instead of a
         // green-looking rows-only count.
         if (!SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.functions.{col, lit, not}
           val back = spark.read.parquet(s"$outDir/$name")
+          // null-SAFE comparison: a NULL verdict (e.g. an upstream
+          // decode failure nulling the contract inputs) must count as
+          // flipped, not silently filter out; an EMPTY output is
+          // equally a failed contract
           val flipped =
             if (!back.columns.contains("verdict")) -1L
-            else back.filter(org.apache.spark.sql.functions
-              .col("verdict") =!= 1).count()
+            else if (back.isEmpty) -2L
+            else back.filter(not(col("verdict").eqNullSafe(lit(1))))
+              .count()
           if (flipped != 0L) {
             val out = new org.apache.hadoop.fs.Path(s"$outDir/$name")
             out.getFileSystem(spark.sessionState.newHadoopConf())
               .delete(out, true)
-            sys.error(
-              if (flipped < 0) "rows-only query lacks a verdict column"
-              else s"$flipped rows with verdict != 1")
+            sys.error(flipped match {
+              case -1 => "rows-only query lacks a verdict column"
+              case -2 => "rows-only query returned no rows"
+              case n => s"$n rows with verdict != 1"
+            })
           }
         }
       } catch { case e: Throwable =>

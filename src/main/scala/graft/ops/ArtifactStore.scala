@@ -65,6 +65,19 @@ private[ops] object ArtifactStore {
     }
   }
 
+  /** Derivation-format epoch folded into every key: keys are
+    * content-addressed on INPUTS (plan + file snapshot + params),
+    * which cannot observe a CODE change to the derivation itself —
+    * without this, a durable `spark.graft.artifactDir` cache would
+    * keep serving results computed by the OLD derivation after an
+    * engine upgrade changes what the same key is supposed to contain
+    * (round 8's count-scaled semantic banding changed the sempairs
+    * derivation under unchanged inputs+params). Bump on any semantic
+    * change to an artifact-producing derivation; stranded old-epoch
+    * entries are reclaimed by [[vacuum]].
+    */
+  private val FORMAT_EPOCH = "e8"
+
   def key(df: DataFrame, kind: String, params: String): String = {
     val canon = df.queryExecution.analyzed.canonicalized
     // A canonicalized LocalRelation prints its SCHEMA but not its rows
@@ -79,6 +92,8 @@ private[ops] object ArtifactStore {
         scala.util.hashing.MurmurHash3.orderedHash(l.data)
     }.mkString(",")
     val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(FORMAT_EPOCH.getBytes("UTF-8"))
+    md.update('|'.toByte)
     md.update(canon.toString.getBytes("UTF-8"))
     md.update('|'.toByte)
     md.update(localData.getBytes("UTF-8"))

@@ -1704,6 +1704,11 @@ object Events extends QueryPack {
           (unix_micros(col("window.start")) / lit(1000000L))
             .cast("long").as("hour_epoch"),
           col("event_type"), col("n_events"), col("sum_value_e6"))
+      // deliberately NOT StreamingOps.withShufflePartitions: that
+      // helper only scopes the conf DOWN (min with the session value),
+      // while this gate needs two phases with a guaranteed-DIFFERENT
+      // explicit value (8 then 3) regardless of what the session runs
+      // at — the difference IS the thing under test
       val partsKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partsKey)
       try {

@@ -87,6 +87,8 @@ object Similarity extends QueryPack {
     IndexStore.knnGraph(
       vecs(s, d).filter(col("vec_id") % 5 =!= 4)
         .select(col("vec_id"), col("v"), col("nrm")), DIM, PLANES).count()
+    // q255's residual PQ index (trained on x − centroid(cell(x)))
+    IndexStore.codes(residualSubspaces(s, d), k = 16, rounds = 2).count()
     ()
   }
 
@@ -2548,22 +2550,37 @@ object Similarity extends QueryPack {
     * value-for-value. Scale shape identical to q253 plus one
     * broadcast centroid join to form residuals.
     */
+  /** The residual PQ subspace frame q255 trains and encodes on —
+    * every vector minus ITS OWN trained cell's centroid, split into
+    * m=8 subspaces. ONE construction path (also used by the
+    * PerfProfile prebuild) so the residual codebook/code artifacts
+    * are addressed by a single canonical plan.
+    */
+  private def residualSubspaces(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding")
+    val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
+    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
+      .select(col("vec_id"), col("c").as("cell"))
+    val coarseByDim = IndexStore.codebook(xsc, k = 16, rounds = 2)
+      .select(col("c").as("cell"), col("j").as("dim"), col("v").as("cv"))
+    val rx = x.join(cells, Seq("vec_id"))
+      .join(broadcast(coarseByDim), Seq("cell", "dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x"))
+    VectorOps.pqSubspaces(rx, subDim = 8)
+  }
+
   private def q255IvfPqResidual(s: SparkSession, d: String): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // residual build, query frames and ground truth scan it
     val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
     val coarse = IndexStore.codebook(xsc, k = 16, rounds = 2)
-    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
-      .select(col("vec_id"), col("c").as("cell"))
     val coarseByDim = coarse.select(col("c").as("cell"),
       col("j").as("dim"), col("v").as("cv"))
-    // residual frame: every vector minus ITS OWN cell's centroid
-    val rx = x.join(cells, Seq("vec_id"))
-      .join(broadcast(coarseByDim), Seq("cell", "dim"))
-      .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x"))
-    val rxs = VectorOps.pqSubspaces(rx, subDim = 8)
+    val rxs = residualSubspaces(s, d)
     val rCent = IndexStore.codebook(rxs, k = 16, rounds = 2)
     val rCodes = IndexStore.codes(rxs, k = 16, rounds = 2)
+    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
+      .select(col("vec_id"), col("c").as("cell"))
     // route: q253's trained nprobe=2 assignment, unchanged
     val qxsc = xsc.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("sub"), col("j"),
