@@ -29,7 +29,7 @@ SPARK_GRAFT_ONLY="q255_ivfpq_residual,q112_semantic_dedup,q208_semantic_incremen
   sbt -batch "runMain graft.ScaleBench /root/repo/testdata-sf0.1-synth /root/repo/testdata-sf1" > /tmp/r8p_sf1_q255.log 2>&1
 echo "SF1_Q255_EXIT=$?" >> /tmp/r8p_status.log
 python3 - <<'EOF'
-import json, re
+import json
 def merge(dst_path, src_log):
     with open(src_log) as f:
         m = [l for l in f if l.startswith('{"sfs"')]
