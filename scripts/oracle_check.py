@@ -14,6 +14,7 @@ Usage: oracle_check.py [sfDir] [outDir]
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,8 +35,13 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships flat files; Spark-written corpora
+        # (e.g. the synthetic sf1 tree) are part-file directories
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
@@ -94,6 +100,14 @@ def main():
             failures += 1
         else:
             print(f"OK   {name}: {len(got)} rows")
+    # surface Verify's machine-readable failure markers — a rows-only
+    # query (no oracle entry) that failed its enforced self-verdict
+    # leaves <name>._ERROR, which the oracle loop above never visits
+    for marker in sorted(glob.glob(f"{outdir}/*._ERROR")):
+        name = os.path.basename(marker)[:-len("._ERROR")]
+        with open(marker) as fh:
+            print(f"FAIL {name}: {fh.read().strip()}")
+        failures += 1
     print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
     sys.exit(1 if failures else 0)
 

@@ -93,6 +93,29 @@ object PlanDump {
             .select(col("vec_id"), col("v"),
               graft.ops.VectorOps.norm(col("v")).as("nrm"))
           graft.ops.IndexStore.knnGraphBuild(v, 64, 8)
+        }),
+      Pick("ivf_member_probe",
+        "IVF point-probe SERVING (round 9): the member table is laid " +
+          "out partitionBy(cell), so an nprobe=2 probe is a " +
+          "partition-PRUNED scan — 2 of 16 directories, never the " +
+          "corpus — feeding one TakeOrderedAndProject; no join " +
+          "anywhere (ServeBench.serveIvf's exact plan)",
+        Seq("PartitionFilters", " IN (3,7)", "TakeOrderedAndProject",
+          "!Join"),
+        frame = Some { (s, d) =>
+          import org.apache.spark.sql.functions._
+          val emb = graft.core.Tables(s, d, "embeddings")
+          val x = graft.ops.VectorOps.liftE6(emb, "vec_id", "embedding")
+          val members = graft.ops.IndexStore.ivfMembers(x, k = 16,
+            rounds = 2, dim = 64)
+          val qv = (0 until 64).map(_ => 0.0)
+          members
+            .filter(col("c").isin(3, 7) && col("vec_id") =!= lit(0L))
+            .select(col("vec_id"),
+              (lit(0L) + col("n2") - lit(2L) *
+                graft.ops.VectorOps.dot(typedlit(qv), col("v"))
+                  .cast("long")).as("dist"))
+            .orderBy(col("dist"), col("vec_id")).limit(5)
         }))
 
     val sections = picks.map { p =>

@@ -23,6 +23,19 @@ object Verify {
     // it unset → all queries run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // machine-readable failure markers: any consumer of the output
+    // dir (not just a driver that counts per-query outputs) must see
+    // a red state — each failed query leaves <name>._ERROR with the
+    // message, and verify_errors.json summarizes the run
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def markError(name: String, msg: String): Unit = {
+      errors(name) = msg
+      Files.writeString(Paths.get(s"$outDir/$name._ERROR"), msg)
+    }
+    // stale markers from a previous run into the same dir must not
+    // shadow a now-green query
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith("._ERROR")).foreach(_.delete())
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -59,6 +72,7 @@ object Verify {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        markError(name, Option(e.getMessage).getOrElse(e.toString))
       }
       // release per-query caches (q54 signatures, q71 tokens, ML
       // inputs) so 63 queries don't accumulate storage-memory churn
@@ -79,6 +93,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the run-level red/green summary beside the per-query _ERROR
+    // markers (empty object = all attempted queries produced output)
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.DataFrame
   * a session-UUID'd tmpdir and every new session re-derives (the
   * in-memory registry alone gates rebuilds within a session).
   */
-private[ops] object ArtifactStore {
+private[graft] object ArtifactStore {
 
   private val artifacts =
     scala.collection.mutable.Map.empty[String, String]
@@ -72,11 +72,13 @@ private[ops] object ArtifactStore {
     * keep serving results computed by the OLD derivation after an
     * engine upgrade changes what the same key is supposed to contain
     * (round 8's count-scaled semantic banding changed the sempairs
-    * derivation under unchanged inputs+params). Bump on any semantic
+    * derivation under unchanged inputs+params; round 9 raised every
+    * key space's resolution ceiling to 16 bits, changing knngraph /
+    * sempairs / semlabels above ~8k rows). Bump on any semantic
     * change to an artifact-producing derivation; stranded old-epoch
     * entries are reclaimed by [[vacuum]].
     */
-  private val FORMAT_EPOCH = "e8"
+  private val FORMAT_EPOCH = "e9"
 
   def key(df: DataFrame, kind: String, params: String): String = {
     val canon = df.queryExecution.analyzed.canonicalized
@@ -103,7 +105,17 @@ private[ops] object ArtifactStore {
     s"$kind-$h-$params"
   }
 
-  def materializedOnce(df: DataFrame, key: String)
+  /** `partitionBy`: hive-style partition columns for the artifact's
+    * layout — the store-side lever that turns a key-restricted probe
+    * into a partition-PRUNED scan (read nprobe directories, not the
+    * table). Readback note: a partition column comes back type-
+    * INFERRED (small integral values read as INT) and ordered last;
+    * callers that join on it rely on Spark's UnwrapCastInBinary-
+    * Comparison keeping pruning intact under the int/long coercion,
+    * and callers that filter should compare against int literals.
+    */
+  def materializedOnce(df: DataFrame, key: String,
+      partitionBy: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val durableBase = spark.conf.getOption("spark.graft.artifactDir")
@@ -121,11 +133,40 @@ private[ops] object ArtifactStore {
           marker.getFileSystem(spark.sessionState.newHadoopConf())
             .exists(marker)
         }
-        if (!committed) build.write.mode("overwrite").parquet(p)
+        if (!committed)
+          build.write.mode("overwrite").partitionBy(partitionBy: _*)
+            .parquet(p)
         p
       })
     }
     spark.read.parquet(path)
+  }
+
+  /** [[materializedOnce]] for PATH-shaped artifacts whose layout the
+    * caller owns (e.g. the streaming gates' stamped replay tree,
+    * where strictly-increasing part-file mtimes are part of the
+    * artifact): runs `build(path)` exactly once per key and returns
+    * the path. The builder must leave a `_SUCCESS` marker (a Spark
+    * parquet write does) for the durable-cache reuse check.
+    */
+  def pathOnce(df: DataFrame, key: String)
+      (build: String => Unit): String = {
+    val spark = df.sparkSession
+    val durableBase = spark.conf.getOption("spark.graft.artifactDir")
+    synchronized {
+      artifacts.getOrElseUpdate(key, {
+        val base = durableBase.getOrElse(sys.props("java.io.tmpdir") +
+          s"/graft-artifacts-$artifactRunId")
+        val p = s"$base/$key"
+        val committed = durableBase.isDefined && {
+          val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+          marker.getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(marker)
+        }
+        if (!committed) build(p)
+        p
+      })
+    }
   }
 
   /** Drop the in-memory registry. No longer needed for staleness

@@ -128,6 +128,28 @@ object DedupOps {
         when(element_at(counts, j + 1) * 2 > size(hs), lit(1L << j))
           .otherwise(lit(0L))).reduce(_ + _))
 
+  /** Second-fingerprint rehash coefficients: one more member of the
+    * same universal-hash family, applied to the shingle hashes before
+    * a second [[simhash]] pass. The 32-bit simhash has exactly 8 bits
+    * per band for 4 bands — no spare resolution — so when the
+    * count-scaled banding rule needs keys wider than 8 bits (past
+    * n ≈ 2^8·32 ≈ 8k docs) the extra bits come from this independent
+    * fingerprint: band key = simhash byte | simhash2 byte << 8, masked
+    * to the derived r. Near-dups agree on most simhash2 bits for the
+    * same reason they agree on simhash (both are majority votes over
+    * largely-shared shingle sets), so banding recall degrades
+    * gracefully rather than cliffing.
+    */
+  val a2: Long = 1000151L
+  val b2: Long = 777777L
+
+  /** The rehashed shingle-hash list feeding the second fingerprint. */
+  def rehash2(hs: Column): Column =
+    transform(hs, h => pmod(h * lit(a2) + lit(b2), lit(P)))
+
+  def rehash2Sql(hs: String): String =
+    s"list_transform($hs, h -> (h * $a2 + $b2) % $P)"
+
   /** SQL mirror; `hs` must be a simple column/alias name (see CTE note
     * on [[shinglesSql]]).
     */

@@ -101,18 +101,22 @@ object IndexStore {
     }
 
   /** Cell-keyed IVF serving table over a lifted (vec_id, dim, x)
-    * frame: (vec_id, c, v double-array, n2) — each vector stored
+    * frame: (vec_id, v double-array, n2, c) — each vector stored
     * under its trained cell with its reassembled array and squared
-    * norm, i.e. the table a point query's probe actually reads (route
-    * to cells, scan ONLY those cells' rows). Persisted once per
-    * (corpus, k, rounds, dim); at scale this is the table a store
-    * would additionally partition BY `c` so a probe is a
-    * partition-pruned scan.
+    * norm, PARTITIONED BY `c`: the table a point query's probe
+    * actually reads is laid out as one directory per trained cell, so
+    * an nprobe=2 probe is a partition-PRUNED scan of 2/k directories
+    * — at 10 B vectors the difference between reading the corpus and
+    * reading two inverted lists. Persisted once per (corpus, k,
+    * rounds, dim). Readback: `c` is a type-inferred partition column
+    * (INT) and sorts last — filter with int literals to keep the
+    * pruning trivially visible in `PartitionFilters`.
     */
   def ivfMembers(x: DataFrame, k: Int, rounds: Int,
       dim: Int): DataFrame =
     ArtifactStore.materializedOnce(x,
-      ArtifactStore.key(x, "ivfmembers", s"k$k-r$rounds-d$dim")) {
+      ArtifactStore.key(x, "ivfmembers", s"k$k-r$rounds-d$dim"),
+      partitionBy = Seq("c")) {
       val xs = VectorOps.pqSubspaces(x, dim)
       val arrs = x.groupBy(col("vec_id"))
         .agg(transform(
@@ -123,17 +127,70 @@ object IndexStore {
         .join(arrs, Seq("vec_id"))
     }
 
+  /** THE count-scaled key-space resolution rule, shared by every
+    * banding/bucketing structure in the engine (semantic bands, kNN
+    * cells, the q34 ANN bucket, the q30 simhash bands): the smallest
+    * b in [lo, 16] with 2^b ≥ n/divisor, computed as the exact integer
+    * bit-length of (n−1) div `divisor` — no floating log, so the
+    * DuckDB twin ([[scaledBitsSql]]) derives the identical b from its
+    * own COUNT(*). Expected bucket occupancy stays ≤ ~divisor at ANY
+    * corpus size up to n ≈ 2^16·divisor (≈ 2M at divisor 32 — two
+    * decades past the shipped corpora; the previous 8-bit ceiling
+    * re-saturated at ~8k, one decade). Fixed-resolution key spaces are
+    * the engine's recurring scale-killer class (shingle universes,
+    * pHash spaces, band keys — each caught saturating on a 10× step);
+    * this is the one rule that retires it. One row, column `name`.
+    */
+  def scaledBitsRow(basis: DataFrame, divisor: Int, lo: Int,
+      name: String): DataFrame =
+    basis.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(lo), least(lit(16),
+        when(expr(s"(n - 1) div $divisor") === 0, lit(0))
+          .otherwise(length(bin(expr(s"(n - 1) div $divisor"))))))
+        .as(name))
+
+  /** DuckDB twin of [[scaledBitsRow]]'s expression (over COUNT(*));
+    * `bin()` matches Spark's bit-for-bit and `//` floors like `div`
+    * does on these non-negative counts.
+    */
+  def scaledBitsSql(divisor: Int, lo: Int): String =
+    s"""GREATEST($lo, LEAST(16,
+         CASE WHEN (COUNT(*) - 1) // $divisor = 0 THEN 0
+              ELSE length(bin((COUNT(*) - 1) // $divisor)) END))"""
+
+  /** The residual-PQ INVERTED LIST — (vec_id, c0..c{m-1}, cell) rows
+    * laid out one directory per coarse cell (`partitionBy("cell")`):
+    * faiss IVFPQ's actual serving table. Each row is a vector's m
+    * packed sub-codes under its coarse cell; a point probe reads
+    * nprobe directories (partition-pruned — never the corpus) and
+    * scores every candidate with m ADC map lookups inside one codegen
+    * stage — no joins, no per-sub re-aggregation, no raw vectors.
+    * `cells` must be the coarse (vec_id, cell) assignment of the SAME
+    * corpus `rxs` was derived from (the key is content-addressed on
+    * `rxs`, whose residual derivation already reads the coarse
+    * artifacts). Persisted once per (corpus, k, rounds, m).
+    */
+  def pqLists(rxs: DataFrame, cells: DataFrame, k: Int, rounds: Int,
+      m: Int): DataFrame =
+    ArtifactStore.materializedOnce(rxs,
+      ArtifactStore.key(rxs, "pqlists", s"k$k-r$rounds-m$m"),
+      partitionBy = Seq("cell")) {
+      codes(rxs, k, rounds)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("sub") === 0, col("c"))).as("c0"),
+          (1 until m).map(i =>
+            max(when(col("sub") === i, col("c"))).as(s"c$i")): _*)
+        .join(cells, Seq("vec_id"))
+    }
+
   /** Count-scaled cell resolution shared by the kNN-graph build and
     * its incremental maintenance (whose rebuild-equivalence proof
-    * DEPENDS on using exactly the same rule): the smallest k in [3,8]
-    * with 2^k ≥ n/64, via exact integer bit-length. One row, column
-    * `k`.
+    * DEPENDS on using exactly the same rule): [[scaledBitsRow]] at
+    * divisor 64, floor 3 — expected cell size ≤ ~64 at any corpus
+    * size. One row, column `k`.
     */
   def scaledKRow(basis: DataFrame): DataFrame =
-    basis.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(3), least(lit(8),
-        when(expr("(n - 1) div 64") === 0, lit(0))
-          .otherwise(length(bin(expr("(n - 1) div 64")))))).as("k"))
+    scaledBitsRow(basis, 64, 3, "k")
 
   /** The un-persisted kNN-graph derivation — exposed separately so
     * the plan audit (PlanDump/PlanSpec) can inspect the BUILD's join
@@ -141,12 +198,16 @@ object IndexStore {
     * artifact readback that serving plans as.
     */
   def knnGraphBuild(v: DataFrame, dim: Int, planes: Int): DataFrame = {
+    // the sign bucket is computed at the rule's CEILING width (16
+    // planes; bit j from plane j, so masking to k ≤ 8 reproduces the
+    // historical 8-plane cells bit-for-bit) — `planes` below 16 would
+    // leave scaledKRow's raised cap with no bits to grow into
     val bucketed = v
       .select(col("vec_id"), col("v"), col("nrm"),
-        VectorOps.lshBucket(col("v"), dim, planes).as("b8"))
+        VectorOps.lshBucket(col("v"), dim, math.max(planes, 16)).as("b16"))
       .crossJoin(broadcast(scaledKRow(v)))
       .select(col("vec_id"), col("v"), col("nrm"),
-        (col("b8") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
+        (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
     val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"), col("cell"))
     val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),

@@ -54,34 +54,34 @@ object SemanticOps {
       .select(col("vec_id"), col("v"),
         VectorOps.norm(col("v")).as("nrm"))
 
-  /** Count-scaled band resolution — the q247/q250 rule applied per
-    * band, and the fix the full-pack sf1 sweep demanded: a FIXED band
-    * key space saturates (at 10× the shipped corpus, 16 keys per band
-    * held ~300 vectors each and pairing went quadratic — measured
-    * 41×/24× on the 10× step). Each band computes its full 8-bit sign
-    * key and keeps only the low r bits, where r is the smallest value
-    * in [minRows, 8] with 2^r ≥ n/32 (exact integer bit-length of
-    * (n−1) div 32, both engines compute it identically), so the
-    * expected band-bucket size stays ≤ ~32 at any corpus size and
-    * candidate work stays linear. At the shipped SFs r = minRows and
-    * the recall curve is the standard 1-(1-p^r)^bands banding
-    * amplification; masking (rather than re-planing) keeps the plane
-    * machinery static so the DuckDB mirror derives the same r from
-    * its own COUNT(*) and applies the same mask. One row, column `r`.
+  /** Count-scaled band resolution — [[IndexStore.scaledBitsRow]] at
+    * divisor 32, floor `minRows`, and the fix the full-pack sf1 sweep
+    * demanded: a FIXED band key space saturates (at 10× the shipped
+    * corpus, 16 keys per band held ~300 vectors each and pairing went
+    * quadratic — measured 41×/24× on the 10× step). Each band computes
+    * its full 16-bit sign key and keeps only the low r bits, where r
+    * is the smallest value in [minRows, 16] with 2^r ≥ n/32, so the
+    * expected band-bucket size stays ≤ ~32 up to n ≈ 2M per band (the
+    * previous 8-bit ceiling re-saturated at n ≈ 2^8·32 ≈ 8k — one
+    * decade past sf1, not the 100× the design brief asks). At
+    * sf0.001/sf0.01 (≤512 vectors) r = minRows; at sf0.1 (2000
+    * vectors) r = 6, so the recall curve there is 1-(1-p^6)^bands.
+    * Masking (rather than re-planing) keeps the plane machinery static
+    * so the DuckDB mirror derives the same r from its own COUNT(*)
+    * and applies the same mask. One row, column `r`.
     */
   private def scaledRowsRow(v: DataFrame, minRows: Int): DataFrame =
-    v.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(minRows), least(lit(8),
-        when(expr("(n - 1) div 32") === 0, lit(0))
-          .otherwise(length(bin(expr("(n - 1) div 32")))))).as("r"))
+    IndexStore.scaledBitsRow(v, 32, minRows, "r")
 
-  /** The shared (vec_id, band, bkey) banding frame: full 8-bit band
-    * keys masked to the count-scaled low r bits.
+  /** The shared (vec_id, band, bkey) banding frame: full 16-bit band
+    * keys ([[VectorOps.lshBandKeys16]] — low 8 bits identical to the
+    * historical 8-bit keys, so r ≤ 8 reproduces them bit-for-bit)
+    * masked to the count-scaled low r bits.
     */
   private def bandKeyed(v: DataFrame, dim: Int, bands: Int,
       minRows: Int): DataFrame =
     v.select(col("vec_id"),
-        explode(VectorOps.lshBandKeys(col("v"), dim, bands, 8)).as("bk"))
+        explode(VectorOps.lshBandKeys16(col("v"), dim, bands)).as("bk"))
       .crossJoin(broadcast(scaledRowsRow(v, minRows)))
       .select(col("vec_id"), col("bk.band").as("band"),
         (col("bk.bkey") % expr("shiftleft(CAST(1 AS BIGINT), r)"))

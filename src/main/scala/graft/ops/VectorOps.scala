@@ -117,6 +117,40 @@ object VectorOps {
       }
       .mkString("(", " + ", ")")
 
+  /** FULL-RESOLUTION (16-bit) band keys as two stacked 8-bit sign
+    * blocks: bit j < 8 of band b comes from plane b·8+j — exactly
+    * [[lshBandKeys]](v, dim, bands, 8), so masking the key to r ≤ 8
+    * bits reproduces the historical 8-bit band keys bit-for-bit —
+    * and bit j ≥ 8 from the APPENDED plane block bands·8 + b·8 +
+    * (j−8). This is the resolution-ceiling raise the count-scaled
+    * banding rule needs: an 8-bit ceiling re-saturates at n ≈ 2^8·32
+    * ≈ 8k vectors (expected bucket size grows linearly past it), while
+    * 16 bits holds the ≤ ~32-per-bucket invariant to n ≈ 2^16·32 ≈ 2M
+    * per band — two decades past the shipped corpora. Consumers mask
+    * to the count-scaled r ∈ [lo, 16] ([[IndexStore.scaledBitsRow]]).
+    */
+  def lshBandKeys16(v: Column, dim: Int, bands: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (0 until 16).map { j =>
+          val p = if (j < 8) b * 8 + j else bands * 8 + b * 8 + (j - 8)
+          when(round(dot(v, plane(p, dim)), 6) > 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _).as("bkey"))
+    }: _*)
+
+  /** SQL mirror of [[lshBandKeys16]]'s band-`b` key (same stacked
+    * plane indexing); expects `__pl{j}` columns for j < 16·bands.
+    */
+  def lshBandKey16Sql(v: String, b: Int, bands: Int): String =
+    (0 until 16)
+      .map { j =>
+        val p = if (j < 8) b * 8 + j else bands * 8 + b * 8 + (j - 8)
+        s"""(CASE WHEN round(${dotSql(v, s"__pl$p")}, 6) > 0
+             THEN ${1L << j} ELSE 0 END)"""
+      }
+      .mkString("(", " + ", ")")
+
   /** e6 integer lift of a float-array column, exploded to one row per
     * (id, dim, x): the ingestion step of the exact-integer vector
     * pipeline (float→double is IEEE-lossless, round-to-e6 is the house

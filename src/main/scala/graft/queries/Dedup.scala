@@ -143,22 +143,41 @@ object Dedup extends QueryPack {
     s"WITH $hashedCte, $simCte SELECT * FROM sim ORDER BY doc_id"
 
   /** q30 core, shared with the q105 agreement audit: SimHash near-dup
-    * pairs — bucket on 4×8-bit bands, then exact Hamming ≤ 6 on
-    * candidates (classic simhash index shape: only same-band docs are
-    * compared, never all pairs).
+    * pairs — bucket on 4 bands of COUNT-SCALED width, then exact
+    * Hamming ≤ 6 on candidates (classic simhash index shape: only
+    * same-band docs are compared, never all pairs). The band key is
+    * 16 bits — the simhash's own 8-bit band extended by the matching
+    * byte of an independent second fingerprint
+    * ([[graft.ops.DedupOps.rehash2]]) — masked to the low r bits with
+    * r ∈ [8, 16] from the shared count rule
+    * ([[graft.ops.IndexStore.scaledBitsRow]], divisor 32): a fixed
+    * 4×8-bit space is 256 buckets per band FOREVER (candidates ∝
+    * n²/256 — 5.16× on the 10× sf1 step and rising), while the scaled
+    * key holds expected bucket size ≤ ~32 to ~2M docs. At r = 8 (all
+    * shipped SFs) the keys are the historical simhash bytes
+    * bit-for-bit, preserving the exact pigeonhole guarantee (hamming
+    * ≤ 6 over 4 bands ⇒ one band identical); past it the extended
+    * bits trade that for bounded buckets — the standard banding
+    * recall curve, both engines deriving the identical candidate set.
     */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sim = hashed(s, d)
-      .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"))
+      .select(col("doc_id"), DedupOps.simhash(col("hs")).as("simhash"),
+        DedupOps.simhash(DedupOps.rehash2(col("hs"))).as("simhash2"))
     // single pass + explode (not union: see bandsDf note)
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
+        (shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)) +
+          shiftright(col("simhash2"), 8 * b).bitwiseAND(lit(255L)) * 256L)
+          .as("key"))
     }: _*)
     val bnd = sim
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .crossJoin(broadcast(
+        graft.ops.IndexStore.scaledBitsRow(docs(s, d), 32, 8, "r")))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
+        (col("bk.key") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
+          .as("key"))
       .cache()
     bnd.count() // see q28: don't recompute/race the signature chain
     val a = bnd.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
@@ -176,19 +195,34 @@ object Dedup extends QueryPack {
   private def q30SimhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairs(s, d).orderBy(col("d1"), col("d2"))
 
-  private val q30Sql = {
+  /** Shared mirror of [[simhashPairs]]'s banding: both fingerprints,
+    * the count-scaled r, and the masked 16-bit band keys (`sbands`).
+    */
+  private val sbandsCtes = {
     val bandSelects = (0 until 4)
       .map(b => s"""SELECT doc_id, simhash, $b AS band,
-                    (simhash >> ${8 * b}) & 255 AS key FROM sim""")
+                    (((simhash >> ${8 * b}) & 255) +
+                     ((simhash2 >> ${8 * b}) & 255) * 256)
+                      % (CAST(1 AS BIGINT) << r) AS key
+                    FROM sim2 CROSS JOIN rr30""")
       .mkString(" UNION ALL ")
-    s"""WITH $hashedCte, $simCte, sbands AS ($bandSelects)
+    s"""h2 AS (SELECT doc_id, hs, ${DedupOps.rehash2Sql("hs")} AS hsb
+          FROM hsrc),
+       sim2 AS (SELECT doc_id, ${DedupOps.simhashSql("hs")} AS simhash,
+          ${DedupOps.simhashSql("hsb")} AS simhash2 FROM h2),
+       rr30 AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(32, 8)} AS r
+          FROM documents),
+       sbands AS ($bandSelects)"""
+  }
+
+  private val q30Sql =
+    s"""WITH $hashedCte, $sbandsCtes
        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        FROM sbands a JOIN sbands b
          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        ORDER BY d1, d2"""
-  }
 
   /** q31: exact n-gram Jaccard, computed ONLY for LSH candidates —
     * candidate-driven verification ([[CurationOps.verifiedPairs]]).
@@ -596,12 +630,8 @@ object Dedup extends QueryPack {
   }
 
   private val q105Sql = {
-    val bandSelects = (0 until 4)
-      .map(b => s"""SELECT doc_id, simhash, $b AS band,
-                    (simhash >> ${8 * b}) & 255 AS key FROM sim""")
-      .mkString(" UNION ALL ")
     s"""WITH $hashedCte, $sigsCte, $bandsCte, $pairsCte, $withsetsCte,
-       $verifiedCte, $simCte, sbands AS ($bandSelects),
+       $verifiedCte, $sbandsCtes,
        spairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM sbands a JOIN sbands b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

@@ -1080,52 +1080,78 @@ object Events extends QueryPack {
     * it; the memory-sink rows are already materialized on the driver
     * so the returned frame doesn't depend on the files.
     */
+  /** The staged 3-file ts-range replay tree for the events table,
+    * built ONCE per corpus snapshot through the [[graft.ops
+    * .ArtifactStore]] and SHARED by every streaming parity gate: 13
+    * gates previously re-ran the range-partition write and the mtime
+    * stamping per invocation — pure harness cost the round-8 driver
+    * bench measured as +23-35% drift on the gate family. The tree is
+    * write-once (the stream source only reads it); the part files
+    * carry strictly increasing mtimes stamped at build time, which
+    * the reuse preserves. Gates that MOVE files through a staging dir
+    * (the q239/q254 restart scaffolds) COPY from this tree into their
+    * run-private dir instead of re-deriving it.
+    *
+    * Range-partitioning is on the µs-TRUNCATED event time (the
+    * stream's TimestampType resolution), not raw ts: two same-user
+    * events sharing an epoch-µs but differing in ns must never
+    * straddle a file boundary, or the replay's file order could
+    * contradict the mirror's (epoch_us, event_id) tie-break (q232's
+    * edge flip).
+    *
+    * Returns (treePath, sorted part paths, fs).
+    */
+  private def stagedReplayTree(s: SparkSession, d: String)
+      : (String, Seq[org.apache.hadoop.fs.Path],
+        org.apache.hadoop.fs.FileSystem) = {
+    import graft.streaming.StreamingOps
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usKey = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    def parts(fs: org.apache.hadoop.fs.FileSystem, p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
+        .map(_.getPath).toSeq
+    val tree = graft.ops.ArtifactStore.pathOnce(raw,
+      graft.ops.ArtifactStore.key(raw, "streamstage", "r3")) { p =>
+      raw.repartitionByRange(3, usKey).write.mode("overwrite").parquet(p)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      StreamingOps.stampReplayOrder(fs, parts(fs, p))
+    }
+    val fs = new org.apache.hadoop.fs.Path(tree)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    (tree, parts(fs, tree), fs)
+  }
+
   private def streamReplayParity(s: SparkSession, d: String, tag: String,
       mode: String = "complete", stateStoreProvider: Option[String] = None)(
       agg: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingOps
     val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
-    val staging = sys.props("java.io.tmpdir") + s"/graft-stream-stage-$run"
-    val stagePath = new org.apache.hadoop.fs.Path(staging)
-    val fs = stagePath.getFileSystem(s.sessionState.newHadoopConf())
-    // whole replay under try/finally: a failure in staging, agg() plan
-    // construction, or start() must not leak the staged tree in tmpdir
-    try {
-      val raw = s.read.parquet(s"$d/events.parquet")
-      // Range-partition on the µs-TRUNCATED event time (the stream's
-      // TimestampType resolution), not raw ts: two same-user events
-      // sharing an epoch-µs but differing in ns must never straddle a
-      // file boundary, or the replay's file order could contradict the
-      // mirror's (epoch_us, event_id) tie-break (q232's edge flip).
-      val usKey = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      raw.repartitionByRange(3, usKey)
-        .write.mode("overwrite").parquet(staging)
-      StreamingOps.stampReplayOrder(fs,
-        fs.listStatus(stagePath)
-          .filter(_.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName) // range partition i ⇒ part-0000i
-          .map(_.getPath).toSeq)
-      val sink = s"${tag}_sink_$run".replace('-', '_')
-      // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
-      // per-partition state commits per store per batch with no
-      // parallelism win on gate-sized state; result is
-      // partition-count-invariant, only the harness floor changes
-      def replay(): Unit = StreamingOps.withShufflePartitions(s, 8) {
-        val query = agg(
-          StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(mode).start()
-        try query.processAllAvailable() finally query.stop()
-      }
-      stateStoreProvider match {
-        case Some(p) => StreamingOps.withStateStoreProvider(s, p)(replay())
-        case None => replay()
-      }
-      s.table(sink)
-    } finally fs.delete(stagePath, true)
+    // the staged tree is the shared write-once artifact — the gate
+    // only READS it, so there is nothing to build or clean up here
+    val (staging, _, _) = stagedReplayTree(s, d)
+    val sink = s"${tag}_sink_$run".replace('-', '_')
+    // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
+    // per-partition state commits per store per batch with no
+    // parallelism win on gate-sized state; result is
+    // partition-count-invariant, only the harness floor changes
+    def replay(): Unit = StreamingOps.withShufflePartitions(s, 8) {
+      val query = agg(
+        StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    stateStoreProvider match {
+      case Some(p) => StreamingOps.withStateStoreProvider(s, p)(replay())
+      case None => replay()
+    }
+    s.table(sink)
   }
 
   private def q204StreamWindowParity(
@@ -1597,17 +1623,21 @@ object Events extends QueryPack {
       val staging = s"$base/in"
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val usKey = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      raw.repartitionByRange(3, usKey).write.mode("overwrite").parquet(prep)
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(prep))
+      // COPY the shared stamped replay tree into the run-private prep
+      // dir (this gate consumes its staging by rename, so it cannot
+      // replay the artifact in place); re-stamp the copies — copy
+      // does not carry mtimes, and the order must survive the moves
+      // (rename preserves them), so phase-2 files always replay after
+      // file 0
+      val (_, srcParts, srcFs) = stagedReplayTree(s, d)
+      val prepPath = new org.apache.hadoop.fs.Path(prep)
+      fs.mkdirs(prepPath)
+      srcParts.foreach(p => org.apache.hadoop.fs.FileUtil.copy(srcFs, p,
+        fs, new org.apache.hadoop.fs.Path(prepPath, p.getName), false,
+        s.sessionState.newHadoopConf()))
+      val parts = fs.listStatus(prepPath)
         .filter(_.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName).map(_.getPath).toSeq
-      // stamp strictly increasing mtimes BEFORE the moves (rename
-      // preserves them), so phase-2 files always replay after file 0
       StreamingOps.stampReplayOrder(fs, parts)
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       fs.mkdirs(stagingPath)
@@ -1681,13 +1711,14 @@ object Events extends QueryPack {
       val staging = s"$base/in"
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val usKey = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
-      }
-      raw.repartitionByRange(3, usKey).write.mode("overwrite").parquet(prep)
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(prep))
+      // run-private COPY of the shared stamped replay tree (see q239)
+      val (_, srcParts, srcFs) = stagedReplayTree(s, d)
+      val prepPath = new org.apache.hadoop.fs.Path(prep)
+      fs.mkdirs(prepPath)
+      srcParts.foreach(p => org.apache.hadoop.fs.FileUtil.copy(srcFs, p,
+        fs, new org.apache.hadoop.fs.Path(prepPath, p.getName), false,
+        s.sessionState.newHadoopConf()))
+      val parts = fs.listStatus(prepPath)
         .filter(_.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName).map(_.getPath).toSeq
       StreamingOps.stampReplayOrder(fs, parts)

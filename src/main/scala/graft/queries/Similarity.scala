@@ -22,6 +22,13 @@ object Similarity extends QueryPack {
 
   private val DIM = 64
   private val PLANES = 8
+  /** The sign-bucket CEILING width every count-scaled key space masks
+    * from (16 bits; the shared rule clamps resolution to [lo, 16] —
+    * [[graft.ops.IndexStore.scaledBitsRow]]). The standing
+    * [[graft.ops.IndexStore.lshBuckets]] table keeps its 8-plane
+    * format (q248's multi-probe flips bits of that key).
+    */
+  private val KEY_PLANES = 16
 
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
@@ -81,12 +88,13 @@ object Similarity extends QueryPack {
       k = 16, rounds = 2).count()
     IndexStore.labelCentroids(labelVecs(s, d), DIM).count()
     IndexStore.lshBuckets(idVecs(s, d), DIM, PLANES).count()
-    IndexStore.knnGraph(idVecs(s, d), DIM, PLANES).count()
+    IndexStore.knnGraph(idVecs(s, d), DIM, KEY_PLANES).count()
     // the BASE-snapshot twins the q243/q244/q250 lifecycle steps read
     IndexStore.labelCentroids(baseLabelVecs(s, d), DIM).count()
     IndexStore.knnGraph(
       vecs(s, d).filter(col("vec_id") % 5 =!= 4)
-        .select(col("vec_id"), col("v"), col("nrm")), DIM, PLANES).count()
+        .select(col("vec_id"), col("v"), col("nrm")), DIM, KEY_PLANES)
+      .count()
     // q255's residual PQ index (trained on x − centroid(cell(x)))
     IndexStore.codes(residualSubspaces(s, d), k = 16, rounds = 2).count()
     ()
@@ -142,10 +150,12 @@ object Similarity extends QueryPack {
     * shape the Dedup pack ships for MinHash (q28→q31), linear in
     * candidates. Round 8's full-pack sf1 sweep caught the FIXED key
     * space saturating (41× on a 10× step), so the band key is now the
-    * low r bits of a full 8-bit sign key with r count-scaled exactly
-    * like q247's cells ([[graft.ops.SemanticOps]]). Recall is the
-    * banding curve 1-(1-p^r)^4; both engines mirror the identical
-    * candidate set so the oracle comparison stays exact.
+    * low r bits of a full 16-bit stacked sign key with r count-scaled
+    * exactly like q247's cells ([[graft.ops.SemanticOps]]; ceiling 16
+    * so the rule holds to ~2M vectors, not the one decade an 8-bit
+    * cap buys). Recall is the banding curve 1-(1-p^r)^4; both engines
+    * mirror the identical candidate set so the oracle comparison
+    * stays exact.
     */
   private[queries] def q33EmbeddingNeardup(
       s: SparkSession, d: String): DataFrame =
@@ -162,24 +172,25 @@ object Similarity extends QueryPack {
     * (semantic-dedup cluster formation over the same edge set).
     */
   private[queries] val neardupCtes = {
-    // full 8-bit band keys masked to the count-scaled low r bits —
+    // full 16-bit band keys masked to the count-scaled low r bits —
     // the mirror of SemanticOps.bandKeyed (fixed band-key spaces
     // saturate: the full-pack sf1 sweep measured 41× on the 10× step
-    // before this)
-    val nPlanes = BANDS * 8
+    // before count-scaling; the 8-bit ceiling it first shipped with
+    // re-saturates one decade later, so the keys are now 16-bit
+    // stacked sign blocks — VectorOps.lshBandKeys16)
+    val nPlanes = BANDS * 16
     val planeCols = (0 until nPlanes)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     val keyedBranches = (0 until BANDS)
       .map(b => s"""SELECT vec_id, $b AS band,
-            ${VectorOps.lshBandKeySql("v", b, 8)}
+            ${VectorOps.lshBandKey16Sql("v", b, BANDS)}
               % (CAST(1 AS BIGINT) << r) AS bkey
           FROM nn CROSS JOIN rr""")
       .mkString(" UNION ALL ")
     s"""planes AS (SELECT $planeCols),
-       rr AS (SELECT GREATEST($ROWS_PER_BAND, LEAST(8,
-            CASE WHEN (COUNT(*) - 1) // 32 = 0 THEN 0
-                 ELSE length(bin((COUNT(*) - 1) // 32)) END)) AS r
+       rr AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(32, ROWS_PER_BAND)}
+              AS r
           FROM n),
        nn AS (SELECT n.vec_id, n.v, planes.* FROM n CROSS JOIN planes),
        keyed AS ($keyedBranches),
@@ -360,11 +371,24 @@ object Similarity extends QueryPack {
        GROUP BY e.vec_id ORDER BY e.vec_id"""
 
   /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
-    * vector. Bucket = 8 sign bits of dots with deterministic planes.
+    * vector. Bucket = the low r sign bits of 16 deterministic
+    * hyperplane dots, r COUNT-SCALED in [8, 16] by the shared rule
+    * ([[IndexStore.scaledBitsRow]], divisor 32): a fixed 8-plane
+    * (256-bucket) space was the pack's worst full-pack sf1 ratio
+    * (7.56× on 10× data — same-bucket candidates ∝ n²/256), while the
+    * scaled mask keeps expected bucket size ≤ ~32 and the self-join
+    * linear to ~2M vectors. Bit j of the bucket comes from plane j,
+    * so at the shipped SFs (r = floor 8) the buckets are the
+    * historical 8-plane buckets bit-for-bit; the oracle derives the
+    * same r from COUNT(*) and applies the same mask.
     */
   private def q34LshAnn(s: SparkSession, d: String): DataFrame = {
-    val bucketed = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"),
-      VectorOps.lshBucket(col("v"), DIM, PLANES).as("bkt"))
+    val v = vecs(s, d)
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+        VectorOps.lshBucket(col("v"), DIM, 16).as("b16"))
+      .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 32, PLANES, "r")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)")).as("bkt"))
     val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"), col("bkt"))
     val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
@@ -379,15 +403,21 @@ object Similarity extends QueryPack {
       .orderBy(col("qid"))
   }
 
-  /** Shared CTE chain for the bucketed-LSH scored pairs (q34, q38). */
+  /** Shared CTE chain for the bucketed-LSH scored pairs (q34, q38):
+    * 16 sign bits masked to the count-scaled r (mirror of
+    * [[q34LshAnn]]'s bucket).
+    */
   private val annCtes = {
-    val planeCols = (0 until PLANES)
+    val planeCols = (0 until 16)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     s"""planes AS (SELECT $planeCols),
+       rq34 AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(32, PLANES)}
+              AS r FROM n),
        bucketed AS (SELECT vec_id, v, nrm,
-           ${VectorOps.lshBucketSql("v", DIM, PLANES)} AS bkt
-         FROM n CROSS JOIN planes),
+           ${VectorOps.lshBucketSql("v", DIM, 16)}
+             % (CAST(1 AS BIGINT) << r) AS bkt
+         FROM n CROSS JOIN planes CROSS JOIN rq34),
        bp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS av, b.v AS bv,
                 a.nrm AS an, b.nrm AS bn
               FROM bucketed a JOIN bucketed b
@@ -1783,14 +1813,16 @@ object Similarity extends QueryPack {
     * all-pairs (the one shape this pack bans); the scale answer here
     * is a quantizer whose RESOLUTION GROWS WITH THE CORPUS: nodes are
     * bucketed by the first k sign-bits of the deterministic
-    * 8-hyperplane LSH bucket, where k is the smallest value in [3,8]
-    * with 2^k ≥ n/64 — computed as the exact integer bit-length of
-    * (n−1) div 64, no floating log. Expected cell size stays ≤ ~64 at
-    * ANY corpus size, so per-cell pairing is a constant-bounded
-    * quadratic and total work is O(n·64) — linear — while the cell
-    * key stays a uniform equi-join key (hot cells under adversarial
-    * skew route to CurationOps.lshCandidatePairsCapped's star cap,
-    * measured in ITERSCALE). Masking the 8-bit bucket to its low k
+    * 16-hyperplane LSH bucket, where k is the smallest value in
+    * [3,16] with 2^k ≥ n/64 — computed as the exact integer
+    * bit-length of (n−1) div 64, no floating log. Expected cell size
+    * stays ≤ ~64 up to n ≈ 2^16·64 ≈ 4M (the original 8-bit ceiling
+    * re-saturated at ~16k — barely past sf1), so per-cell pairing is
+    * a constant-bounded quadratic and total work is O(n·64) — linear
+    * — while the cell key stays a uniform equi-join key (hot cells
+    * under adversarial skew route to
+    * CurationOps.lshCandidatePairsCapped's star cap, measured in
+    * ITERSCALE). Masking the 16-bit bucket to its low k
     * bits keeps the full static plane machinery shared with
     * q34/DuckDB: the oracle computes n, derives the same k, applies
     * the same mask, and replays the graph edge-for-edge. Per node the
@@ -1802,30 +1834,28 @@ object Similarity extends QueryPack {
     */
   /** SQL twin of [[IndexStore.scaledKRow]]'s k expression (over
     * COUNT(*)) — the count-scaled quantizer resolution shared by q247
-    * (graph build) and q250 (incremental maintenance).
+    * (graph build) and q250 (incremental maintenance). Ceiling 16,
+    * matching the 16-plane sign bucket the build masks.
     */
-  private val scaledKSql =
-    """GREATEST(3, LEAST(8,
-         CASE WHEN (COUNT(*) - 1) // 64 = 0 THEN 0
-              ELSE length(bin((COUNT(*) - 1) // 64)) END))"""
+  private val scaledKSql = graft.ops.IndexStore.scaledBitsSql(64, 3)
 
   private def q247KnnGraph(s: SparkSession, d: String): DataFrame =
     // the graph build lives in [[IndexStore.knnGraph]] as a persisted
     // artifact: built once per corpus snapshot, read back as a file
     // scan by this listing, by q249-style health reads and by q250's
     // incremental maintenance over the base snapshot
-    IndexStore.knnGraph(idVecs(s, d), DIM, PLANES)
+    IndexStore.knnGraph(idVecs(s, d), DIM, KEY_PLANES)
       .orderBy(col("qid"), col("rnk"), col("cid"))
 
   private val q247Sql = {
-    val planeCols = (0 until PLANES)
+    val planeCols = (0 until KEY_PLANES)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     s"""WITH $vecsCte,
        planes AS (SELECT $planeCols),
        kk AS (SELECT $scaledKSql AS k FROM n),
        bucketed AS (SELECT vec_id, v, nrm,
-           ${VectorOps.lshBucketSql("v", DIM, PLANES)}
+           ${VectorOps.lshBucketSql("v", DIM, KEY_PLANES)}
              % (CAST(1 AS BIGINT) << k) AS cell
          FROM n CROSS JOIN planes CROSS JOIN kk),
        bp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS av,
@@ -2077,10 +2107,10 @@ object Similarity extends QueryPack {
     val kRow = IndexStore.scaledKRow(base)
     def bucket(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("v"), col("nrm"),
-        VectorOps.lshBucket(col("v"), DIM, PLANES).as("b8"))
+        VectorOps.lshBucket(col("v"), DIM, KEY_PLANES).as("b16"))
       .crossJoin(broadcast(kRow))
       .select(col("vec_id"), col("v"), col("nrm"),
-        (col("b8") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
+        (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), k)")).as("cell"))
     val bb = bucket(base)
     val db = bucket(delta)
     def qside(df: DataFrame) = df.select(col("vec_id").as("qid"),
@@ -2095,7 +2125,7 @@ object Similarity extends QueryPack {
     // maintenance reads it back instead of re-deriving the base edges
     val baseGraph = IndexStore
       .knnGraph(base.select(col("vec_id"), col("v"), col("nrm")),
-        DIM, PLANES)
+        DIM, KEY_PLANES)
       .select(col("qid"), col("cid"), col("cos"))
     val incr = baseGraph
       .unionByName(edges(qside(bb), cside(db)))  // base gains delta cands
@@ -2121,14 +2151,14 @@ object Similarity extends QueryPack {
   }
 
   private val q250Sql = {
-    val planeCols = (0 until PLANES)
+    val planeCols = (0 until KEY_PLANES)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     s"""WITH $vecsCte,
        planes AS (SELECT $planeCols),
        kk AS (SELECT $scaledKSql AS k FROM n WHERE vec_id % 5 <> 4),
        bucketed AS (SELECT vec_id, v, nrm,
-           ${VectorOps.lshBucketSql("v", DIM, PLANES)}
+           ${VectorOps.lshBucketSql("v", DIM, KEY_PLANES)}
              % (CAST(1 AS BIGINT) << k) AS cell,
            vec_id % 5 = 4 AS is_delta
          FROM n CROSS JOIN planes CROSS JOIN kk),

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ops.{IndexStore, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the engine's ONE count-scaled key-space rule
+  * ([[graft.ops.IndexStore.scaledBitsRow]]) and its 16-bit ceiling —
+  * the retirement of the fixed-resolution hazard class (shingle
+  * universes, pHash spaces, band keys, the q34 bucket, the q30
+  * simhash bands — each caught saturating on a 10× scale step before
+  * it was migrated to this rule):
+  *   1. resolution GROWS with the corpus, past the old 8-bit cap, up
+  *      to 16 bits (≈2M rows per 32-expected-occupancy key space —
+  *      two decades beyond the shipped corpora, where 8 bits bought
+  *      one);
+  *   2. the 16-bit stacked sign keys are BACKWARD-COMPATIBLE: masked
+  *      to ≤ 8 bits they reproduce the historical 8-bit keys
+  *      bit-for-bit (so every shipped-SF gate result is unchanged by
+  *      the ceiling raise);
+  *   3. actual bucket occupancy under the rule stays bounded across a
+  *      4× corpus step (the KnnGraphSpec flatness claim, applied to
+  *      the q34-shape bucket).
+  */
+class KeySpaceScalingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local("graft-test", cores = 4)
+
+  private def rOf(n: Long, divisor: Int, lo: Int): Int =
+    IndexStore.scaledBitsRow(spark.range(n).toDF("id"), divisor, lo, "r")
+      .head().getInt(0)
+
+  test("scaledBitsRow: floor at small n, grows past 8, ceils at 16") {
+    // shipped SFs (the values every gate mirror derives identically)
+    assert(rOf(500, 32, 8) === 8)    // q34/q30 floor at sf0.001/0.01
+    assert(rOf(2000, 32, 8) === 8)   // q34 at sf0.1 — still the floor
+    assert(rOf(2000, 32, 4) === 6)   // semantic bands at sf0.1
+    assert(rOf(5000, 32, 8) === 8)   // q30 at sf0.1 (bitlen(156) = 8)
+    // the synthetic-sf1 regime the full-pack sweep probes
+    assert(rOf(20000, 32, 4) === 10) // semantic bands at sf1
+    assert(rOf(50000, 32, 8) === 11) // q30 at sf1
+    // 100×-scale counts: past the OLD 8-bit cap, bounded by the new 16
+    assert(rOf(200000, 32, 8) === 13)
+    assert(rOf(2000000, 32, 8) === 16)
+    assert(rOf(100000000L, 32, 8) === 16) // hard ceiling
+    // the kNN cell rule (divisor 64, floor 3) through the same helper
+    assert(IndexStore.scaledKRow(spark.range(2000).toDF("id"))
+      .head().getInt(0) === 5)
+    assert(IndexStore.scaledKRow(spark.range(20000).toDF("id"))
+      .head().getInt(0) === 9) // past the old cap at sf1
+  }
+
+  /** Deterministic pseudo-random unit-ish vectors (no RNG — xxhash64
+    * is seed-stable): enough entropy that sign buckets spread.
+    */
+  private def synthVecs(n: Long, dim: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (pmod(xxhash64(col("id"), j), lit(97L)) - 48L).cast("double") / 48.0)
+        .as("v"))
+
+  test("16-bit band keys masked to 8 bits equal the historical keys") {
+    val v = synthVecs(64, 16)
+    val mismatches = v.select(
+        explode(arrays_zip(
+          VectorOps.lshBandKeys16(col("v"), 16, 4),
+          VectorOps.lshBandKeys(col("v"), 16, 4, 8))).as("z"))
+      .filter(col("z.0.band") =!= col("z.1.band") ||
+        col("z.0.bkey") % 256 =!= col("z.1.bkey"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("q34-shape bucket occupancy stays bounded across a 4x step") {
+    def occupancy(n: Long): (Double, Long, Int) = {
+      val v = synthVecs(n, 16)
+      val r = IndexStore.scaledBitsRow(v, 32, 8, "r").head().getInt(0)
+      val occ = v.select(
+          (VectorOps.lshBucket(col("v"), 16, 16) %
+            lit(1L << r)).as("bkt"))
+        .groupBy(col("bkt")).count()
+        .agg(avg(col("count")).as("a"), max(col("count")).as("m"))
+        .head()
+      (occ.getDouble(0), occ.getLong(1), r)
+    }
+    val (avg1, _, r1) = occupancy(4096)
+    val (avg4, max4, r4) = occupancy(16384)
+    // 4x the rows mint ~2 more key bits: expected occupancy must not
+    // track the corpus (that is the saturation bug this rule retires)
+    assert(r4 > r1, s"resolution did not grow: r=$r1 -> r=$r4")
+    assert(r4 > 8, s"resolution never passed the old 8-bit cap: $r4")
+    assert(avg4 <= 2.5 * avg1,
+      s"avg occupancy grew with the corpus: $avg1 -> $avg4")
+    // sign-bit buckets of hash vectors aren't uniform, but a bucket
+    // holding >12.5% of a 16k corpus means the key space collapsed
+    assert(max4 <= 2048L, s"hot bucket at 16k rows: $max4")
+  }
+}
