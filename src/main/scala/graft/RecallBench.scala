@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.{IndexStore, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall-regression artifact: one row per (SF, serving family)
+  * with the family's recall against its exact ground truth and its
+  * measured candidate cost (n_scanned) — so a future routing,
+  * banding-resolution or compression change can never silently trade
+  * recall for speed: the round artifact (RECALL_r{N}.json) makes the
+  * trade a diffable number.
+  *
+  * Families and their metrics (each family's queries already carry
+  * the hit/score columns, gate-verified against DuckDB — this main
+  * only AGGREGATES them):
+  *   - q34 (count-scaled LSH bucket ANN, via q38's audit): top-1
+  *     served vs exact top-5 → `top1_in_exact5`; n_scanned is the
+  *     exact mean same-bucket candidate count (Σ sz·(sz−1) / n over
+  *     the count-scaled buckets).
+  *   - q85 (label-cell IVF, nprobe=2): top-1 (rnk=1) vs q32's exact
+  *     top-5 → `top1_in_exact5`.
+  *   - q248 (multi-probe LSH): multi_hit (and single_hit for the
+  *     single-probe reference) → `top1_in_exact5`; n_scanned =
+  *     mean n_multi.
+  *   - q238 (SQ8 ADC serving), q251 (trained IVF), q253 (IVFPQ),
+  *     q255 (residual IVFPQ): n_hits of the served top-5 inside the
+  *     exact top-5 → `overlap_at_5` (recall@5); n_scanned as emitted.
+  */
+object RecallBench {
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("RECALL_LOCAL.json")
+    val sfDirs = sys.env.getOrElse("SPARK_GRAFT_RECALL_SFS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.failOnCartesian", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def f(d: Double) = f"$d%.4f"
+
+    val perSf = sfDirs.map { dir =>
+      def run(name: String): DataFrame =
+        SparkEntry.queries(name)(spark, dir)
+
+      def fam(name: String, kind: String, recall: Double,
+          nQueries: Long, nScanned: Option[Double]): String =
+        s""""$name":{"metric_kind":"$kind","recall":${f(recall)},""" +
+          s""""n_queries":$nQueries,"n_scanned_avg":${
+            nScanned.map(f).getOrElse("null")}}"""
+
+      // q34 family: q38's per-query hit bit + the exact mean
+      // same-bucket candidate count under the count-scaled mask
+      val q38 = run("q38_ann_recall").agg(
+        avg(col("hit")).as("r"), count(lit(1)).as("n")).head()
+      val v = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val nVec = v.count()
+      val scan34 = v
+        .select(VectorOps.lshBucket(col("v"), 64, 16).as("b16"))
+        .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 32, 8, "r")))
+        .select((col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
+          .as("bkt"))
+        .groupBy(col("bkt")).count()
+        .agg(sum(col("count") * (col("count") - 1)).as("pairs"))
+        .head().getLong(0).toDouble / nVec
+      val f34 = fam("q34_lsh_ann", "top1_in_exact5",
+        q38.getAs[Double]("r"), q38.getAs[Long]("n"), Some(scan34))
+
+      // q85 family: rnk=1 serving row vs q32's exact top-5
+      val exact5 = run("q32_cosine_topk").select(col("qid"), col("cid"))
+      val best85 = run("q85_ivf_nprobe").filter(col("rnk") === 1)
+        .select(col("qid"), col("cid").as("acid"))
+      val r85 = exact5.join(best85, Seq("qid"), "left")
+        .groupBy(col("qid"))
+        .agg(max(when(col("cid") === col("acid"), 1.0).otherwise(0.0))
+          .as("hit"))
+        .agg(avg(col("hit")).as("r"), count(lit(1)).as("n")).head()
+      val f85 = fam("q85_ivf_nprobe", "top1_in_exact5",
+        r85.getAs[Double]("r"), r85.getAs[Long]("n"), None)
+
+      // q248: multi-probe hit + candidate cost straight off the gate
+      // columns (single-probe reference folded in as its own family)
+      val r248 = run("q248_multiprobe_lsh").agg(
+        avg(col("multi_hit")).as("rm"), avg(col("single_hit")).as("rs"),
+        avg(col("n_multi")).as("sm"), avg(col("n_single")).as("ss"),
+        count(lit(1)).as("n")).head()
+      val f248 = fam("q248_multiprobe_lsh", "top1_in_exact5",
+        r248.getAs[Double]("rm"), r248.getAs[Long]("n"),
+        Some(r248.getAs[Double]("sm")))
+      val f248s = fam("q248_single_probe", "top1_in_exact5",
+        r248.getAs[Double]("rs"), r248.getAs[Long]("n"),
+        Some(r248.getAs[Double]("ss")))
+
+      // the (qid, n_scanned, n_hits) families: recall@5 = n_hits/5
+      val overlap = Seq("q238_ivf_sq8_serving", "q251_trained_ivf",
+        "q253_ivfpq_serving", "q255_ivfpq_residual").map { name =>
+        val r = run(name).agg(
+          (avg(col("n_hits")) / 5.0).as("r"),
+          avg(col("n_scanned")).as("s"), count(lit(1)).as("n")).head()
+        fam(name, "overlap_at_5", r.getAs[Double]("r"),
+          r.getAs[Long]("n"), Some(r.getAs[Double]("s")))
+      }
+
+      val fams = (Seq(f34, f85, f248, f248s) ++ overlap).mkString(",")
+      System.err.println(s"[recall] $dir done")
+      s""""$dir":{$fams}"""
+    }
+    val json =
+      s"""{"metric":"ann_recall","per_sf":{${perSf.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(json)
+    spark.stop()
+  }
+}

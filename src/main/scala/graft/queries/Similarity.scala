@@ -373,11 +373,13 @@ object Similarity extends QueryPack {
   /** q34: hyperplane-LSH bucketed ANN — best same-bucket neighbor per
     * vector. Bucket = the low r sign bits of 16 deterministic
     * hyperplane dots, r COUNT-SCALED in [8, 16] by the shared rule
-    * ([[IndexStore.scaledBitsRow]], divisor 32): a fixed 8-plane
-    * (256-bucket) space was the pack's worst full-pack sf1 ratio
-    * (7.56× on 10× data — same-bucket candidates ∝ n²/256), while the
-    * scaled mask keeps expected bucket size ≤ ~32 and the self-join
-    * linear to ~2M vectors. Bit j of the bucket comes from plane j,
+    * ([[IndexStore.scaledBitsRow]], divisor 16 — a tighter occupancy
+    * target than the banding chains' 32 because a top-1 probe's whole
+    * per-query cost IS the bucket size): a fixed 8-plane (256-bucket)
+    * space was the pack's worst full-pack sf1 ratio (7.56× on 10×
+    * data — same-bucket candidates ∝ n²/256), while the scaled mask
+    * keeps expected bucket size ≤ ~16 and the self-join linear to
+    * ~1M vectors. Bit j of the bucket comes from plane j,
     * so at the shipped SFs (r = floor 8) the buckets are the
     * historical 8-plane buckets bit-for-bit; the oracle derives the
     * same r from COUNT(*) and applies the same mask.
@@ -386,7 +388,7 @@ object Similarity extends QueryPack {
     val v = vecs(s, d)
     val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
         VectorOps.lshBucket(col("v"), DIM, 16).as("b16"))
-      .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 32, PLANES, "r")))
+      .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 16, PLANES, "r")))
       .select(col("vec_id"), col("v"), col("nrm"),
         (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)")).as("bkt"))
     val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -412,7 +414,7 @@ object Similarity extends QueryPack {
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
     s"""planes AS (SELECT $planeCols),
-       rq34 AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(32, PLANES)}
+       rq34 AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(16, PLANES)}
               AS r FROM n),
        bucketed AS (SELECT vec_id, v, nrm,
            ${VectorOps.lshBucketSql("v", DIM, 16)}

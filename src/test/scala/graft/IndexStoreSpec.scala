@@ -103,4 +103,57 @@ class IndexStoreSpec extends AnyFunSuite {
       sortedRows(direct))
     assert(isBareScan(IndexStore.lshBuckets(idVecs, 64, 8)))
   }
+
+  test("ivfMembers is cell-partitioned and a probe is partition-pruned") {
+    val members = IndexStore.ivfMembers(lifted, k = 16, rounds = 2,
+      dim = 64)
+    // the partition column comes back type-inferred and total
+    assert(members.schema("c").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val total = members.count()
+    assert(total === emb.count())
+    // membership equals the codes artifact cell-for-cell
+    val direct = sortedRows(IndexStore.codes(
+      VectorOps.pqSubspaces(lifted, 64), k = 16, rounds = 2)
+      .select(col("vec_id"), col("c")))
+    assert(sortedRows(members.select(col("vec_id"),
+      col("c").cast("long").as("c"))) === direct)
+    // the serving probe's plan prunes to the probed directories: the
+    // scan's partition filters carry the IN list, and no other rows
+    // are read
+    val probe = members.filter(col("c").isin(0, 1))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("IN (0,1)") || scan.contains("in(c"), scan)
+    val probed = probe.count()
+    assert(probed < total)
+  }
+
+  test("pqLists inverted list: packed codes per cell, served as a scan") {
+    val xsc = VectorOps.pqSubspaces(lifted, subDim = 64)
+    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
+      .select(col("vec_id"), col("c").as("cell"))
+    val coarseByDim = IndexStore.codebook(xsc, k = 16, rounds = 2)
+      .select(col("c").as("cell"), col("j").as("dim"), col("v").as("cv"))
+    val rxs = VectorOps.pqSubspaces(
+      lifted.join(cells, Seq("vec_id"))
+        .join(broadcast(coarseByDim), Seq("cell", "dim"))
+        .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x")),
+      subDim = 8)
+    val lists = IndexStore.pqLists(rxs, cells, k = 16, rounds = 2, m = 8)
+    // one row per vector, m packed sub-codes matching the long-form
+    // codes artifact
+    assert(lists.count() === emb.count())
+    val wideDirect = sortedRows(IndexStore.codes(rxs, k = 16, rounds = 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("sub") === 0, col("c"))).as("c0"),
+        (1 until 8).map(i =>
+          max(when(col("sub") === i, col("c"))).as(s"c$i")): _*))
+    assert(sortedRows(lists.select(col("vec_id"), col("c0"), col("c1"),
+      col("c2"), col("c3"), col("c4"), col("c5"), col("c6"),
+      col("c7"))) === wideDirect)
+    assert(isBareScan(IndexStore.pqLists(rxs, cells, k = 16, rounds = 2,
+      m = 8)))
+  }
 }
