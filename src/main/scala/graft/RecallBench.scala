@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *   - q248 (multi-probe LSH): multi_hit (and single_hit for the
   *     single-probe reference) → `top1_in_exact5`; n_scanned =
   *     mean n_multi.
-  *   - q238 (SQ8 ADC serving), q251 (trained IVF), q253 (IVFPQ),
-  *     q255 (residual IVFPQ): n_hits of the served top-5 inside the
-  *     exact top-5 → `overlap_at_5` (recall@5); n_scanned as emitted.
+  *   - q238 (SQ8 ADC serving), q251 (trained IVF), q256
+  *     (count-scaled trained IVF — the flat-cost point whose recall
+  *     trade this artifact exists to track), q253 (IVFPQ), q255
+  *     (residual IVFPQ): n_hits of the served top-5 inside the exact
+  *     top-5 → `overlap_at_5` (recall@5); n_scanned as emitted.
   */
 object RecallBench {
 
@@ -106,7 +108,8 @@ object RecallBench {
 
       // the (qid, n_scanned, n_hits) families: recall@5 = n_hits/5
       val overlap = Seq("q238_ivf_sq8_serving", "q251_trained_ivf",
-        "q253_ivfpq_serving", "q255_ivfpq_residual").map { name =>
+        "q256_scaled_ivf", "q253_ivfpq_serving",
+        "q255_ivfpq_residual").map { name =>
         val r = run(name).agg(
           (avg(col("n_hits")) / 5.0).as("r"),
           avg(col("n_scanned")).as("s"), count(lit(1)).as("n")).head()

@@ -2229,15 +2229,25 @@ object Similarity extends QueryPack {
     * Reference analogue: hw4's cosine top-1 (hw4/hw4.py:102-117)
     * behind a trained router.
     */
-  private def q251TrainedIvf(s: SparkSession, d: String): DataFrame = {
+  private def q251TrainedIvf(s: SparkSession, d: String): DataFrame =
+    trainedIvfReport(s, d, k = 16)
+
+  /** The q251/q256 trained-IVF serving report, parameterized by the
+    * coarse quantizer's cell count: train (or read back) the k-cell
+    * codebook + membership, route queries to nprobe=2 trained cells,
+    * exact integer-L2 inside those cells only, report n_scanned +
+    * n_hits vs the full-scan top-5.
+    */
+  private def trainedIvfReport(s: SparkSession, d: String,
+      k: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // codebook training, membership and ground truth scan it
     val xs = VectorOps.pqSubspaces(x, subDim = DIM) // one subspace
     // the trained coarse quantizer and its membership table are
     // standing artifacts ([[IndexStore]]): Lloyd runs once per corpus
     // snapshot, every serving query after that routes off a file scan
-    val cent = IndexStore.codebook(xs, k = 16, rounds = 2)
-    val cells = IndexStore.codes(xs, k = 16, rounds = 2)
+    val cent = IndexStore.codebook(xs, k = k, rounds = 2)
+    val cells = IndexStore.codes(xs, k = k, rounds = 2)
       .select(col("vec_id"), col("c"))
     val qxs = xs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("sub"), col("j"),
@@ -2290,7 +2300,53 @@ object Similarity extends QueryPack {
       .orderBy(col("qid"))
   }
 
-  private val q251Sql = {
+  private val q251Sql = trainedIvfSql(kkCte = "", seedLimit = "16")
+
+  /** q256: COUNT-SCALED trained IVF — q251's quantizer with the cell
+    * count derived from the corpus size instead of a fixed k=16: the
+    * serving layer's own instance of the fixed-resolution hazard the
+    * round-9 key-space work retired everywhere else. With k fixed,
+    * per-query scan cost is n·nprobe/k — LINEAR in the corpus (the
+    * round-9 RECALL/SERVE artifacts measured n_scanned 64 → 2493
+    * across the 1000× span). Here cells = 2^b with b =
+    * [[IndexStore.scaledBitsRow]] at divisor 128, floor 4 — expected
+    * cell size ≤ ~128 at any corpus size, so an nprobe=2 probe scans
+    * ≤ ~256 candidates FOREVER. At every shipped SF b = 4 ⇒ the
+    * IDENTICAL k=16 index q251 trains (one standing artifact serves
+    * both); at synthetic sf1 (20k vectors) b = 8 ⇒ 256 trained cells
+    * and a flat probe. The scalar k is resolved driver-side from the
+    * corpus count (a 1-row bounded edge — a trainer's k is a
+    * hyperparameter it must know before launching Lloyd); the DuckDB
+    * mirror derives the same k from its own COUNT(*) and seeds
+    * `rn <= (SELECT k FROM kk)`, so train → assign → route → scan →
+    * rank replays value-for-value at every k.
+    *
+    * The recall trade is deliberate and TRACKED, not hidden: at
+    * fixed nprobe, more cells = less probability mass probed —
+    * measured at sf1: q251 recall@5 0.39 scanning 12.5% of the
+    * corpus (only ~3× better than random mass), q256 recall@5 0.10
+    * scanning 0.78% (~13× better than random mass — the scaled index
+    * is MORE recall-efficient per candidate). nprobe is the
+    * deployment's recall knob on top of this flat-cost floor;
+    * `RECALL_r{N}.json` carries both numbers per round so the trade
+    * can never drift silently.
+    */
+  private def q256ScaledIvf(s: SparkSession, d: String): DataFrame =
+    trainedIvfReport(s, d,
+      k = 1 << IndexStore.scaledBitsRow(emb(s, d), 128, 4, "b")
+        .head().getInt(0))
+
+  private val q256Sql = trainedIvfSql(
+    kkCte = s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
+        ${graft.ops.IndexStore.scaledBitsSql(128, 4)}) AS k
+      FROM embeddings),""",
+    seedLimit = "(SELECT k FROM kk)")
+
+  /** The q251/q256 oracle, parameterized by the seed-count source:
+    * the Lloyd chain is k-agnostic everywhere except how many
+    * hash-rank seeds initialize it.
+    */
+  private def trainedIvfSql(kkCte: String, seedLimit: String): String = {
     // one Lloyd round (assignment + shift-floor mean update), same
     // text as q241's but over the single full-space subspace
     def round(cp: String, a: String, u: String, cn: String) =
@@ -2309,7 +2365,8 @@ object Similarity extends QueryPack {
          $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
            FROM $cp p LEFT JOIN $u u
              ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
-    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+    s"""WITH $kkCte
+       x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
            CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
          FROM (SELECT vec_id, unnest(embedding) AS e,
                       unnest(range(0, len(embedding))) AS i
@@ -2320,7 +2377,8 @@ object Similarity extends QueryPack {
            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
                CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
                  AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
+           FROM (SELECT DISTINCT vec_id FROM x))
+         WHERE rn <= $seedLimit),
        c0 AS (SELECT xs.sub, s.c, xs.j, xs.x AS v
               FROM seeds s JOIN xs ON xs.vec_id = s.vec_id),
        ${round("c0", "a1", "u1", "c1")},
@@ -2780,6 +2838,7 @@ object Similarity extends QueryPack {
     "q255_ivfpq_residual" -> q255IvfPqResidual,
     "q253_ivfpq_serving" -> q253IvfPqServing,
     "q251_trained_ivf" -> q251TrainedIvf,
+    "q256_scaled_ivf" -> q256ScaledIvf,
     "q250_knn_incremental" -> q250KnnIncremental,
     "q249_index_health" -> q249IndexHealth,
     "q248_multiprobe_lsh" -> q248MultiprobeLsh,
@@ -2812,6 +2871,7 @@ object Similarity extends QueryPack {
     "q255_ivfpq_residual" -> q255Sql,
     "q253_ivfpq_serving" -> q253Sql,
     "q251_trained_ivf" -> q251Sql,
+    "q256_scaled_ivf" -> q256Sql,
     "q250_knn_incremental" -> q250Sql,
     "q249_index_health" -> q249Sql,
     "q248_multiprobe_lsh" -> q248Sql,
