@@ -2302,45 +2302,198 @@ object Similarity extends QueryPack {
 
   private val q251Sql = trainedIvfSql(kkCte = "", seedLimit = "16")
 
-  /** q256: COUNT-SCALED trained IVF — q251's quantizer with the cell
-    * count derived from the corpus size instead of a fixed k=16: the
+  /** q256: COUNT-SCALED coarse quantizer as an INVERTED MULTI-INDEX
+    * (product cell space; Babenko & Lempitsky, CVPR'12) — closing the
     * serving layer's own instance of the fixed-resolution hazard the
-    * round-9 key-space work retired everywhere else. With k fixed,
-    * per-query scan cost is n·nprobe/k — LINEAR in the corpus (the
-    * round-9 RECALL/SERVE artifacts measured n_scanned 64 → 2493
-    * across the 1000× span). Here cells = 2^b with b =
-    * [[IndexStore.scaledBitsRow]] at divisor 128, floor 4 — expected
-    * cell size ≤ ~128 at any corpus size, so an nprobe=2 probe scans
-    * ≤ ~256 candidates FOREVER. At every shipped SF b = 4 ⇒ the
-    * IDENTICAL k=16 index q251 trains (one standing artifact serves
-    * both); at synthetic sf1 (20k vectors) b = 8 ⇒ 256 trained cells
-    * and a flat probe. The scalar k is resolved driver-side from the
-    * corpus count (a 1-row bounded edge — a trainer's k is a
-    * hyperparameter it must know before launching Lloyd); the DuckDB
-    * mirror derives the same k from its own COUNT(*) and seeds
-    * `rn <= (SELECT k FROM kk)`, so train → assign → route → scan →
-    * rank replays value-for-value at every k.
-    *
-    * The recall trade is deliberate and TRACKED, not hidden: at
-    * fixed nprobe, more cells = less probability mass probed —
-    * measured at sf1: q251 recall@5 0.39 scanning 12.5% of the
-    * corpus (only ~3× better than random mass), q256 recall@5 0.10
-    * scanning 0.78% (~13× better than random mass — the scaled index
-    * is MORE recall-efficient per candidate). nprobe is the
-    * deployment's recall knob on top of this flat-cost floor;
-    * `RECALL_r{N}.json` carries both numbers per round so the trade
-    * can never drift silently.
+    * round-9 key-space work retired everywhere else. With q251's
+    * k=16 cells fixed, per-query scan cost is n·nprobe/16 — LINEAR
+    * in the corpus (measured n_scanned 64 → 2493 across the 1000×
+    * span). Scaling a SINGLE-level quantizer's k with the corpus is
+    * the quadratic trap on the other side: Lloyd assignment is
+    * n·k·dims, so k ∝ n makes TRAINING n²·dims/128 — measured 81× on
+    * the 10× sf1 step before this shape. The multi-index squares a
+    * cheap quantizer instead: the vector splits into TWO 32-dim
+    * halves, ONE k1-centroid codebook is trained over the half-space
+    * frame ([[VectorOps.pqCodebook]] with m=2 — machinery and oracle
+    * chain identical to q241's PQ), and the serving cell is the
+    * PRODUCT (c_hi·k1 + c_lo) — k1² cells for n·k1·dims train/encode
+    * cost. k1 = 2^⌈b/2⌉ with b = [[IndexStore.scaledBitsRow]] at
+    * divisor 128 (1-row driver edge — a trainer resolves its k before
+    * launching Lloyd; the mirror derives the same k1 from COUNT(*)):
+    * cells ≈ n/128 FOREVER at √-scaled training cost. At the shipped
+    * SFs k1 = 4 ⇒ 16 composite cells (the same cell COUNT q251
+    * trains); at synthetic sf1, k1 = 16 ⇒ 256 cells — the nprobe=2
+    * probe scans ~156 candidates instead of q251's 2493, at q251-like
+    * build cost. Routing scores each half against k1 centroids and
+    * ranks the k1² composite sums (tie-break on cell id) — both
+    * engines rank the identical integer sums. The recall trade of
+    * finer cells at fixed nprobe is deliberate and TRACKED in
+    * `RECALL_r{N}.json` (the scaled index is ~4× more recall-
+    * efficient per scanned candidate; nprobe stays the deployment's
+    * recall knob on top of the flat-cost floor).
     */
-  private def q256ScaledIvf(s: SparkSession, d: String): DataFrame =
-    trainedIvfReport(s, d,
-      k = 1 << IndexStore.scaledBitsRow(emb(s, d), 128, 4, "b")
-        .head().getInt(0))
+  private def q256ScaledIvf(s: SparkSession, d: String): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // training, membership and ground truth scan it
+    val b = IndexStore.scaledBitsRow(emb(s, d), 128, 4, "b")
+      .head().getInt(0)
+    val k1 = 1 << ((b + 1) / 2)
+    val xs2 = VectorOps.pqSubspaces(x, subDim = 32) // the two halves
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
+    val cells = halfCodes.groupBy(col("vec_id"))
+      .agg((max(when(col("sub") === 0, col("c"))) * k1 +
+        max(when(col("sub") === 1, col("c")))).as("cell"))
+    // route: each query half against k1 centroids, composite sums
+    // ranked over the k1^2 product cells
+    val qxs = xs2.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sub"), col("j"),
+        col("x").as("qx"))
+    val halfDd = qxs.join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("qid"), col("sub"), col("c"))
+      .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
+        .as("dd"))
+    val route = TopKOps.topKPerGroup(
+      halfDd.filter(col("sub") === 0)
+        .select(col("qid"), col("c").as("c0"), col("dd").as("dd0"))
+        .join(halfDd.filter(col("sub") === 1)
+          .select(col("qid").as("qid1"), col("c").as("c1"),
+            col("dd").as("dd1")),
+          col("qid") === col("qid1"))
+        .select(col("qid"), (col("c0") * k1 + col("c1")).as("cell"),
+          (col("dd0") + col("dd1")).as("dd")),
+      Seq(col("qid")), Seq(col("dd").asc, col("cell").asc), 2)
+      .select(col("qid"), col("cell"))
+    val arrs = x.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("x")))),
+        t => t.getField("x").cast("double")).as("v"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    val qv = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val members = cells.join(arrs, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val scanned = route.join(qv, Seq("qid"))
+      .join(members, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (col("qn2") + col("cn2") -
+          lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+          .as("dist"))
+    val nScanned = scanned.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val ivfTop = TopKOps.topKPerGroup(scanned, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("ivf_cid"))
+    val exactTop = TopKOps.topKPerGroup(
+      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("n2").as("cn2")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") -
+            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+            .as("dist")),
+      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(ivfTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("ivf_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nScanned, Seq("qid"))
+      .select(col("qid"), col("n_scanned"), col("n_hits"))
+      .orderBy(col("qid"))
+  }
 
-  private val q256Sql = trainedIvfSql(
-    kkCte = s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
-        ${graft.ops.IndexStore.scaledBitsSql(128, 4)}) AS k
-      FROM embeddings),""",
-    seedLimit = "(SELECT k FROM kk)")
+  private val q256Sql = {
+    // one Lloyd round over the two-half subspace frame xs2 (q241's
+    // text with the frame parameterized, k1-agnostic)
+    def round(cp: String, a: String, u: String, cn: String) =
+      s"""$a AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs2.vec_id, xs2.sub, c.c,
+                   SUM((xs2.x - c.v)*(xs2.x - c.v)) AS dd
+                 FROM xs2 JOIN $cp c ON c.sub = xs2.sub AND c.j = xs2.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+         $u AS (SELECT a.sub, a.c, xs2.j,
+             (SUM(xs2.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN xs2 ON xs2.vec_id = a.vec_id AND xs2.sub = a.sub
+           GROUP BY 1, 2, 3),
+         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
+           FROM $cp p LEFT JOIN $u u
+             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
+    s"""WITH kk AS (SELECT (CAST(1 AS BIGINT) <<
+           ((${graft.ops.IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
+           AS k1 FROM embeddings),
+       x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       xs2 AS (SELECT vec_id, dim // 32 AS sub, dim % 32 AS j, x
+              FROM x),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
+                 AS BIGINT), vec_id) AS rn
+           FROM (SELECT DISTINCT vec_id FROM x))
+         WHERE rn <= (SELECT k1 FROM kk)),
+       c0 AS (SELECT xs2.sub, s.c, xs2.j, xs2.x AS v
+              FROM seeds s JOIN xs2 ON xs2.vec_id = s.vec_id),
+       ${round("c0", "a1", "u1", "c1")},
+       ${round("c1", "a2", "u2", "c2")},
+       halfc AS (SELECT vec_id, sub, c FROM (
+           SELECT d.vec_id, d.sub, d.c,
+             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+               ORDER BY d.dd, d.c) AS rn
+           FROM (SELECT xs2.vec_id, xs2.sub, c.c,
+                   SUM((xs2.x - c.v)*(xs2.x - c.v)) AS dd
+                 FROM xs2 JOIN c2 c ON c.sub = xs2.sub AND c.j = xs2.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+       cells AS (SELECT vec_id,
+           MAX(CASE WHEN sub = 0 THEN c END) * (SELECT k1 FROM kk) +
+           MAX(CASE WHEN sub = 1 THEN c END) AS cell
+         FROM halfc GROUP BY 1),
+       hdd AS (SELECT q.vec_id AS qid, c.sub, c.c,
+               SUM((q.x - c.v)*(q.x - c.v)) AS dd
+             FROM xs2 q JOIN c2 c ON c.sub = q.sub AND c.j = q.j
+             WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+       route AS (SELECT qid, cell FROM (
+           SELECT a.qid,
+             a.c * (SELECT k1 FROM kk) + b.c AS cell,
+             RANK() OVER (PARTITION BY a.qid
+               ORDER BY a.dd + b.dd,
+                 a.c * (SELECT k1 FROM kk) + b.c) AS rn
+           FROM hdd a JOIN hdd b ON b.qid = a.qid
+           WHERE a.sub = 0 AND b.sub = 1) WHERE rn <= 2),
+       scanned AS (SELECT r.qid, m.vec_id AS cid,
+             SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
+           FROM route r JOIN cells m ON m.cell = r.cell
+           JOIN x q ON q.vec_id = r.qid
+           JOIN x m2 ON m2.vec_id = m.vec_id AND m2.dim = q.dim
+           WHERE m.vec_id <> r.qid
+           GROUP BY 1, 2),
+       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM scanned
+               GROUP BY 1),
+       it AS (SELECT qid, cid AS ivf_cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM scanned) WHERE rn <= 5),
+       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+               SUM((q.x - c.x)*(q.x - c.x)) AS dist
+             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+             WHERE q.vec_id < 20 GROUP BY 1, 2),
+       et AS (SELECT qid, cid FROM (
+           SELECT qid, cid, RANK() OVER (PARTITION BY qid
+             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
+       hits AS (SELECT et.qid,
+           CAST(SUM(CASE WHEN et.cid = it.ivf_cid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits
+         FROM et JOIN it ON it.qid = et.qid GROUP BY 1)
+       SELECT h.qid, n.n_scanned, h.n_hits
+       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
+  }
 
   /** The q251/q256 oracle, parameterized by the seed-count source:
     * the Lloyd chain is k-agnostic everywhere except how many
