@@ -102,13 +102,20 @@ def main():
             print(f"OK   {name}: {len(got)} rows")
     # surface Verify's machine-readable failure markers — a rows-only
     # query (no oracle entry) that failed its enforced self-verdict
-    # leaves <name>._ERROR, which the oracle loop above never visits
+    # leaves <name>._ERROR, which the oracle loop above never visits.
+    # A failed ORACLE query also leaves a marker, but the loop already
+    # counted it (as "no Spark output"), so skip those to keep the
+    # summary line an honest N-of-M.
+    marker_failures = 0
     for marker in sorted(glob.glob(f"{outdir}/*._ERROR")):
         name = os.path.basename(marker)[:-len("._ERROR")]
+        if name in oracle:
+            continue
         with open(marker) as fh:
             print(f"FAIL {name}: {fh.read().strip()}")
-        failures += 1
+        marker_failures += 1
     print(f"\n{len(oracle) - failures}/{len(oracle)} oracle queries match")
+    failures += marker_failures
     sys.exit(1 if failures else 0)
 
 

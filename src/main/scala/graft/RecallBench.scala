@@ -72,7 +72,7 @@ object RecallBench {
       val nVec = v.count()
       val scan34 = v
         .select(VectorOps.lshBucket(col("v"), 64, 16).as("b16"))
-        .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 32, 8, "r")))
+        .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 16, 8, "r")))
         .select((col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
           .as("bkt"))
         .groupBy(col("bkt")).count()

@@ -146,8 +146,12 @@ private[graft] object ArtifactStore {
     * caller owns (e.g. the streaming gates' stamped replay tree,
     * where strictly-increasing part-file mtimes are part of the
     * artifact): runs `build(path)` exactly once per key and returns
-    * the path. The builder must leave a `_SUCCESS` marker (a Spark
-    * parquet write does) for the durable-cache reuse check.
+    * the path. The durable-cache reuse check keys on pathOnce's OWN
+    * completion marker, written only after `build(p)` fully returns —
+    * NOT on Spark's `_SUCCESS`, which a builder's parquet write drops
+    * before any post-write fixups (e.g. replay-order mtime stamping),
+    * so a crash mid-build can never leave a committed-looking tree a
+    * later session would reuse with a half-applied layout.
     */
   def pathOnce(df: DataFrame, key: String)
       (build: String => Unit): String = {
@@ -158,12 +162,13 @@ private[graft] object ArtifactStore {
         val base = durableBase.getOrElse(sys.props("java.io.tmpdir") +
           s"/graft-artifacts-$artifactRunId")
         val p = s"$base/$key"
-        val committed = durableBase.isDefined && {
-          val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-          marker.getFileSystem(spark.sessionState.newHadoopConf())
-            .exists(marker)
+        val marker = new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMITTED")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        val committed = durableBase.isDefined && fs.exists(marker)
+        if (!committed) {
+          build(p)
+          fs.create(marker, true).close()
         }
-        if (!committed) build(p)
         p
       })
     }
