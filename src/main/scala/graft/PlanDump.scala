@@ -95,9 +95,10 @@ object PlanDump {
           graft.ops.IndexStore.knnGraphBuild(v, 64, 8)
         }),
       Pick("ivf_member_probe",
-        "IVF point-probe SERVING (round 9): the member table is laid " +
-          "out partitionBy(cell), so an nprobe=2 probe is a " +
-          "partition-PRUNED scan — 2 of 16 directories, never the " +
+        "IVF point-probe SERVING (round 10: the count-scaled IMI " +
+          "member table): laid out partitionBy(cell) over the k1² " +
+          "composite cells, so an nprobe probe is a partition-PRUNED " +
+          "scan — nprobe directories of bounded occupancy, never the " +
           "corpus — feeding one TakeOrderedAndProject; no join " +
           "anywhere (ServeBench.serveIvf's exact plan)",
         Seq("PartitionFilters", " IN (3,7)", "TakeOrderedAndProject",
@@ -106,11 +107,12 @@ object PlanDump {
           import org.apache.spark.sql.functions._
           val emb = graft.core.Tables(s, d, "embeddings")
           val x = graft.ops.VectorOps.liftE6(emb, "vec_id", "embedding")
-          val members = graft.ops.IndexStore.ivfMembers(x, k = 16,
+          val k1 = graft.queries.Similarity.imiK1(s, d)
+          val members = graft.ops.IndexStore.imiMembers(x, k1 = k1,
             rounds = 2, dim = 64)
           val qv = (0 until 64).map(_ => 0.0)
           members
-            .filter(col("c").isin(3, 7) && col("vec_id") =!= lit(0L))
+            .filter(col("cell").isin(3, 7) && col("vec_id") =!= lit(0L))
             .select(col("vec_id"),
               (lit(0L) + col("n2") - lit(2L) *
                 graft.ops.VectorOps.dot(typedlit(qv), col("v"))

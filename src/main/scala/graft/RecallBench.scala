@@ -32,6 +32,30 @@ import org.apache.spark.sql.functions._
   */
 object RecallBench {
 
+  /** Per-family recall FLOORS — the artifact is a GATE, not a log: a
+    * family measuring below its floor at ANY swept SF (including the
+    * synthetic sf1 point) fails the run with exit 2, so an index or
+    * probe-rule change can never silently trade recall away again
+    * (round 9 shipped exactly that: count-scaled key spaces at frozen
+    * probe counts took q256 from 0.34 to 0.06 across one decade and
+    * only the artifact's JSON knew). Floors are set from the round-10
+    * measurements under the count-scaled probe rule: the min across
+    * the four SFs less a ~0.05 margin for 20-query sample noise.
+    * Families structurally noisy at 20 queries (single-probe LSH — a
+    * deliberately unboosted reference arm) carry floor 0.
+    */
+  private val FLOORS: Map[String, Double] = Map(
+    "q34_lsh_ann" -> 0.05,
+    "q85_ivf_nprobe" -> 0.50,
+    "q248_multiprobe_lsh" -> 0.05,
+    "q248_single_probe" -> 0.0,
+    "q238_ivf_sq8_serving" -> 0.15,
+    "q251_trained_ivf" -> 0.25,
+    "q256_scaled_ivf" -> 0.19,
+    "q253_ivfpq_serving" -> 0.04,
+    "q255_ivfpq_residual" -> 0.04,
+    "q257_ivfpq_refine" -> 0.19)
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("RECALL_LOCAL.json")
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_RECALL_SFS",
@@ -52,32 +76,49 @@ object RecallBench {
     spark.sparkContext.setLogLevel("WARN")
 
     def f(d: Double) = f"$d%.4f"
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
 
     val perSf = sfDirs.map { dir =>
       def run(name: String): DataFrame =
         SparkEntry.queries(name)(spark, dir)
 
       def fam(name: String, kind: String, recall: Double,
-          nQueries: Long, nScanned: Option[Double]): String =
+          nQueries: Long, nScanned: Option[Double]): String = {
+        FLOORS.get(name).filter(recall < _).foreach { floor =>
+          violations += s"$name at $dir: recall ${f(recall)} < " +
+            s"floor ${f(floor)}"
+        }
         s""""$name":{"metric_kind":"$kind","recall":${f(recall)},""" +
           s""""n_queries":$nQueries,"n_scanned_avg":${
             nScanned.map(f).getOrElse("null")}}"""
+      }
 
       // q34 family: q38's per-query hit bit + the exact mean
-      // same-bucket candidate count under the count-scaled mask
+      // multi-probed candidate count under the count-scaled mask
+      // (own bucket + all r Hamming-1 flips, q34's probe set)
       val q38 = run("q38_ann_recall").agg(
         avg(col("hit")).as("r"), count(lit(1)).as("n")).head()
       val v = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-      val nVec = v.count()
-      val scan34 = v
-        .select(VectorOps.lshBucket(col("v"), 64, 16).as("b16"))
+      val bucketed = v
+        .select(col("vec_id"), VectorOps.lshBucket(col("v"), 64, 16)
+          .as("b16"))
         .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 16, 8, "r")))
-        .select((col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
-          .as("bkt"))
-        .groupBy(col("bkt")).count()
-        .agg(sum(col("count") * (col("count") - 1)).as("pairs"))
-        .head().getLong(0).toDouble / nVec
+        .select(col("vec_id"),
+          (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)"))
+            .as("bkt"), col("r"))
+      val sizes = bucketed.groupBy(col("bkt")).count()
+      val scan34 = bucketed
+        .select(col("vec_id"), col("bkt"),
+          explode(sequence(lit(-1), col("r") - 1)).as("fj"))
+        .select(col("vec_id"),
+          expr("""CASE WHEN fj = -1 THEN bkt
+                  ELSE bkt ^ shiftleft(CAST(1 AS BIGINT), fj) END""")
+            .as("probe"))
+        .join(sizes, col("probe") === col("bkt"), "left")
+        .groupBy(col("vec_id"))
+        .agg((sum(coalesce(col("count"), lit(0L))) - 1L).as("cands"))
+        .agg(avg(col("cands"))).head().getDouble(0)
       val f34 = fam("q34_lsh_ann", "top1_in_exact5",
         q38.getAs[Double]("r"), q38.getAs[Long]("n"), Some(scan34))
 
@@ -109,7 +150,7 @@ object RecallBench {
       // the (qid, n_scanned, n_hits) families: recall@5 = n_hits/5
       val overlap = Seq("q238_ivf_sq8_serving", "q251_trained_ivf",
         "q256_scaled_ivf", "q253_ivfpq_serving",
-        "q255_ivfpq_residual").map { name =>
+        "q255_ivfpq_residual", "q257_ivfpq_refine").map { name =>
         val r = run(name).agg(
           (avg(col("n_hits")) / 5.0).as("r"),
           avg(col("n_scanned")).as("s"), count(lit(1)).as("n")).head()
@@ -121,10 +162,17 @@ object RecallBench {
       System.err.println(s"[recall] $dir done")
       s""""$dir":{$fams}"""
     }
+    val vjson = violations.map(v => s""""$v"""").mkString(",")
     val json =
-      s"""{"metric":"ann_recall","per_sf":{${perSf.mkString(",")}}}"""
+      s"""{"metric":"ann_recall","floors_enforced":true,""" +
+        s""""violations":[$vjson],""" +
+        s""""per_sf":{${perSf.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
     spark.stop()
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[recall-floor] $v"))
+      sys.exit(2)
+    }
   }
 }

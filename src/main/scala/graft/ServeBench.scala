@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{IndexStore, VectorOps}
+import graft.queries.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,21 +11,32 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.IndexStore]], this measures all three serving paths a
   * deployment actually runs, per scale factor:
   *
-  *   - `ivf_flat` — route to the nprobe=2 trained cells, exact
-  *     integer-L2 over ONLY those cells' members (faiss IndexIVFFlat,
-  *     the q251 shape). The member table is PARTITIONED BY cell, so
-  *     the probe is a partition-pruned scan of 2/k directories.
+  *   - `ivf_flat` — route to the nprobe nearest COMPOSITE cells of the
+  *     count-scaled IMI quantizer (q256's index: k1² ≈ n/128 cells
+  *     from two trained half-space codebooks), exact integer-L2 over
+  *     ONLY those cells' members. The member table is PARTITIONED BY
+  *     composite cell, so the probe is a partition-pruned scan of
+  *     nprobe directories whose occupancy is BOUNDED at any corpus
+  *     size — the round-9 version served a fixed 16-cell index whose
+  *     per-probe scan grew linearly with n (n_scanned 64 → 2493
+  *     across the 1000× span).
   *   - `ivfpq_residual` — same route, then ADC over the standing
   *     residual PQ codes of the probed cells' members: per-candidate
   *     cost is 8 table lookups, no raw-vector arithmetic (faiss
-  *     IVFPQ `by_residual=true`, the q255 shape).
+  *     IVFPQ `by_residual=true`, the q255 shape on the same IMI).
   *   - `lsh_multiprobe` — the query's own sign bucket plus its 2
   *     lowest-margin bit flips against the standing LSH bucket table
   *     (Lv et al. multi-probe, the q248 shape), cosine-ranked.
   *
-  * Serving discipline: the trained codebooks (16×64 coarse, 8×16×8
-  * residual — a few KB) and the 21 query vectors are collected to the
-  * driver ONCE per SF (bounded, documented API edges: a serving
+  * nprobe is COUNT-SCALED by the shared probe rule
+  * ([[IndexStore.scaledProbes]]: max(2, cells/16) — the same rule the
+  * batch queries ship), so the probed SHARE of the key space is
+  * pinned and recall stops falling with the corpus; the measured
+  * recall/cost trade per nprobe is in `RECALL_CURVE_r{N}.json`.
+  *
+  * Serving discipline: the trained codebooks (2·k1×32 half-space,
+  * 8×16×8 residual — a few KB) and the 21 query vectors are collected
+  * to the driver ONCE per SF (bounded, documented API edges: a serving
   * client holds its own query vector, and a store keeps its
   * quantizers resident), so each point query ROUTES driver-side and
   * issues exactly ONE Spark job over the probed partitions/buckets.
@@ -38,17 +50,17 @@ import org.apache.spark.sql.functions._
   * claim, computed in one untimed batch pass per SF). p50 over the 20
   * sorted mins is the MEAN OF THE TWO MIDDLE order statistics (9th
   * and 10th, 0-based). The numbers that should stay FLAT as the
-  * corpus grows are p50 and n_scanned — that is the serving-side
-  * scaling claim. One JSON line to stdout (also written to the output
-  * file). Caveat: with `spark.graft.artifactDir` pinned to a cache
-  * that already holds this corpus's committed index, build_sec
-  * measures the (cheap) artifact readback, not training.
+  * corpus grows are p50 and the per-DIRECTORY occupancy behind each
+  * probe; n_scanned = occupancy · nprobe ≈ n/16 once past the
+  * rule's floor — the bounded-share scan the recall floor costs.
+  * One JSON line to stdout (also written to the output file).
+  * Caveat: with `spark.graft.artifactDir` pinned to a cache that
+  * already holds this corpus's committed index, build_sec measures
+  * the (cheap) artifact readback, not training.
   */
 object ServeBench {
-  private val CELLS = 16 // trained cells (matches the q251/q253 index)
   private val DIM = 64
   private val PLANES = 8 // the standing lshBuckets format (q248)
-  private val NPROBE = 2
   private val QIDS = 0L until 20L
   private val WARM_QID = 20L
 
@@ -121,29 +133,33 @@ object ServeBench {
     val perSf = sfDirs.map { dir =>
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val x = VectorOps.liftE6(emb, "vec_id", "embedding")
-      val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
+      // the count-scaled IMI geometry: k1 centroids per half, k1²
+      // composite cells, nprobe from the shared probe rule — all
+      // resolved driver-side before any serving job, like a store
+      // reading its index header
+      val k1 = Similarity.imiK1(spark, dir)
+      val cells = k1 * k1
+      val nprobe = IndexStore.scaledProbes(cells,
+        Similarity.IMI_PROBE_DIVISOR, 2)
+      val xs2 = VectorOps.pqSubspaces(x, subDim = DIM / 2)
 
       // ---- fit once per family: train + encode + lay out the tables
       val t0 = System.nanoTime()
-      IndexStore.codebook(xsc, k = CELLS, rounds = 2).count()
-      IndexStore.ivfMembers(x, k = CELLS, rounds = 2, dim = DIM).count()
+      IndexStore.codebook(xs2, k = k1, rounds = 2).count()
+      IndexStore.imiMembers(x, k1 = k1, rounds = 2, dim = DIM).count()
       val buildIvfSec = (System.nanoTime() - t0) / 1e9
-      val cb = IndexStore.codebook(xsc, k = CELLS, rounds = 2)
-      val members = IndexStore.ivfMembers(x, k = CELLS, rounds = 2,
+      val cb = IndexStore.codebook(xs2, k = k1, rounds = 2)
+      val members = IndexStore.imiMembers(x, k1 = k1, rounds = 2,
         dim = DIM)
 
-      // residual PQ index on top of the trained coarse quantizer
-      // (the q255 derivation, self-contained over this bench's frames)
+      // residual PQ index on top of the trained IMI quantizer (the
+      // q255 derivation — ONE construction path, Similarity's)
       val t1 = System.nanoTime()
-      val cellsTbl = IndexStore.codes(xsc, k = CELLS, rounds = 2)
-        .select(col("vec_id"), col("c").as("cell"))
-      val coarseByDim = cb.select(col("c").as("cell"),
-        col("j").as("dim"), col("v").as("cv"))
-      val rxs = VectorOps.pqSubspaces(
-        x.join(cellsTbl, Seq("vec_id"))
-          .join(broadcast(coarseByDim), Seq("cell", "dim"))
-          .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x")),
-        subDim = 8)
+      val cellsTbl = IndexStore.codes(xs2, k = k1, rounds = 2)
+        .groupBy(col("vec_id"))
+        .agg((max(when(col("sub") === 0, col("c"))) * k1 +
+          max(when(col("sub") === 1, col("c")))).as("cell"))
+      val rxs = Similarity.imiResidualSubspaces(spark, dir, k1)
       IndexStore.codebook(rxs, k = 16, rounds = 2).count()
       IndexStore.pqLists(rxs, cellsTbl, k = 16, rounds = 2, m = 8).count()
       val buildPqSec = (System.nanoTime() - t1) / 1e9
@@ -161,12 +177,13 @@ object ServeBench {
       val buckets = IndexStore.lshBuckets(idVecs, DIM, PLANES)
 
       // ---- driver-resident serving state (bounded, documented):
-      // the coarse codebook (CELLS×DIM longs), the residual codebook
-      // (8×16×8 longs), the 21 query vectors, and the per-cell /
-      // per-bucket size histograms for the n_scanned report
-      val cbLocal = Array.ofDim[Long](CELLS, DIM)
-      cb.collect().foreach(r => cbLocal(r.getAs[Long]("c").toInt)(
-        r.getAs[Long]("j").toInt) = r.getAs[Long]("v"))
+      // the half-space codebook (2·k1×32 longs), the residual
+      // codebook (8×16×8 longs), the 21 query vectors, and the
+      // per-cell / per-bucket size histograms for the n_scanned report
+      val cbLocal = Array.ofDim[Long](2, k1, DIM / 2)
+      cb.collect().foreach(r => cbLocal(r.getAs[Long]("sub").toInt)(
+        r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
+          r.getAs[Long]("v"))
       val rCentLocal = Array.ofDim[Long](8, 16, 8)
       rCent.collect().foreach(r => rCentLocal(r.getAs[Long]("sub").toInt)(
         r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
@@ -186,7 +203,7 @@ object ServeBench {
         .collect()
         .map(r => r.getAs[Long]("vec_id") ->
           r.getSeq[Double](1).toArray).toMap
-      val cellSizes: Map[Int, Long] = members.groupBy(col("c"))
+      val cellSizes: Map[Int, Long] = members.groupBy(col("cell"))
         .count().collect()
         .map(r => r.getInt(0) -> r.getAs[Long]("count")).toMap
       val bucketSizes: Map[Long, Long] = buckets.groupBy(col("bkt"))
@@ -196,29 +213,41 @@ object ServeBench {
       // sanity: the driver-resident routers must agree with the
       // standing artifacts ON THE QUERY POINTS THEMSELVES — a query
       // that is also a corpus member routes (top-1) to its own
-      // assigned cell and its own sign bucket, or the driver-side
+      // composite cell and its own sign bucket, or the driver-side
       // plane/round/argmin arithmetic has drifted from the engine's
       val artCell: Map[Long, Int] = members
         .filter(col("vec_id") <= WARM_QID)
-        .select(col("vec_id"), col("c")).collect()
-        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("c")).toMap
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
       val artBkt: Map[Long, Long] = buckets
         .filter(col("vec_id") <= WARM_QID)
         .select(col("vec_id"), col("bkt")).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bkt")).toMap
 
-      // driver-side route: nprobe nearest trained cells by exact
-      // integer L2 (cell-id tie-break — identical to q251's rule)
+      // driver-side route: nprobe nearest composite cells by the
+      // multi-sequence rule — per-half exact integer L2 against k1
+      // centroids, k1² composite sums ranked (dd, cell) — identical
+      // to q256's imiRoute
       def route(qid: Long): Seq[Int] = {
         val q = qe6(qid)
-        (0 until CELLS).map { c =>
-          var dd = 0L
-          var j = 0
-          while (j < DIM) {
-            val d = q(j) - cbLocal(c)(j); dd += d * d; j += 1
+        val half = Array.ofDim[Long](2, k1)
+        var sub = 0
+        while (sub < 2) {
+          var c = 0
+          while (c < k1) {
+            var dd = 0L
+            var j = 0
+            while (j < DIM / 2) {
+              val d = q(sub * (DIM / 2) + j) - cbLocal(sub)(c)(j)
+              dd += d * d; j += 1
+            }
+            half(sub)(c) = dd; c += 1
           }
-          (dd, c)
-        }.sorted.take(NPROBE).map(_._2)
+          sub += 1
+        }
+        (for (c0 <- 0 until k1; c1 <- 0 until k1)
+          yield (half(0)(c0) + half(1)(c1), c0 * k1 + c1))
+          .sorted.take(nprobe).map(_._2)
       }
 
       // driver-side LSH probes: own bucket + 2 lowest-margin flips
@@ -241,7 +270,7 @@ object ServeBench {
 
       (0L to WARM_QID).foreach { qid =>
         require(route(qid).head == artCell(qid),
-          s"driver IVF route drifted from the artifact for qid $qid: " +
+          s"driver IMI route drifted from the artifact for qid $qid: " +
             s"${route(qid).head} != ${artCell(qid)}")
         require(lshProbes(qid)._1.head == artBkt(qid),
           s"driver LSH bucket drifted from the artifact for qid $qid: " +
@@ -284,11 +313,12 @@ object ServeBench {
 
       // ---- the three point-serving paths: ONE job per query each
       def serveIvf(qid: Long): Array[Long] = {
-        val cells = route(qid)
+        val probed = route(qid)
         val qv = qe6(qid).map(_.toDouble)
         val qn2 = qe6(qid).map(v => v * v).sum
         members
-          .filter(col("c").isin(cells: _*) && col("vec_id") =!= lit(qid))
+          .filter(col("cell").isin(probed: _*) &&
+            col("vec_id") =!= lit(qid))
           .select(col("vec_id"),
             (lit(qn2) + col("n2") -
               lit(2L) * VectorOps.dot(typedlit(qv.toSeq), col("v"))
@@ -298,20 +328,24 @@ object ServeBench {
       }
 
       def servePq(qid: Long): Array[Long] = {
-        val cells = route(qid)
+        val probed = route(qid)
         val q = qe6(qid)
         // per-(cell, sub, code) ADC table from the resident codebooks:
-        // the query's residual against each probed cell, scored against
-        // every residual centroid — 2×8×16 entries as a LITERAL map
-        // (key cell·128 + sub·16 + code), so the probe is one pruned
-        // scan of the inverted list with 8 map lookups per candidate
+        // the query's residual against each probed COMPOSITE cell (its
+        // two half centroids), scored against every residual centroid
+        // — nprobe×8×16 entries as a LITERAL map (key cell·128 +
+        // sub·16 + code), so the probe is one pruned scan of the
+        // inverted list with 8 map lookups per candidate
         val tab = (for {
-          cell <- cells; sub <- 0 until 8; code <- 0 until 16
+          cell <- probed; sub <- 0 until 8; code <- 0 until 16
         } yield {
           var dd = 0L
           var j = 0
           while (j < 8) {
-            val r = q(sub * 8 + j) - cbLocal(cell)(sub * 8 + j) -
+            val dim = sub * 8 + j
+            val hsub = dim / (DIM / 2)
+            val hc = if (hsub == 0) cell / k1 else cell % k1
+            val r = q(dim) - cbLocal(hsub)(hc)(dim % (DIM / 2)) -
               rCentLocal(sub)(code)(j)
             dd += r * r; j += 1
           }
@@ -319,7 +353,7 @@ object ServeBench {
         }).toMap
         val tl = typedlit(tab)
         pqLists
-          .filter(col("cell").isin(cells: _*) &&
+          .filter(col("cell").isin(probed: _*) &&
             col("vec_id") =!= lit(qid))
           .select(col("vec_id"),
             (0 until 8).map(sub => element_at(tl,
@@ -350,16 +384,17 @@ object ServeBench {
       val rIvf = family(serveIvf, truthL2, scannedIvf)
       val rPq = family(servePq, truthL2, scannedIvf)
       val rLsh = family(serveLsh, truthCos, scannedLsh)
-      System.err.println(s"[serve] $dir " +
+      System.err.println(s"[serve] $dir k1=$k1 nprobe=$nprobe " +
         s"ivf p50=${f(rIvf._2)}ms r@5=${f(rIvf._4)} " +
         s"pq p50=${f(rPq._2)}ms r@5=${f(rPq._4)} " +
         s"lsh p50=${f(rLsh._2)}ms r@5=${f(rLsh._4)}")
-      s""""$dir":{${familyJson("ivf_flat", buildIvfSec, rIvf)},""" +
+      s""""$dir":{"k1":$k1,"cells":$cells,"nprobe":$nprobe,""" +
+        s"""${familyJson("ivf_flat", buildIvfSec, rIvf)},""" +
         s"""${familyJson("ivfpq_residual", buildPqSec, rPq)},""" +
         s"""${familyJson("lsh_multiprobe", buildLshSec, rLsh)}}"""
     }
     val json =
-      s"""{"metric":"serve_latency","nprobe":$NPROBE,"cells":$CELLS,"repeats":$repeats,"per_sf":{${perSf.mkString(",")}}}"""
+      s"""{"metric":"serve_latency","repeats":$repeats,"per_sf":{${perSf.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
     spark.stop()

@@ -158,6 +158,37 @@ object IndexStore {
          CASE WHEN (COUNT(*) - 1) // $divisor = 0 THEN 0
               ELSE length(bin((COUNT(*) - 1) // $divisor)) END))"""
 
+  /** THE count-scaled PROBE rule — the exact dual of [[scaledBitsRow]]
+    * and the rule that closes the OTHER half of the fixed-resolution
+    * hazard class: round 9 scaled every KEY space with the corpus
+    * (cells ∝ n, occupancy bounded) but left every probe count frozen,
+    * so the scanned FRACTION — and with it recall — fell toward zero
+    * exactly as the corpus grew (RECALL_r09: q256 0.34 → 0.06 across
+    * one decade). This rule scales the probe count with the SAME
+    * count-derived cell total: nprobe = max(lo, cells / divisor) —
+    * the probed share of the key space is pinned at 1/divisor once
+    * past the floor, so the scan budget is occupancy · cells/divisor
+    * ≈ n/divisor and recall stops being a function of corpus size.
+    * Pure integer driver-side arithmetic (a router resolves its probe
+    * count before issuing the probe, exactly as a trainer resolves k
+    * before launching Lloyd — a 1-row driver edge); the DuckDB twin
+    * ([[scaledProbesSql]]) derives the identical count from the
+    * mirrored cells expression. Divisor 16 is the serving family's
+    * measured operating point (RECALL_CURVE_r10: the nprobe knee
+    * that restores the sf0.1 recall baseline at the sf1 point);
+    * consumers that need a different recall/cost point pass their
+    * own divisor.
+    */
+  def scaledProbes(cells: Int, divisor: Int, lo: Int): Int =
+    math.max(lo, cells / divisor)
+
+  /** DuckDB twin of [[scaledProbes]] over a mirrored cells
+    * expression; `//` floors like Scala's `/` on these non-negative
+    * counts.
+    */
+  def scaledProbesSql(cellsExpr: String, divisor: Int, lo: Int): String =
+    s"GREATEST($lo, ($cellsExpr) // $divisor)"
+
   /** The residual-PQ INVERTED LIST — (vec_id, c0..c{m-1}, cell) rows
     * laid out one directory per coarse cell (`partitionBy("cell")`):
     * faiss IVFPQ's actual serving table. Each row is a vector's m
@@ -181,6 +212,33 @@ object IndexStore {
           (1 until m).map(i =>
             max(when(col("sub") === i, col("c"))).as(s"c$i")): _*)
         .join(cells, Seq("vec_id"))
+    }
+
+  /** Composite-cell IMI serving table over a lifted (vec_id, dim, x)
+    * frame — [[ivfMembers]] with the count-scaled inverted MULTI-index
+    * as the coarse quantizer: each vector stored under its composite
+    * cell (c_hi·k1 + c_lo from the two trained half-space codes) with
+    * its reassembled array and squared norm, PARTITIONED BY `cell`.
+    * The k1² ≈ n/128 cells keep directory occupancy bounded at ANY
+    * corpus size (the fixed-k table's per-probe scan grew linearly
+    * with n), and a probe stays a partition-PRUNED scan of nprobe
+    * directories. Persisted once per (corpus, k1, rounds, dim).
+    */
+  def imiMembers(x: DataFrame, k1: Int, rounds: Int,
+      dim: Int): DataFrame =
+    ArtifactStore.materializedOnce(x,
+      ArtifactStore.key(x, "imimembers", s"k$k1-r$rounds-d$dim"),
+      partitionBy = Seq("cell")) {
+      val xs2 = VectorOps.pqSubspaces(x, subDim = dim / 2)
+      val cells = codes(xs2, k1, rounds).groupBy(col("vec_id"))
+        .agg((max(when(col("sub") === 0, col("c"))) * k1 +
+          max(when(col("sub") === 1, col("c")))).as("cell"))
+      val arrs = x.groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("x")))),
+          t => t.getField("x").cast("double")).as("v"))
+        .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+      cells.join(arrs, Seq("vec_id"))
     }
 
   /** Count-scaled cell resolution shared by the kNN-graph build and

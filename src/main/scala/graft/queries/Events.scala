@@ -1131,21 +1131,34 @@ object Events extends QueryPack {
       mode: String = "complete", stateStoreProvider: Option[String] = None)(
       agg: DataFrame => DataFrame): DataFrame = {
     import graft.streaming.StreamingOps
+    // env-gated floor profile (SPARK_GRAFT_STREAM_PROFILE=1): stderr
+    // breakdown of staging / query-start / replay, the three fixed
+    // costs a 3-micro-batch gate pays regardless of data volume —
+    // the numbers behind the documented harness floor
+    val prof = sys.env.get("SPARK_GRAFT_STREAM_PROFILE").contains("1")
+    def timed[A](label: String)(body: => A): A = {
+      val t = System.nanoTime()
+      val r = body
+      if (prof) System.err.println(
+        f"[stream-prof] $tag $label ${(System.nanoTime() - t) / 1e9}%.3fs")
+      r
+    }
     val run = s"$tag-${java.util.UUID.randomUUID().toString.take(8)}"
     // the staged tree is the shared write-once artifact — the gate
     // only READS it, so there is nothing to build or clean up here
-    val (staging, _, _) = stagedReplayTree(s, d)
+    val (staging, _, _) = timed("staging")(stagedReplayTree(s, d))
     val sink = s"${tag}_sink_$run".replace('-', '_')
     // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
     // per-partition state commits per store per batch with no
     // parallelism win on gate-sized state; result is
     // partition-count-invariant, only the harness floor changes
     def replay(): Unit = StreamingOps.withShufflePartitions(s, 8) {
-      val query = agg(
+      val query = timed("start")(agg(
         StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
         .writeStream.format("memory").queryName(sink)
-        .outputMode(mode).start()
-      try query.processAllAvailable() finally query.stop()
+        .outputMode(mode).start())
+      try timed("replay")(query.processAllAvailable())
+      finally query.stop()
     }
     stateStoreProvider match {
       case Some(p) => StreamingOps.withStateStoreProvider(s, p)(replay())

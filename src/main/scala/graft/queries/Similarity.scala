@@ -95,8 +95,14 @@ object Similarity extends QueryPack {
       vecs(s, d).filter(col("vec_id") % 5 =!= 4)
         .select(col("vec_id"), col("v"), col("nrm")), DIM, KEY_PLANES)
       .count()
-    // q255's residual PQ index (trained on x − centroid(cell(x)))
-    IndexStore.codes(residualSubspaces(s, d), k = 16, rounds = 2).count()
+    // the IMI quantizer family (q256/q253/q255): half-space codebook,
+    // composite membership, and the residual PQ index trained on
+    // x − centroid(cell(x)) over the composite cells
+    val k1 = imiK1(s, d)
+    IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
+      k = k1, rounds = 2).count()
+    IndexStore.codes(imiResidualSubspaces(s, d, k1),
+      k = 16, rounds = 2).count()
     ()
   }
 
@@ -379,10 +385,18 @@ object Similarity extends QueryPack {
     * space was the pack's worst full-pack sf1 ratio (7.56× on 10×
     * data — same-bucket candidates ∝ n²/256), while the scaled mask
     * keeps expected bucket size ≤ ~16 and the self-join linear to
-    * ~1M vectors. Bit j of the bucket comes from plane j,
-    * so at the shipped SFs (r = floor 8) the buckets are the
-    * historical 8-plane buckets bit-for-bit; the oracle derives the
-    * same r from COUNT(*) and applies the same mask.
+    * ~1M vectors. The round-9 version probed ONLY the own bucket —
+    * the probe-side dual of the fixed-resolution hazard: as r grew
+    * with n the single bucket held a vanishing fraction of the
+    * corpus and recall collapsed to 0.0 (RECALL_r09 at sf0.1/sf1).
+    * Now each vector probes its own bucket PLUS the r buckets at
+    * Hamming distance 1 in the masked key space (one flip per masked
+    * plane) — the probe count is count-scaled BY CONSTRUCTION (r+1
+    * probes track the key width the shared rule derives) and
+    * per-query cost stays ≤ ~(r+1)·16 candidates, flat in n. Bit j
+    * of the bucket comes from plane j; the oracle derives the same r
+    * from COUNT(*), applies the same mask and unrolls the same flip
+    * set.
     */
   private def q34LshAnn(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
@@ -390,13 +404,23 @@ object Similarity extends QueryPack {
         VectorOps.lshBucket(col("v"), DIM, 16).as("b16"))
       .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 16, PLANES, "r")))
       .select(col("vec_id"), col("v"), col("nrm"),
-        (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)")).as("bkt"))
-    val a = bucketed.select(col("vec_id").as("qid"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bkt"))
+        (col("b16") % expr("shiftleft(CAST(1 AS BIGINT), r)")).as("bkt"),
+        col("r"))
+    // probe set per vector: fj = -1 → the own bucket, fj ∈ [0, r) →
+    // the single-bit flip of masked plane fj; the r+1 buckets are
+    // pairwise distinct so no candidate double-counts
+    val probes = bucketed
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bkt"),
+        explode(sequence(lit(-1), col("r") - 1)).as("fj"))
+      .select(col("qid"), col("qv"), col("qn"),
+        expr("""CASE WHEN fj = -1 THEN bkt
+                ELSE bkt ^ shiftleft(CAST(1 AS BIGINT), fj) END""")
+          .as("probe"))
     val b = bucketed.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nrm").as("cn"), col("bkt").as("bkt2"))
-    val scored = a
-      .join(b, col("bkt") === col("bkt2") && col("qid") =!= col("cid"))
+    val scored = probes
+      .join(b, col("probe") === col("bkt2") && col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosCol.as("cos"))
     TopKOps
       .topKPerGroup(scored, Seq(col("qid")),
@@ -406,8 +430,9 @@ object Similarity extends QueryPack {
   }
 
   /** Shared CTE chain for the bucketed-LSH scored pairs (q34, q38):
-    * 16 sign bits masked to the count-scaled r (mirror of
-    * [[q34LshAnn]]'s bucket).
+    * 16 sign bits masked to the count-scaled r, multi-probed over the
+    * own bucket plus all r Hamming-1 flips (mirror of
+    * [[q34LshAnn]]'s probe set).
     */
   private val annCtes = {
     val planeCols = (0 until 16)
@@ -420,10 +445,15 @@ object Similarity extends QueryPack {
            ${VectorOps.lshBucketSql("v", DIM, 16)}
              % (CAST(1 AS BIGINT) << r) AS bkt
          FROM n CROSS JOIN planes CROSS JOIN rq34),
-       bp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS av, b.v AS bv,
-                a.nrm AS an, b.nrm AS bn
-              FROM bucketed a JOIN bucketed b
-                ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+       probes34 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+           CASE WHEN f.fj = -1 THEN bkt
+                ELSE xor(bkt, (CAST(1 AS BIGINT) << f.fj)) END AS probe
+         FROM bucketed CROSS JOIN (SELECT unnest(range(-1,
+             (SELECT r FROM rq34))) AS fj) f),
+       bp AS (SELECT p.qid, b.vec_id AS cid, p.qv AS av, b.v AS bv,
+                p.qn AS an, b.nrm AS bn
+              FROM probes34 p JOIN bucketed b
+                ON b.bkt = p.probe AND b.vec_id <> p.qid),
        bscored AS (SELECT qid, cid, $cosSql AS cos FROM bp)"""
   }
 
@@ -2210,6 +2240,127 @@ object Similarity extends QueryPack {
        ORDER BY m.qid, m.rnk, m.cid"""
   }
 
+  // ---- IMI (inverted multi-index) shared machinery ---------------
+  // The count-scaled coarse quantizer (q256) and everything composed
+  // on top of it (q253 IVFPQ, q255 residual IVFPQ, ServeBench's
+  // serving paths, the RecallCurve sweep) share ONE quantizer
+  // derivation so the trained artifacts are addressed by a single
+  // canonical plan and the DuckDB mirrors replay a single CTE chain.
+
+  /** Probe-rule divisor for the IMI serving family: probe 1/16 of the
+    * composite cells (floor 2) — [[IndexStore.scaledProbes]]. At the
+    * shipped SFs (16 cells) the floor keeps nprobe = 2, bit-identical
+    * to the historical behavior; past ~32k vectors the probed SHARE
+    * of the key space is pinned so recall stops falling with n.
+    * Operating point picked from the measured recall-vs-nprobe curve
+    * (RECALL_CURVE_r10.json): at the synthetic-sf1 point the flat
+    * family's recall@5 is 0.27/0.37/0.52 at nprobe 8/16/32 against a
+    * 0.34 sf0.1 baseline — divisor 16 is the knee that restores the
+    * sf0.1 recall at HALF the fixed-16-cell index's per-query scan
+    * (1258 vs 2493 candidates), while divisor 32 would leave recall
+    * 20% below the baseline to save half the scan again.
+    */
+  private[graft] val IMI_PROBE_DIVISOR = 16
+
+  /** k1 — centroids per 32-dim half — of the count-scaled IMI
+    * quantizer: 2^⌈b/2⌉ with b = [[IndexStore.scaledBitsRow]] at
+    * divisor 128, floor 4 (composite cells = k1² ≈ n/128). 1-row
+    * driver edge: a trainer resolves its k before launching Lloyd.
+    */
+  private[graft] def imiK1(s: SparkSession, d: String): Int = {
+    val b = IndexStore.scaledBitsRow(emb(s, d), 128, 4, "b")
+      .head().getInt(0)
+    1 << ((b + 1) / 2)
+  }
+
+  /** The trained IMI quantizer over the lifted e6 frame `x`:
+    * (half-space codebook (sub ∈ {0,1}, c, j, v), composite-cell
+    * membership (vec_id, cell = c_hi·k1 + c_lo)). Both halves train
+    * from ONE k1-centroid Lloyd chain over the two-subspace frame —
+    * machinery and oracle chain identical to q241's PQ.
+    */
+  private def imiQuantizer(x: DataFrame, k1: Int)
+      : (DataFrame, DataFrame) = {
+    val xs2 = VectorOps.pqSubspaces(x, subDim = 32)
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
+    val cells = halfCodes.groupBy(col("vec_id"))
+      .agg((max(when(col("sub") === 0, col("c"))) * k1 +
+        max(when(col("sub") === 1, col("c")))).as("cell"))
+    (cent, cells)
+  }
+
+  /** nprobe nearest composite cells per bounded query (vec_id < 20):
+    * each query half scores against k1 centroids, the k1² composite
+    * sums rank (dd asc, cell asc — a total order) and the top nprobe
+    * are probed (Babenko & Lempitsky's multi-sequence order).
+    */
+  private def imiRoute(x: DataFrame, cent: DataFrame, k1: Int,
+      nprobe: Int): DataFrame = {
+    val qxs = VectorOps.pqSubspaces(x, subDim = 32)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sub"), col("j"),
+        col("x").as("qx"))
+    val halfDd = qxs.join(broadcast(cent), Seq("sub", "j"))
+      .groupBy(col("qid"), col("sub"), col("c"))
+      .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
+        .as("dd"))
+    TopKOps.topKPerGroup(
+      halfDd.filter(col("sub") === 0)
+        .select(col("qid"), col("c").as("c0"), col("dd").as("dd0"))
+        .join(halfDd.filter(col("sub") === 1)
+          .select(col("qid").as("qid1"), col("c").as("c1"),
+            col("dd").as("dd1")),
+          col("qid") === col("qid1"))
+        .select(col("qid"), (col("c0") * k1 + col("c1")).as("cell"),
+          (col("dd0") + col("dd1")).as("dd")),
+      Seq(col("qid")), Seq(col("dd").asc, col("cell").asc), nprobe)
+      .select(col("qid"), col("cell"))
+  }
+
+  /** Reassembled double arrays + squared norms off the lifted frame —
+    * the exact-ground-truth projection every trained-IVF report scans.
+    */
+  private def e6Arrays(x: DataFrame): DataFrame =
+    x.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("x")))),
+        t => t.getField("x").cast("double")).as("v"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+
+  /** Assemble the (qid, n_scanned, n_hits) serving report shared by
+    * the whole trained-IVF family: rank the served candidates
+    * (`scored`: qid, cid, dist) to top-5, count hits against the
+    * exact integer-L2 full-scan top-5 over `arrs`.
+    */
+  private def ivfServingReport(scored: DataFrame, arrs: DataFrame,
+      cost: Option[DataFrame] = None): DataFrame = {
+    val nScanned = cost.getOrElse(scored).groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_scanned"))
+    val servedTop = TopKOps.topKPerGroup(scored, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid").as("served_cid"))
+    val qv = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val exactTop = TopKOps.topKPerGroup(
+      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("n2").as("cn2")), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") -
+            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+            .as("dist")),
+      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
+      .select(col("qid"), col("cid"))
+    exactTop.join(servedTop, Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("cid") === col("served_cid"), lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .join(nScanned, Seq("qid"))
+      .select(col("qid"), col("n_scanned"), col("n_hits"))
+      .orderBy(col("qid"))
+  }
+
   /** q251: TRAINED-quantizer IVF serving — closes the one gap between
     * this pack's IVF family (q37/q85/q238/q243-q245 route on LABEL
     * cells, a partition the data happens to ship) and a real index:
@@ -2322,111 +2473,93 @@ object Similarity extends QueryPack {
     * launching Lloyd; the mirror derives the same k1 from COUNT(*)):
     * cells ≈ n/128 FOREVER at √-scaled training cost. At the shipped
     * SFs k1 = 4 ⇒ 16 composite cells (the same cell COUNT q251
-    * trains); at synthetic sf1, k1 = 16 ⇒ 256 cells — the nprobe=2
-    * probe scans ~156 candidates instead of q251's 2493, at q251-like
-    * build cost. Routing scores each half against k1 centroids and
-    * ranks the k1² composite sums (tie-break on cell id) — both
-    * engines rank the identical integer sums. The recall trade of
-    * finer cells at fixed nprobe is deliberate and TRACKED in
-    * `RECALL_r{N}.json` (the scaled index is ~4× more recall-
-    * efficient per scanned candidate; nprobe stays the deployment's
-    * recall knob on top of the flat-cost floor).
+    * trains); at synthetic sf1, k1 = 16 ⇒ 256 cells — the probe scans
+    * ~1258 candidates instead of q251's 2493, at q251-like build
+    * cost and with recall RESTORED to the sf0.1 baseline (0.37 vs
+    * 0.34 — RECALL_CURVE_r10).
+    * Routing scores each half against k1 centroids and ranks the k1²
+    * composite sums (tie-break on cell id) — both engines rank the
+    * identical integer sums. nprobe is COUNT-SCALED by the shared
+    * probe rule ([[IndexStore.scaledProbes]]: max(2, cells/16),
+    * mirrored from COUNT(*) in the oracle) — the round-9 version held
+    * nprobe=2 while cells grew with n, so the scanned fraction and
+    * recall fell toward zero (RECALL_r09 sf1: 0.06, one decade after
+    * 0.34); with the probed share pinned at 1/16 past the floor,
+    * recall is a property of the quantizer again, not of the corpus
+    * size, and the trade is TRACKED in `RECALL_r{N}.json` +
+    * `RECALL_CURVE_r{N}.json`.
     */
   private def q256ScaledIvf(s: SparkSession, d: String): DataFrame = {
+    val k1 = imiK1(s, d)
+    imiIvfReportAt(s, d, k1,
+      IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR, 2))
+  }
+
+  /** The q256 serving report at an explicit (k1, nprobe) — the
+    * RecallCurve sweep calls this directly to measure the
+    * recall-vs-nprobe operating curve the shipped rule is picked
+    * from.
+    */
+  private[graft] def imiIvfReportAt(s: SparkSession, d: String,
+      k1: Int, nprobe: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // training, membership and ground truth scan it
-    val b = IndexStore.scaledBitsRow(emb(s, d), 128, 4, "b")
-      .head().getInt(0)
-    val k1 = 1 << ((b + 1) / 2)
-    val xs2 = VectorOps.pqSubspaces(x, subDim = 32) // the two halves
-    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
-    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
-    val cells = halfCodes.groupBy(col("vec_id"))
-      .agg((max(when(col("sub") === 0, col("c"))) * k1 +
-        max(when(col("sub") === 1, col("c")))).as("cell"))
-    // route: each query half against k1 centroids, composite sums
-    // ranked over the k1^2 product cells
-    val qxs = xs2.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("sub"), col("j"),
-        col("x").as("qx"))
-    val halfDd = qxs.join(broadcast(cent), Seq("sub", "j"))
-      .groupBy(col("qid"), col("sub"), col("c"))
-      .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
-        .as("dd"))
-    val route = TopKOps.topKPerGroup(
-      halfDd.filter(col("sub") === 0)
-        .select(col("qid"), col("c").as("c0"), col("dd").as("dd0"))
-        .join(halfDd.filter(col("sub") === 1)
-          .select(col("qid").as("qid1"), col("c").as("c1"),
-            col("dd").as("dd1")),
-          col("qid") === col("qid1"))
-        .select(col("qid"), (col("c0") * k1 + col("c1")).as("cell"),
-          (col("dd0") + col("dd1")).as("dd")),
-      Seq(col("qid")), Seq(col("dd").asc, col("cell").asc), 2)
-      .select(col("qid"), col("cell"))
-    val arrs = x.groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("x")))),
-        t => t.getField("x").cast("double")).as("v"))
-      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    val (cent, cells) = imiQuantizer(x, k1)
+    val route = imiRoute(x, cent, k1, nprobe)
+    val arrs = e6Arrays(x)
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
     val members = cells.join(arrs, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("cell"), col("v").as("cv"),
         col("n2").as("cn2"))
-    val scanned = route.join(qv, Seq("qid"))
+    val scored = route.join(qv, Seq("qid"))
       .join(members, Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         (col("qn2") + col("cn2") -
           lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
           .as("dist"))
-    val nScanned = scanned.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_scanned"))
-    val ivfTop = TopKOps.topKPerGroup(scanned, Seq(col("qid")),
-      Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid").as("ivf_cid"))
-    val exactTop = TopKOps.topKPerGroup(
-      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("n2").as("cn2")), col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          (col("qn2") + col("cn2") -
-            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
-            .as("dist")),
-      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid"))
-    exactTop.join(ivfTop, Seq("qid"))
-      .groupBy(col("qid"))
-      .agg(sum(when(col("cid") === col("ivf_cid"), lit(1L))
-        .otherwise(lit(0L))).as("n_hits"))
-      .join(nScanned, Seq("qid"))
-      .select(col("qid"), col("n_scanned"), col("n_hits"))
-      .orderBy(col("qid"))
+    ivfServingReport(scored, arrs)
   }
 
-  private val q256Sql = {
-    // one Lloyd round over the two-half subspace frame xs2 (q241's
-    // text with the frame parameterized, k1-agnostic)
-    def round(cp: String, a: String, u: String, cn: String) =
-      s"""$a AS (SELECT vec_id, sub, c FROM (
-           SELECT d.vec_id, d.sub, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xs2.vec_id, xs2.sub, c.c,
-                   SUM((xs2.x - c.v)*(xs2.x - c.v)) AS dd
-                 FROM xs2 JOIN $cp c ON c.sub = xs2.sub AND c.j = xs2.j
-                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
-         $u AS (SELECT a.sub, a.c, xs2.j,
-             (SUM(xs2.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
-           FROM $a a JOIN xs2 ON xs2.vec_id = a.vec_id AND xs2.sub = a.sub
-           GROUP BY 1, 2, 3),
-         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
-           FROM $cp p LEFT JOIN $u u
-             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
-    s"""WITH kk AS (SELECT (CAST(1 AS BIGINT) <<
+  /** One DuckDB Lloyd round (assignment + shift-floor mean update)
+    * over subspace frame `$xs` — q241's text with the frame name
+    * parameterized; every trained-quantizer oracle (IMI halves, PQ
+    * subspaces, residual subspaces) unrolls this same block.
+    */
+  private def lloydRoundSql(xs: String, cp: String, a: String,
+      u: String, cn: String): String =
+    s"""$a AS (SELECT vec_id, sub, c FROM (
+         SELECT d.vec_id, d.sub, d.c,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+             ORDER BY d.dd, d.c) AS rn
+         FROM (SELECT $xs.vec_id, $xs.sub, c.c,
+                 SUM(($xs.x - c.v)*($xs.x - c.v)) AS dd
+               FROM $xs JOIN $cp c ON c.sub = $xs.sub AND c.j = $xs.j
+               GROUP BY 1, 2, 3) d) WHERE rn = 1),
+       $u AS (SELECT a.sub, a.c, $xs.j,
+           (SUM($xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+         FROM $a a JOIN $xs ON $xs.vec_id = a.vec_id AND $xs.sub = a.sub
+         GROUP BY 1, 2, 3),
+       $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
+         FROM $cp p LEFT JOIN $u u
+           ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
+
+  /** Shared DuckDB CTE chain for the IMI family (q256/q253/q255):
+    * count-scaled k1 AND nprobe (both mirrored from COUNT(*) — the
+    * key rule and its probe-rule dual), the lifted e6 frame, the
+    * two-half subspace frame, the k1-seed Lloyd chain (ic2 = trained
+    * half codebook), the composite-cell membership and the
+    * nprobe-cell multi-sequence route. `seedrank` is shared with the
+    * PQ chains, which cut their own 16 seeds from the same ordering.
+    */
+  private val imiCtes =
+    s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
            ((${graft.ops.IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
            AS k1 FROM embeddings),
+       np AS (SELECT ${graft.ops.IndexStore
+             .scaledProbesSql("k1 * k1", 16, 2)} AS nprobe FROM kk),
        x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
            CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
          FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2434,23 +2567,23 @@ object Similarity extends QueryPack {
                FROM embeddings)),
        xs2 AS (SELECT vec_id, dim // 32 AS sub, dim % 32 AS j, x
               FROM x),
-       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
-           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
-                 AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x))
+       seedrank AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+             CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
+               AS BIGINT), vec_id) AS rn
+           FROM (SELECT DISTINCT vec_id FROM x)),
+       iseeds AS (SELECT vec_id, rn - 1 AS c FROM seedrank
          WHERE rn <= (SELECT k1 FROM kk)),
-       c0 AS (SELECT xs2.sub, s.c, xs2.j, xs2.x AS v
-              FROM seeds s JOIN xs2 ON xs2.vec_id = s.vec_id),
-       ${round("c0", "a1", "u1", "c1")},
-       ${round("c1", "a2", "u2", "c2")},
+       ic0 AS (SELECT xs2.sub, s.c, xs2.j, xs2.x AS v
+              FROM iseeds s JOIN xs2 ON xs2.vec_id = s.vec_id),
+       ${lloydRoundSql("xs2", "ic0", "ia1", "iu1", "ic1")},
+       ${lloydRoundSql("xs2", "ic1", "ia2", "iu2", "ic2")},
        halfc AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                ORDER BY d.dd, d.c) AS rn
            FROM (SELECT xs2.vec_id, xs2.sub, c.c,
                    SUM((xs2.x - c.v)*(xs2.x - c.v)) AS dd
-                 FROM xs2 JOIN c2 c ON c.sub = xs2.sub AND c.j = xs2.j
+                 FROM xs2 JOIN ic2 c ON c.sub = xs2.sub AND c.j = xs2.j
                  GROUP BY 1, 2, 3) d) WHERE rn = 1),
        cells AS (SELECT vec_id,
            MAX(CASE WHEN sub = 0 THEN c END) * (SELECT k1 FROM kk) +
@@ -2458,7 +2591,7 @@ object Similarity extends QueryPack {
          FROM halfc GROUP BY 1),
        hdd AS (SELECT q.vec_id AS qid, c.sub, c.c,
                SUM((q.x - c.v)*(q.x - c.v)) AS dd
-             FROM xs2 q JOIN c2 c ON c.sub = q.sub AND c.j = q.j
+             FROM xs2 q JOIN ic2 c ON c.sub = q.sub AND c.j = q.j
              WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
        route AS (SELECT qid, cell FROM (
            SELECT a.qid,
@@ -2467,19 +2600,21 @@ object Similarity extends QueryPack {
                ORDER BY a.dd + b.dd,
                  a.c * (SELECT k1 FROM kk) + b.c) AS rn
            FROM hdd a JOIN hdd b ON b.qid = a.qid
-           WHERE a.sub = 0 AND b.sub = 1) WHERE rn <= 2),
-       scanned AS (SELECT r.qid, m.vec_id AS cid,
-             SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
-           FROM route r JOIN cells m ON m.cell = r.cell
-           JOIN x q ON q.vec_id = r.qid
-           JOIN x m2 ON m2.vec_id = m.vec_id AND m2.dim = q.dim
-           WHERE m.vec_id <> r.qid
-           GROUP BY 1, 2),
-       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM scanned
+           WHERE a.sub = 0 AND b.sub = 1)
+         WHERE rn <= (SELECT nprobe FROM np))"""
+
+  /** The exact-ground-truth + report tail shared by the IMI oracles:
+    * rank `$served` (qid, cid, dist) to top-5, full-scan exact top-5,
+    * hits + n_scanned.
+    */
+  private def imiReportTailSql(served: String,
+      cost: String = ""): String =
+    s"""nsc AS (SELECT qid, COUNT(*) AS n_scanned
+               FROM ${if (cost.isEmpty) served else cost}
                GROUP BY 1),
-       it AS (SELECT qid, cid AS ivf_cid FROM (
+       it AS (SELECT qid, cid AS served_cid FROM (
            SELECT qid, cid, RANK() OVER (PARTITION BY qid
-             ORDER BY dist, cid) AS rn FROM scanned) WHERE rn <= 5),
+             ORDER BY dist, cid) AS rn FROM $served) WHERE rn <= 5),
        exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
                SUM((q.x - c.x)*(q.x - c.x)) AS dist
              FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
@@ -2488,12 +2623,22 @@ object Similarity extends QueryPack {
            SELECT qid, cid, RANK() OVER (PARTITION BY qid
              ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
        hits AS (SELECT et.qid,
-           CAST(SUM(CASE WHEN et.cid = it.ivf_cid THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN et.cid = it.served_cid THEN 1 ELSE 0 END)
              AS BIGINT) AS n_hits
          FROM et JOIN it ON it.qid = et.qid GROUP BY 1)
        SELECT h.qid, n.n_scanned, h.n_hits
        FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
-  }
+
+  private val q256Sql =
+    s"""WITH $imiCtes,
+       scanned AS (SELECT r.qid, m.vec_id AS cid,
+             SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
+           FROM route r JOIN cells m ON m.cell = r.cell
+           JOIN x q ON q.vec_id = r.qid
+           JOIN x m2 ON m2.vec_id = m.vec_id AND m2.dim = q.dim
+           WHERE m.vec_id <> r.qid
+           GROUP BY 1, 2),
+       ${imiReportTailSql("scanned")}"""
 
   /** The q251/q256 oracle, parameterized by the seed-count source:
     * the Lloyd chain is k-agnostic everywhere except how many
@@ -2579,53 +2724,54 @@ object Similarity extends QueryPack {
   }
 
   /** q253: composed IndexIVFPQ serving — the production shape faiss
-    * ships as its default large-scale index, assembled from the two
-    * independently-audited trained halves: q251's Lloyd-trained
-    * full-space coarse quantizer ROUTES each query to its nprobe=2
-    * nearest cells (exact integer L2, cell-id tie-break), and q241's
-    * m=8 PQ codebook ADC-SCORES only those cells' members — each
-    * candidate's distance is 8 table lookups summed, no raw-vector
-    * arithmetic per candidate at all. Report per query: n_scanned
-    * (the cost claim — members of 2 of 16 trained cells) and n_hits
-    * vs the exact integer-L2 full-scan top-5 (the recall claim —
-    * now compounding BOTH approximations: routing misses and PQ
-    * distortion). Every table is a standing [[IndexStore]] artifact:
-    * coarse codebook, cell membership, PQ codebook, PQ codes — train
-    * once, serve many. Determinism: hash-rank seeding, argmin
-    * tie-breaks, shift-floor means, integer sums end to end, so the
-    * DuckDB oracle replays BOTH Lloyd chains (full-space and
-    * per-subspace) as unrolled CTEs and then
-    * route→encode→table→lookup→rank value-for-value. Scale shape:
-    * codebooks broadcast (k·m·subDim rows); routing is one argmin per
-    * query over 16 cells; the ADC join is cells⋈codes⋈table on equi
-    * keys — candidate-driven, never queries×corpus×dims; the one full
-    * scan is the deliberate ground-truth pass that defines recall.
+    * ships as its default large-scale index, assembled from two
+    * independently-audited trained halves: the COUNT-SCALED IMI
+    * coarse quantizer (q256's composite cells — the round-9 version
+    * hung off the fixed 16-cell index, whose per-probe scan grew
+    * linearly with the corpus: 64 → 2493 candidates across a 1000×
+    * span) ROUTES each query to its nprobe nearest composite cells
+    * (nprobe from the shared probe rule, [[IndexStore.scaledProbes]]),
+    * and q241's m=8 PQ codebook ADC-SCORES only those cells' members —
+    * each candidate's distance is 8 table lookups summed, no
+    * raw-vector arithmetic per candidate at all. Report per query:
+    * n_scanned (the cost claim — occupancy·nprobe ≈ n/16, bounded
+    * share of the key space) and n_hits vs the exact integer-L2
+    * full-scan top-5 (the recall claim — compounding BOTH
+    * approximations: routing misses and PQ distortion). Every table
+    * is a standing [[IndexStore]] artifact: half-space codebook,
+    * composite membership, PQ codebook, PQ codes — train once, serve
+    * many. Determinism: hash-rank seeding, argmin tie-breaks,
+    * shift-floor means, integer sums end to end, so the DuckDB oracle
+    * replays BOTH Lloyd chains (half-space and per-subspace) as
+    * unrolled CTEs and then route→encode→table→lookup→rank
+    * value-for-value. Scale shape: codebooks broadcast (k·m·subDim
+    * rows); routing is 2·k1 centroid scores + a k1² rank per query;
+    * the ADC join is cells⋈codes⋈table on equi keys —
+    * candidate-driven, never queries×corpus×dims; the one full scan
+    * is the deliberate ground-truth pass that defines recall.
     * Reference analogue: hw4's brute-force cosine top-1
     * (hw4/hw4.py:102-117) in the memory-bounded routed+compressed
     * form a 10 B-vector store actually serves.
     */
   private def q253IvfPqServing(s: SparkSession, d: String): DataFrame = {
+    val k1 = imiK1(s, d)
+    imiPqReportAt(s, d, k1,
+      IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR, 2))
+  }
+
+  /** The q253 serving report at an explicit (k1, nprobe) — also the
+    * RecallCurve sweep's IVFPQ family.
+    */
+  private[graft] def imiPqReportAt(s: SparkSession, d: String,
+      k1: Int, nprobe: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // ground truth and both query frames scan it
     // the four standing index artifacts (all IndexStore-persisted)
-    val xsc = VectorOps.pqSubspaces(x, subDim = DIM) // coarse frame
-    val coarse = IndexStore.codebook(xsc, k = 16, rounds = 2)
-    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
-      .select(col("vec_id"), col("c").as("cell"))
+    val (cent, cells) = imiQuantizer(x, k1)
     val xsp = VectorOps.pqSubspaces(x, subDim = 8) // PQ frame
     val pqCent = IndexStore.codebook(xsp, k = 16, rounds = 2)
     val pqCodes = IndexStore.codes(xsp, k = 16, rounds = 2)
-    // route: nprobe=2 nearest TRAINED cells per query (q251's rule)
-    val qxsc = xsc.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("sub"), col("j"),
-        col("x").as("qx"))
-    val route = TopKOps.topKPerGroup(
-      qxsc.join(broadcast(coarse), Seq("sub", "j"))
-        .groupBy(col("qid"), col("c"))
-        .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
-          .as("dd")),
-      Seq(col("qid")), Seq(col("dd").asc, col("c").asc), 2)
-      .select(col("qid"), col("c").as("cell"))
+    val route = imiRoute(x, cent, k1, nprobe)
     // per-query ADC distance table over the PQ codebook (q241's rule)
     val qxsp = xsp.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("sub"), col("j"),
@@ -2642,132 +2788,49 @@ object Similarity extends QueryPack {
       .join(broadcast(tab), Seq("qid", "sub", "c"))
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("dd")).as("dist"))
-    val nScanned = cands.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_scanned"))
-    val pqTop = TopKOps.topKPerGroup(adc, Seq(col("qid")),
-      Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid").as("pq_cid"))
-    // exact integer-L2 full-scan ground truth (identical to q251's)
-    val arrs = x.groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("x")))),
-        t => t.getField("x").cast("double")).as("v"))
-      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
-    val qv = arrs.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("n2").as("qn2"))
-    val exactTop = TopKOps.topKPerGroup(
-      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("n2").as("cn2")), col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          (col("qn2") + col("cn2") -
-            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
-            .as("dist")),
-      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid"))
-    exactTop.join(pqTop, Seq("qid"))
-      .groupBy(col("qid"))
-      .agg(sum(when(col("cid") === col("pq_cid"), lit(1L))
-        .otherwise(lit(0L))).as("n_hits"))
-      .join(nScanned, Seq("qid"))
-      .select(col("qid"), col("n_scanned"), col("n_hits"))
-      .orderBy(col("qid"))
+    ivfServingReport(adc, e6Arrays(x))
   }
 
-  private val q253Sql = {
-    // one Lloyd round over subspace frame `xs` (q241's text with the
-    // frame name parameterized — the composed oracle unrolls TWO
-    // independent chains, coarse and PQ)
-    def round(xs: String, cp: String, a: String, u: String, cn: String) =
-      s"""$a AS (SELECT vec_id, sub, c FROM (
+  /** The m=8 PQ Lloyd chain + per-query ADC tables, shared by the
+    * q253/q255 oracles: trains over subspace frame `$xp` (raw
+    * subspaces for q253, residual subspaces for q255), emitting
+    * `${p}c2` (trained codebook) and `${p}codes` (assignments). 16
+    * seeds cut from the shared `seedrank` ordering.
+    */
+  private def pqChainSql(xp: String, p: String): String =
+    s"""${p}seeds AS (SELECT vec_id, rn - 1 AS c FROM seedrank
+         WHERE rn <= 16),
+       ${p}c0 AS (SELECT $xp.sub, s.c, $xp.j, $xp.x AS v
+               FROM ${p}seeds s JOIN $xp ON $xp.vec_id = s.vec_id),
+       ${lloydRoundSql(xp, s"${p}c0", s"${p}a1", s"${p}u1", s"${p}c1")},
+       ${lloydRoundSql(xp, s"${p}c1", s"${p}a2", s"${p}u2", s"${p}c2")},
+       ${p}codes AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT $xs.vec_id, $xs.sub, c.c,
-                   SUM(($xs.x - c.v)*($xs.x - c.v)) AS dd
-                 FROM $xs JOIN $cp c ON c.sub = $xs.sub AND c.j = $xs.j
-                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
-         $u AS (SELECT a.sub, a.c, $xs.j,
-             (SUM($xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
-           FROM $a a JOIN $xs ON $xs.vec_id = a.vec_id AND $xs.sub = a.sub
-           GROUP BY 1, 2, 3),
-         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
-           FROM $cp p LEFT JOIN $u u
-             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
-    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
-           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
-         FROM (SELECT vec_id, unnest(embedding) AS e,
-                      unnest(range(0, len(embedding))) AS i
-               FROM embeddings)),
-       xc AS (SELECT vec_id, dim // $DIM AS sub, dim % $DIM AS j, x
-              FROM x),
+           FROM (SELECT $xp.vec_id, $xp.sub, c.c,
+                   SUM(($xp.x - c.v)*($xp.x - c.v)) AS dd
+                 FROM $xp JOIN ${p}c2 c ON c.sub = $xp.sub
+                   AND c.j = $xp.j
+                 GROUP BY 1, 2, 3) d) WHERE rn = 1)"""
+
+  private val q253Sql =
+    s"""WITH $imiCtes,
        xp AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM x),
-       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
-           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
-                 AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
-       c0c AS (SELECT xc.sub, s.c, xc.j, xc.x AS v
-               FROM seeds s JOIN xc ON xc.vec_id = s.vec_id),
-       ${round("xc", "c0c", "a1c", "u1c", "c1c")},
-       ${round("xc", "c1c", "a2c", "u2c", "c2c")},
-       cells AS (SELECT vec_id, c FROM (
-           SELECT d.vec_id, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xc.vec_id, c.c,
-                   SUM((xc.x - c.v)*(xc.x - c.v)) AS dd
-                 FROM xc JOIN c2c c ON c.sub = xc.sub AND c.j = xc.j
-                 GROUP BY 1, 2) d) WHERE rn = 1),
-       route AS (SELECT qid, c FROM (
-           SELECT d.qid, d.c,
-             RANK() OVER (PARTITION BY d.qid ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT q.vec_id AS qid, c.c,
-                   SUM((q.x - c.v)*(q.x - c.v)) AS dd
-                 FROM xc q JOIN c2c c ON c.sub = q.sub AND c.j = q.j
-                 WHERE q.vec_id < 20 GROUP BY 1, 2) d) WHERE rn <= 2),
-       c0p AS (SELECT xp.sub, s.c, xp.j, xp.x AS v
-               FROM seeds s JOIN xp ON xp.vec_id = s.vec_id),
-       ${round("xp", "c0p", "a1p", "u1p", "c1p")},
-       ${round("xp", "c1p", "a2p", "u2p", "c2p")},
-       codes AS (SELECT vec_id, sub, c FROM (
-           SELECT d.vec_id, d.sub, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xp.vec_id, xp.sub, c.c,
-                   SUM((xp.x - c.v)*(xp.x - c.v)) AS dd
-                 FROM xp JOIN c2p c ON c.sub = xp.sub AND c.j = xp.j
-                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
+       ${pqChainSql("xp", "p")},
        tab AS (SELECT q.vec_id AS qid, c.sub, c.c,
                SUM((q.x - c.v)*(q.x - c.v)) AS dd
-             FROM xp q JOIN c2p c ON c.sub = q.sub AND c.j = q.j
+             FROM xp q JOIN pc2 c ON c.sub = q.sub AND c.j = q.j
              WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
        cand AS (SELECT r.qid, m.vec_id AS cid
-             FROM route r JOIN cells m ON m.c = r.c
+             FROM route r JOIN cells m ON m.cell = r.cell
              WHERE m.vec_id <> r.qid),
        adc AS (SELECT cd.qid, cd.cid, SUM(t.dd) AS dist
-             FROM cand cd JOIN codes k ON k.vec_id = cd.cid
+             FROM cand cd JOIN pcodes k ON k.vec_id = cd.cid
              JOIN tab t ON t.qid = cd.qid AND t.sub = k.sub
                AND t.c = k.c
              GROUP BY 1, 2),
-       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
-       pt AS (SELECT qid, cid AS pq_cid FROM (
-           SELECT qid, cid, RANK() OVER (PARTITION BY qid
-             ORDER BY dist, cid) AS rn FROM adc) WHERE rn <= 5),
-       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-               SUM((q.x - c.x)*(q.x - c.x)) AS dist
-             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
-             WHERE q.vec_id < 20 GROUP BY 1, 2),
-       et AS (SELECT qid, cid FROM (
-           SELECT qid, cid, RANK() OVER (PARTITION BY qid
-             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
-       hits AS (SELECT et.qid,
-           CAST(SUM(CASE WHEN et.cid = pt.pq_cid THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_hits
-         FROM et JOIN pt ON pt.qid = et.qid GROUP BY 1)
-       SELECT h.qid, n.n_scanned, h.n_hits
-       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
-  }
+       ${imiReportTailSql("adc")}"""
 
   /** q255: RESIDUAL-encoded IndexIVFPQ — the refinement that makes
     * q253 faiss's actual default (`by_residual=true`): PQ is trained
@@ -2780,66 +2843,87 @@ object Similarity extends QueryPack {
     * centroid) and each candidate's 8 lookups resolve through its own
     * cell's table — the per-probe table faiss builds per inverted
     * list. Same report as q253 (n_scanned identical by construction —
-    * same trained route, same cells; n_hits measures what residual
-    * encoding buys). Residual safety: e6 unit-vector components and
-    * their cell means are each in [−10⁶, 10⁶], so residuals are
-    * ≥ −2·10⁶ and the shift-floor mean update in
-    * [[VectorOps.pqCodebook]] keeps its non-negative-numerator
-    * contract unchanged. Every table (coarse codebook, cells,
-    * residual codebook, residual codes) is a standing [[IndexStore]]
-    * artifact; the oracle unrolls BOTH Lloyd chains — the coarse one
-    * over raw vectors and the PQ one over the DERIVED residual frame
-    * — and replays route→residualize→table→lookup→rank
+    * same count-scaled IMI route, same composite cells; n_hits
+    * measures what residual encoding buys). Residual safety: e6
+    * unit-vector components and their cell means are each in
+    * [−10⁶, 10⁶], so residuals are ≥ −2·10⁶ and the shift-floor mean
+    * update in [[VectorOps.pqCodebook]] keeps its
+    * non-negative-numerator contract unchanged. Every table
+    * (half-space codebook, composite cells, residual codebook,
+    * residual codes) is a standing [[IndexStore]] artifact; the
+    * oracle unrolls BOTH Lloyd chains — the IMI half-space one over
+    * raw vectors and the PQ one over the DERIVED residual frame —
+    * and replays route→residualize→table→lookup→rank
     * value-for-value. Scale shape identical to q253 plus one
     * broadcast centroid join to form residuals.
     */
   /** The residual PQ subspace frame q255 trains and encodes on —
-    * every vector minus ITS OWN trained cell's centroid, split into
-    * m=8 subspaces. ONE construction path (also used by the
-    * PerfProfile prebuild) so the residual codebook/code artifacts
-    * are addressed by a single canonical plan.
+    * every vector minus ITS OWN composite cell's centroid (= the
+    * concatenation of its two trained half-space centroids — the IMI
+    * makes the residual a per-HALF subtraction, no k1²-row centroid
+    * table ever materializes), split into m=8 subspaces. ONE
+    * construction path (also used by the PerfProfile/ServeBench
+    * prebuilds) so the residual codebook/code artifacts are addressed
+    * by a single canonical plan.
     */
-  private def residualSubspaces(s: SparkSession, d: String): DataFrame = {
+  private[graft] def imiResidualSubspaces(s: SparkSession, d: String,
+      k1: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding")
-    val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
-    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
-      .select(col("vec_id"), col("c").as("cell"))
-    val coarseByDim = IndexStore.codebook(xsc, k = 16, rounds = 2)
-      .select(col("c").as("cell"), col("j").as("dim"), col("v").as("cv"))
-    val rx = x.join(cells, Seq("vec_id"))
-      .join(broadcast(coarseByDim), Seq("cell", "dim"))
+    val xs2 = VectorOps.pqSubspaces(x, subDim = 32)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
+    val rx = x
+      .withColumn("sub", expr("dim div 32"))
+      .withColumn("j", col("dim") % 32)
+      .join(halfCodes, Seq("vec_id", "sub"))
+      .join(broadcast(cent.withColumnRenamed("v", "cv")),
+        Seq("sub", "c", "j"))
       .select(col("vec_id"), col("dim"), (col("x") - col("cv")).as("x"))
     VectorOps.pqSubspaces(rx, subDim = 8)
   }
 
   private def q255IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val k1 = imiK1(s, d)
+    imiResidualReportAt(s, d, k1,
+      IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR, 2))
+  }
+
+  /** The q255 serving report at an explicit (k1, nprobe) — also the
+    * RecallCurve sweep's residual-IVFPQ family.
+    */
+  private[graft] def imiResidualReportAt(s: SparkSession, d: String,
+      k1: Int, nprobe: Int): DataFrame = {
+    val (adc, arrs) = imiResidualAdc(s, d, k1, nprobe)
+    ivfServingReport(adc, arrs)
+  }
+
+  /** The residual-ADC candidate frame (qid, cid, ADC dist) plus the
+    * ground-truth arrays — q255 ranks it directly; q257 re-ranks its
+    * shortlist exactly.
+    */
+  private def imiResidualAdc(s: SparkSession, d: String,
+      k1: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // residual build, query frames and ground truth scan it
-    val xsc = VectorOps.pqSubspaces(x, subDim = DIM)
-    val coarse = IndexStore.codebook(xsc, k = 16, rounds = 2)
-    val coarseByDim = coarse.select(col("c").as("cell"),
-      col("j").as("dim"), col("v").as("cv"))
-    val rxs = residualSubspaces(s, d)
+    val (cent, cells) = imiQuantizer(x, k1)
+    val rxs = imiResidualSubspaces(s, d, k1)
     val rCent = IndexStore.codebook(rxs, k = 16, rounds = 2)
     val rCodes = IndexStore.codes(rxs, k = 16, rounds = 2)
-    val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
-      .select(col("vec_id"), col("c").as("cell"))
-    // route: q253's trained nprobe=2 assignment, unchanged
-    val qxsc = xsc.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("sub"), col("j"),
-        col("x").as("qx"))
-    val route = TopKOps.topKPerGroup(
-      qxsc.join(broadcast(coarse), Seq("sub", "j"))
-        .groupBy(col("qid"), col("c"))
-        .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
-          .as("dd")),
-      Seq(col("qid")), Seq(col("dd").asc, col("c").asc), 2)
-      .select(col("qid"), col("c").as("cell"))
-    // per-(query, probed cell) residual → per-cell ADC table
+    val route = imiRoute(x, cent, k1, nprobe)
+    // per-(query, probed cell) residual → per-cell ADC table: the
+    // probed composite cell decomposes into its two half codes
+    // (cell div k1, cell mod k1), each resolving its own half-space
+    // centroid component
     val qr = x.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("dim"), col("x").as("qx"))
       .join(route, Seq("qid"))
-      .join(broadcast(coarseByDim), Seq("cell", "dim"))
+      .withColumn("hsub", expr("dim div 32"))
+      .withColumn("hj", col("dim") % 32)
+      .withColumn("hc", when(col("hsub") === 0,
+        expr(s"cell div $k1")).otherwise(col("cell") % k1))
+      .join(broadcast(cent.select(col("sub").as("hsub"),
+        col("c").as("hc"), col("j").as("hj"), col("v").as("cv"))),
+        Seq("hsub", "hc", "hj"))
       .select(col("qid"), col("cell"), expr("dim div 8").as("sub"),
         (col("dim") % 8).as("j"), (col("qx") - col("cv")).as("qx"))
     val tab = qr.join(broadcast(rCent), Seq("sub", "j"))
@@ -2853,141 +2937,134 @@ object Similarity extends QueryPack {
       .join(broadcast(tab), Seq("qid", "cell", "sub", "c"))
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("dd")).as("dist"))
-    val nScanned = cands.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_scanned"))
-    val pqTop = TopKOps.topKPerGroup(adc, Seq(col("qid")),
-      Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid").as("pq_cid"))
-    // exact integer-L2 full-scan ground truth (identical to q253's)
-    val arrs = x.groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("x")))),
-        t => t.getField("x").cast("double")).as("v"))
-      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    (adc, e6Arrays(x))
+  }
+
+  /** Exact-refine shortlist size for q257: the top-R ADC candidates
+    * re-ranked with true distances — faiss IndexRefineFlat's
+    * k_factor·k reranking budget (R is a per-query constant: the
+    * refine cost is R raw-vector reads regardless of corpus size).
+    */
+  private val REFINE_R = 32
+
+  /** q257: IVFPQ + exact REFINE — the production recipe for the PQ
+    * recall ceiling (faiss `IndexRefineFlat`): the measured curve
+    * (RECALL_CURVE_r10) shows q253/q255's recall PLATEAUS at ~0.08
+    * as nprobe grows — past ~4 probes the binding error is PQ
+    * DISTORTION (8 sub-codes × 16 centroids for 64 dims), which no
+    * probe count can buy back. The fix every deployment ships: rank
+    * candidates by cheap ADC, then re-rank only the top-R=32 with
+    * EXACT distances (R raw-vector reads per query — corpus-size-
+    * independent), recovering the flat family's recall at ADC scan
+    * cost plus a constant. Same report shape; n_scanned stays the
+    * ADC candidate count (the probe cost — the refine adds R exact
+    * scores on top, a constant documented here, not a scan). The
+    * oracle replays ADC → shortlist → exact re-rank value-for-value.
+    */
+  private def q257IvfPqRefine(s: SparkSession, d: String): DataFrame = {
+    val k1 = imiK1(s, d)
+    imiRefineReportAt(s, d, k1,
+      IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR, 2))
+  }
+
+  /** The q257 serving report at an explicit (k1, nprobe) — also the
+    * RecallCurve sweep's refined-IVFPQ family.
+    */
+  private[graft] def imiRefineReportAt(s: SparkSession, d: String,
+      k1: Int, nprobe: Int): DataFrame = {
+    val (adc, arrs) = imiResidualAdc(s, d, k1, nprobe)
+    val shortlist = TopKOps.topKPerGroup(adc, Seq(col("qid")),
+      Seq(col("dist").asc, col("cid").asc), REFINE_R)
+      .select(col("qid"), col("cid"))
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
-    val exactTop = TopKOps.topKPerGroup(
-      qv.join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("n2").as("cn2")), col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          (col("qn2") + col("cn2") -
-            lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
-            .as("dist")),
-      Seq(col("qid")), Seq(col("dist").asc, col("cid").asc), 5)
-      .select(col("qid"), col("cid"))
-    exactTop.join(pqTop, Seq("qid"))
-      .groupBy(col("qid"))
-      .agg(sum(when(col("cid") === col("pq_cid"), lit(1L))
-        .otherwise(lit(0L))).as("n_hits"))
-      .join(nScanned, Seq("qid"))
-      .select(col("qid"), col("n_scanned"), col("n_hits"))
-      .orderBy(col("qid"))
+    val refined = shortlist
+      .join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("n2").as("cn2")), Seq("cid"))
+      .join(qv, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (col("qn2") + col("cn2") -
+          lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+          .as("dist"))
+    ivfServingReport(refined, arrs, cost = Some(adc))
   }
 
-  private val q255Sql = {
-    // q253's parameterized Lloyd round — here unrolled over BOTH the
-    // raw coarse frame (xc) and the DERIVED residual frame (rxs)
-    def round(xs: String, cp: String, a: String, u: String, cn: String) =
-      s"""$a AS (SELECT vec_id, sub, c FROM (
-           SELECT d.vec_id, d.sub, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT $xs.vec_id, $xs.sub, c.c,
-                   SUM(($xs.x - c.v)*($xs.x - c.v)) AS dd
-                 FROM $xs JOIN $cp c ON c.sub = $xs.sub AND c.j = $xs.j
-                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
-         $u AS (SELECT a.sub, a.c, $xs.j,
-             (SUM($xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
-           FROM $a a JOIN $xs ON $xs.vec_id = a.vec_id AND $xs.sub = a.sub
-           GROUP BY 1, 2, 3),
-         $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
-           FROM $cp p LEFT JOIN $u u
-             ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
-    s"""WITH x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
-           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
-         FROM (SELECT vec_id, unnest(embedding) AS e,
-                      unnest(range(0, len(embedding))) AS i
-               FROM embeddings)),
-       xc AS (SELECT vec_id, dim // $DIM AS sub, dim % $DIM AS j, x
-              FROM x),
-       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
-           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
-               CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
-                 AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
-       c0c AS (SELECT xc.sub, s.c, xc.j, xc.x AS v
-               FROM seeds s JOIN xc ON xc.vec_id = s.vec_id),
-       ${round("xc", "c0c", "a1c", "u1c", "c1c")},
-       ${round("xc", "c1c", "a2c", "u2c", "c2c")},
-       cells AS (SELECT vec_id, c FROM (
-           SELECT d.vec_id, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xc.vec_id, c.c,
-                   SUM((xc.x - c.v)*(xc.x - c.v)) AS dd
-                 FROM xc JOIN c2c c ON c.sub = xc.sub AND c.j = xc.j
-                 GROUP BY 1, 2) d) WHERE rn = 1),
-       route AS (SELECT qid, c FROM (
-           SELECT d.qid, d.c,
-             RANK() OVER (PARTITION BY d.qid ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT q.vec_id AS qid, c.c,
-                   SUM((q.x - c.v)*(q.x - c.v)) AS dd
-                 FROM xc q JOIN c2c c ON c.sub = q.sub AND c.j = q.j
-                 WHERE q.vec_id < 20 GROUP BY 1, 2) d) WHERE rn <= 2),
+  private val q257Sql =
+    s"""WITH $imiCtes,
        rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
-              FROM x JOIN cells cl ON cl.vec_id = x.vec_id
-              JOIN c2c cv ON cv.c = cl.c AND cv.j = x.dim),
+              FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
+                AND hc.sub = x.dim // 32
+              JOIN ic2 cv ON cv.sub = hc.sub AND cv.c = hc.c
+                AND cv.j = x.dim % 32),
        rxs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM rx),
-       c0r AS (SELECT rxs.sub, s.c, rxs.j, rxs.x AS v
-               FROM seeds s JOIN rxs ON rxs.vec_id = s.vec_id),
-       ${round("rxs", "c0r", "a1r", "u1r", "c1r")},
-       ${round("rxs", "c1r", "a2r", "u2r", "c2r")},
-       rcodes AS (SELECT vec_id, sub, c FROM (
-           SELECT d.vec_id, d.sub, d.c,
-             ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-               ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT rxs.vec_id, rxs.sub, c.c,
-                   SUM((rxs.x - c.v)*(rxs.x - c.v)) AS dd
-                 FROM rxs JOIN c2r c ON c.sub = rxs.sub AND c.j = rxs.j
-                 GROUP BY 1, 2, 3) d) WHERE rn = 1),
-       qr AS (SELECT q.vec_id AS qid, r.c AS cell,
+       ${pqChainSql("rxs", "r")},
+       qr AS (SELECT q.vec_id AS qid, r.cell,
                 q.dim // 8 AS sub, q.dim % 8 AS j, q.x - cv.v AS qx
               FROM x q JOIN route r ON r.qid = q.vec_id
-              JOIN c2c cv ON cv.c = r.c AND cv.j = q.dim
+              JOIN ic2 cv ON cv.sub = q.dim // 32
+                AND cv.c = CASE WHEN q.dim // 32 = 0
+                  THEN r.cell // (SELECT k1 FROM kk)
+                  ELSE r.cell % (SELECT k1 FROM kk) END
+                AND cv.j = q.dim % 32
               WHERE q.vec_id < 20),
        rtab AS (SELECT qr.qid, qr.cell, qr.sub, c.c,
                 SUM((qr.qx - c.v)*(qr.qx - c.v)) AS dd
-              FROM qr JOIN c2r c ON c.sub = qr.sub AND c.j = qr.j
+              FROM qr JOIN rc2 c ON c.sub = qr.sub AND c.j = qr.j
               GROUP BY 1, 2, 3, 4),
-       cand AS (SELECT r.qid, r.c AS cell, m.vec_id AS cid
-              FROM route r JOIN cells m ON m.c = r.c
+       cand AS (SELECT r.qid, r.cell, m.vec_id AS cid
+              FROM route r JOIN cells m ON m.cell = r.cell
               WHERE m.vec_id <> r.qid),
        radc AS (SELECT cd.qid, cd.cid, SUM(t.dd) AS dist
               FROM cand cd JOIN rcodes k ON k.vec_id = cd.cid
               JOIN rtab t ON t.qid = cd.qid AND t.cell = cd.cell
                 AND t.sub = k.sub AND t.c = k.c
               GROUP BY 1, 2),
-       nsc AS (SELECT qid, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
-       pt AS (SELECT qid, cid AS pq_cid FROM (
+       short AS (SELECT qid, cid FROM (
            SELECT qid, cid, RANK() OVER (PARTITION BY qid
-             ORDER BY dist, cid) AS rn FROM radc) WHERE rn <= 5),
-       exd AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             ORDER BY dist, cid) AS rn FROM radc)
+         WHERE rn <= $REFINE_R),
+       refined AS (SELECT s.qid, s.cid,
                SUM((q.x - c.x)*(q.x - c.x)) AS dist
-             FROM x q JOIN x c ON c.dim = q.dim AND c.vec_id <> q.vec_id
-             WHERE q.vec_id < 20 GROUP BY 1, 2),
-       et AS (SELECT qid, cid FROM (
-           SELECT qid, cid, RANK() OVER (PARTITION BY qid
-             ORDER BY dist, cid) AS rn FROM exd) WHERE rn <= 5),
-       hits AS (SELECT et.qid,
-           CAST(SUM(CASE WHEN et.cid = pt.pq_cid THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_hits
-         FROM et JOIN pt ON pt.qid = et.qid GROUP BY 1)
-       SELECT h.qid, n.n_scanned, h.n_hits
-       FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
-  }
+             FROM short s JOIN x q ON q.vec_id = s.qid
+             JOIN x c ON c.vec_id = s.cid AND c.dim = q.dim
+             GROUP BY 1, 2),
+       ${imiReportTailSql("refined", cost = "radc")}"""
+
+  private val q255Sql =
+    s"""WITH $imiCtes,
+       rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
+              FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
+                AND hc.sub = x.dim // 32
+              JOIN ic2 cv ON cv.sub = hc.sub AND cv.c = hc.c
+                AND cv.j = x.dim % 32),
+       rxs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM rx),
+       ${pqChainSql("rxs", "r")},
+       qr AS (SELECT q.vec_id AS qid, r.cell,
+                q.dim // 8 AS sub, q.dim % 8 AS j, q.x - cv.v AS qx
+              FROM x q JOIN route r ON r.qid = q.vec_id
+              JOIN ic2 cv ON cv.sub = q.dim // 32
+                AND cv.c = CASE WHEN q.dim // 32 = 0
+                  THEN r.cell // (SELECT k1 FROM kk)
+                  ELSE r.cell % (SELECT k1 FROM kk) END
+                AND cv.j = q.dim % 32
+              WHERE q.vec_id < 20),
+       rtab AS (SELECT qr.qid, qr.cell, qr.sub, c.c,
+                SUM((qr.qx - c.v)*(qr.qx - c.v)) AS dd
+              FROM qr JOIN rc2 c ON c.sub = qr.sub AND c.j = qr.j
+              GROUP BY 1, 2, 3, 4),
+       cand AS (SELECT r.qid, r.cell, m.vec_id AS cid
+              FROM route r JOIN cells m ON m.cell = r.cell
+              WHERE m.vec_id <> r.qid),
+       radc AS (SELECT cd.qid, cd.cid, SUM(t.dd) AS dist
+              FROM cand cd JOIN rcodes k ON k.vec_id = cd.cid
+              JOIN rtab t ON t.qid = cd.qid AND t.cell = cd.cell
+                AND t.sub = k.sub AND t.c = k.c
+              GROUP BY 1, 2),
+       ${imiReportTailSql("radc")}"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_ivfpq_refine" -> q257IvfPqRefine,
     "q255_ivfpq_residual" -> q255IvfPqResidual,
     "q253_ivfpq_serving" -> q253IvfPqServing,
     "q251_trained_ivf" -> q251TrainedIvf,
@@ -3021,6 +3098,7 @@ object Similarity extends QueryPack {
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
   override val oracle: Map[String, String] = Map(
+    "q257_ivfpq_refine" -> q257Sql,
     "q255_ivfpq_residual" -> q255Sql,
     "q253_ivfpq_serving" -> q253Sql,
     "q251_trained_ivf" -> q251Sql,

@@ -130,6 +130,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(probed < total)
   }
 
+  test("imiMembers composite-cell layout equals the half-code product " +
+      "and prunes") {
+    val k1 = 4 // the count rule's floor regime at this corpus size
+    val members = IndexStore.imiMembers(lifted, k1 = k1, rounds = 2,
+      dim = 64)
+    assert(members.schema("cell").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(members.count() === emb.count())
+    // membership equals the composite of the two trained half codes
+    val direct = sortedRows(IndexStore.codes(
+      VectorOps.pqSubspaces(lifted, 32), k = k1, rounds = 2)
+      .groupBy(col("vec_id"))
+      .agg((max(when(col("sub") === 0, col("c"))) * k1 +
+        max(when(col("sub") === 1, col("c")))).as("cell")))
+    assert(sortedRows(members.select(col("vec_id"),
+      col("cell").cast("long").as("cell"))) === direct)
+    // a probe is a partition-pruned scan of the probed directories
+    val probe = members.filter(col("cell").isin(0, 1))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(probe.count() < members.count())
+  }
+
   test("pqLists inverted list: packed codes per cell, served as a scan") {
     val xsc = VectorOps.pqSubspaces(lifted, subDim = 64)
     val cells = IndexStore.codes(xsc, k = 16, rounds = 2)
