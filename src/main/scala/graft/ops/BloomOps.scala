@@ -95,12 +95,18 @@ object BloomOps {
     require(bitmap.length * 64 == m, s"bitmap has ${bitmap.length} words, " +
       s"expected ${m / 64}")
     val words = typedlit(bitmap.toSeq)
-    positions(key, m, k)
-      .map(p => (call_function("shiftright",
+    // ONE copy of the word-table literal in the plan: the k probe
+    // positions form an array and the table is referenced once inside
+    // the higher-order forall lambda. The previous shape repeated the
+    // m/64-word literal per probe, inflating the analyzed plan (and,
+    // on the streaming seam, EVERY micro-batch's re-codegen and task
+    // broadcast) to k·m/8 bytes — 1.2 MB at the q234 gate's
+    // runtime-sized 2^20-bit / k=9 bloom.
+    forall(array(positions(key, m, k): _*), p =>
+      (call_function("shiftright",
         element_at(words, (p / 64L).cast("int") + 1),
         pmod(p, lit(64L)).cast("int"))
         .bitwiseAND(lit(1L))) === lit(1L))
-      .reduce(_ && _)
   }
 
   /** Bloom-accelerated novelty split of `batch` against a historical

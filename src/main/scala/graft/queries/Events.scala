@@ -1148,11 +1148,16 @@ object Events extends QueryPack {
     // only READS it, so there is nothing to build or clean up here
     val (staging, _, _) = timed("staging")(stagedReplayTree(s, d))
     val sink = s"${tag}_sink_$run".replace('-', '_')
-    // replay at ≤8 shuffle partitions: a 3-micro-batch gate pays
+    // replay at ≤4 shuffle partitions: a 3-micro-batch gate pays
     // per-partition state commits per store per batch with no
     // parallelism win on gate-sized state; result is
-    // partition-count-invariant, only the harness floor changes
-    def replay(): Unit = StreamingOps.withShufflePartitions(s, 8) {
+    // partition-count-invariant, only the harness floor changes.
+    // Profiled r10 (SPARK_GRAFT_STREAM_PROFILE breakdown): the
+    // stream-stream interval-join replay reads 4.6-4.9 s at 8
+    // partitions, 3.7 s at 4, 3.6 s at 2 — 4 keeps a 2-store × 3-batch
+    // gate at 24 state commits without going degenerate-serial
+    def replay(): Unit = StreamingOps.withShufflePartitions(s,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt) {
       val query = timed("start")(agg(
         StreamingOps.readEventsStream(s, staging, maxFilesPerTrigger = 1))
         .writeStream.format("memory").queryName(sink)

@@ -3097,12 +3097,26 @@ object Similarity extends QueryPack {
     "q37_ivf_ann" -> q37IvfAnn,
     "q85_ivf_nprobe" -> q85IvfNprobe)
 
+  /** Force every CTE of an IMI-family oracle MATERIALIZED: DuckDB 1.0
+    * inlines CTEs aggressively, and the q255/q257 chains — two
+    * unrolled Lloyd trainings whose stages are each referenced by
+    * assignment, routing, residualization AND the report tail —
+    * explode combinatorially when re-derived per reference (measured:
+    * the un-hinted q255 mirror at the 20k-vector sf1 point spilled
+    * >70 GB of DuckDB temp and died; materialized it completes in
+    * 25 s). Same results, evaluation order pinned. Safe here because
+    * none of these oracles uses a `WINDOW w AS (...)` clause (the one
+    * other `name AS (` SQL form).
+    */
+  private def materialized(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   override val oracle: Map[String, String] = Map(
-    "q257_ivfpq_refine" -> q257Sql,
-    "q255_ivfpq_residual" -> q255Sql,
-    "q253_ivfpq_serving" -> q253Sql,
+    "q257_ivfpq_refine" -> materialized(q257Sql),
+    "q255_ivfpq_residual" -> materialized(q255Sql),
+    "q253_ivfpq_serving" -> materialized(q253Sql),
     "q251_trained_ivf" -> q251Sql,
-    "q256_scaled_ivf" -> q256Sql,
+    "q256_scaled_ivf" -> materialized(q256Sql),
     "q250_knn_incremental" -> q250Sql,
     "q249_index_health" -> q249Sql,
     "q248_multiprobe_lsh" -> q248Sql,
