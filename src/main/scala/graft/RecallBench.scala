@@ -45,7 +45,10 @@ object RecallBench {
     * deliberately unboosted reference arm) carry floor 0.
     */
   private val FLOORS: Map[String, Double] = Map(
-    "q34_lsh_ann" -> 0.05,
+    // measured mins across sf0.001..synthetic sf1 (RECALL_r10):
+    // q34 .30, q85 .65, q248m .10, q238 .20, q251 .30, q256 .24,
+    // q253 .07, q255 .08, q257 .20 — floors = min − noise margin
+    "q34_lsh_ann" -> 0.20,
     "q85_ivf_nprobe" -> 0.50,
     "q248_multiprobe_lsh" -> 0.05,
     "q248_single_probe" -> 0.0,
@@ -54,7 +57,7 @@ object RecallBench {
     "q256_scaled_ivf" -> 0.19,
     "q253_ivfpq_serving" -> 0.04,
     "q255_ivfpq_residual" -> 0.04,
-    "q257_ivfpq_refine" -> 0.19)
+    "q257_ivfpq_refine" -> 0.15)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("RECALL_LOCAL.json")

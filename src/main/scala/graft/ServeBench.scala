@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *     residual PQ codes of the probed cells' members: per-candidate
   *     cost is 8 table lookups, no raw-vector arithmetic (faiss
   *     IVFPQ `by_residual=true`, the q255 shape on the same IMI).
+  *   - `ivfpq_refine` — the production recipe (faiss IndexRefineFlat,
+  *     the q257 shape): the same ADC scan feeds a top-32 shortlist
+  *     that is exactly re-ranked against the member table's raw
+  *     vectors — STILL ONE Spark job (both scans partition-pruned to
+  *     the probed cells; the 32-row shortlist broadcasts into the
+  *     join), recovering the flat family's recall at ADC-dominated
+  *     cost. This is the family that answers the PQ distortion
+  *     plateau the recall curve exposes.
   *   - `lsh_multiprobe` — the query's own sign bucket plus its 2
   *     lowest-margin bit flips against the standing LSH bucket table
   *     (Lv et al. multi-probe, the q248 shape), cosine-ranked.
@@ -363,6 +371,50 @@ object ServeBench {
           .collect().map(_.getAs[Long]("vec_id"))
       }
 
+      // ADC shortlist → exact refine, ONE job: the pqLists scan and
+      // the members scan are BOTH partition-pruned to the probed
+      // cells, and the limit(32) shortlist broadcasts into the join
+      def serveRefine(qid: Long): Array[Long] = {
+        val probed = route(qid)
+        val q = qe6(qid)
+        val tab = (for {
+          cell <- probed; sub <- 0 until 8; code <- 0 until 16
+        } yield {
+          var dd = 0L
+          var j = 0
+          while (j < 8) {
+            val dim = sub * 8 + j
+            val hsub = dim / (DIM / 2)
+            val hc = if (hsub == 0) cell / k1 else cell % k1
+            val r = q(dim) - cbLocal(hsub)(hc)(dim % (DIM / 2)) -
+              rCentLocal(sub)(code)(j)
+            dd += r * r; j += 1
+          }
+          (cell.toLong * 128L + sub * 16L + code) -> dd
+        }).toMap
+        val tl = typedlit(tab)
+        val shortlist = pqLists
+          .filter(col("cell").isin(probed: _*) &&
+            col("vec_id") =!= lit(qid))
+          .select(col("vec_id"),
+            (0 until 8).map(sub => element_at(tl,
+              col("cell").cast("long") * 128L + lit(sub * 16L) +
+                col(s"c$sub"))).reduce(_ + _).as("adc"))
+          .orderBy(col("adc"), col("vec_id")).limit(32)
+          .select(col("vec_id"))
+        val qv = qe6(qid).map(_.toDouble)
+        val qn2 = qe6(qid).map(v => v * v).sum
+        shortlist
+          .join(members.filter(col("cell").isin(probed: _*)),
+            Seq("vec_id"))
+          .select(col("vec_id"),
+            (lit(qn2) + col("n2") -
+              lit(2L) * VectorOps.dot(typedlit(qv.toSeq), col("v"))
+                .cast("long")).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(5)
+          .collect().map(_.getAs[Long]("vec_id"))
+      }
+
       def serveLsh(qid: Long): Array[Long] = {
         val (probes, qn) = lshProbes(qid)
         val qv = qf(qid)
@@ -383,14 +435,17 @@ object ServeBench {
 
       val rIvf = family(serveIvf, truthL2, scannedIvf)
       val rPq = family(servePq, truthL2, scannedIvf)
+      val rRef = family(serveRefine, truthL2, scannedIvf)
       val rLsh = family(serveLsh, truthCos, scannedLsh)
       System.err.println(s"[serve] $dir k1=$k1 nprobe=$nprobe " +
         s"ivf p50=${f(rIvf._2)}ms r@5=${f(rIvf._4)} " +
         s"pq p50=${f(rPq._2)}ms r@5=${f(rPq._4)} " +
+        s"refine p50=${f(rRef._2)}ms r@5=${f(rRef._4)} " +
         s"lsh p50=${f(rLsh._2)}ms r@5=${f(rLsh._4)}")
       s""""$dir":{"k1":$k1,"cells":$cells,"nprobe":$nprobe,""" +
         s"""${familyJson("ivf_flat", buildIvfSec, rIvf)},""" +
         s"""${familyJson("ivfpq_residual", buildPqSec, rPq)},""" +
+        s"""${familyJson("ivfpq_refine", buildPqSec, rRef)},""" +
         s"""${familyJson("lsh_multiprobe", buildLshSec, rLsh)}}"""
     }
     val json =
