@@ -48,7 +48,8 @@ object RecallCurve {
         org.apache.spark.sql.DataFrame)] = Seq(
       ("imi_flat", Similarity.imiIvfReportAt),
       ("imi_pq", Similarity.imiPqReportAt),
-      ("imi_residual_pq", Similarity.imiResidualReportAt))
+      ("imi_residual_pq", Similarity.imiResidualReportAt),
+      ("imi_refine", Similarity.imiRefineReportAt))
 
     val perSf = sfDirs.map { dir =>
       val k1 = Similarity.imiK1(spark, dir)
