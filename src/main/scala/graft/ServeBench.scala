@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *     join), recovering the flat family's recall at ADC-dominated
   *     cost. This is the family that answers the PQ distortion
   *     plateau the recall curve exposes.
-  *   - `lsh_multiprobe` — the query's own sign bucket plus its 2
+  *   - `lsh_multiprobe` — the query's own count-scaled sign bucket
+  *     (the 16-plane ceiling key masked to r) plus its max(2, r−6)
   *     lowest-margin bit flips against the standing LSH bucket table
   *     (Lv et al. multi-probe, the q248 shape), cosine-ranked.
   *
@@ -68,7 +69,10 @@ import org.apache.spark.sql.functions._
   */
 object ServeBench {
   private val DIM = 64
-  private val PLANES = 8 // the standing lshBuckets format (q248)
+  /** The standing lshBuckets CEILING width (q248's format since round
+    * 10); serving masks the key to the count-scaled r ∈ [8, 16].
+    */
+  private val KEY_PLANES = 16
   private val QIDS = 0L until 20L
   private val WARM_QID = 20L
 
@@ -175,14 +179,20 @@ object ServeBench {
       val pqLists = IndexStore.pqLists(rxs, cellsTbl, k = 16, rounds = 2,
         m = 8)
 
-      // standing LSH bucket table (the q248 index format)
+      // standing LSH bucket table (the q248 index format: 16-plane
+      // ceiling key, masked to the count-scaled r at read)
       val t2 = System.nanoTime()
       val idVecs = emb.select(col("vec_id"),
           VectorOps.toDouble(col("embedding")).as("v"))
         .select(col("vec_id"), col("v"), VectorOps.norm(col("v")).as("nrm"))
-      IndexStore.lshBuckets(idVecs, DIM, PLANES).count()
+      IndexStore.lshBuckets(idVecs, DIM, KEY_PLANES).count()
       val buildLshSec = (System.nanoTime() - t2) / 1e9
-      val buckets = IndexStore.lshBuckets(idVecs, DIM, PLANES)
+      val rBits = IndexStore.scaledBitsRow(idVecs, 16, 8, "r")
+        .head().getInt(0)
+      val lshFlips = math.max(2, rBits - 6)
+      val buckets = IndexStore.lshBuckets(idVecs, DIM, KEY_PLANES)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (col("bkt") % (1L << rBits)).as("bkt"))
 
       // ---- driver-resident serving state (bounded, documented):
       // the half-space codebook (2·k1×32 longs), the residual
@@ -258,11 +268,12 @@ object ServeBench {
           .sorted.take(nprobe).map(_._2)
       }
 
-      // driver-side LSH probes: own bucket + 2 lowest-margin flips
+      // driver-side LSH probes: own masked bucket + the count-scaled
+      // max(2, r−6) lowest-margin flips over the r masked planes
       // (margin = |round-6dp plane dot| — VectorOps.lshBucket's rule)
       def lshProbes(qid: Long): (Seq[Long], Double) = {
         val v = qf(qid)
-        val dots = (0 until PLANES).map { j =>
+        val dots = (0 until rBits).map { j =>
           var s = 0.0; var k = 0
           while (k < DIM) { s += v(k) * planeComp(j, k); k += 1 }
           round6(s)
@@ -271,7 +282,7 @@ object ServeBench {
           .map { case (dj, j) => if (dj > 0) 1L << j else 0L }.sum
         val flips = dots.zipWithIndex
           .map { case (dj, j) => (math.abs(dj), j) }
-          .sorted.take(2).map { case (_, j) => b0 ^ (1L << j) }
+          .sorted.take(lshFlips).map { case (_, j) => b0 ^ (1L << j) }
         val qn = math.sqrt(v.map(d => d * d).sum)
         (b0 +: flips, qn)
       }

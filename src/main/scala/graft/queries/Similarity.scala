@@ -24,9 +24,11 @@ object Similarity extends QueryPack {
   private val PLANES = 8
   /** The sign-bucket CEILING width every count-scaled key space masks
     * from (16 bits; the shared rule clamps resolution to [lo, 16] —
-    * [[graft.ops.IndexStore.scaledBitsRow]]). The standing
-    * [[graft.ops.IndexStore.lshBuckets]] table keeps its 8-plane
-    * format (q248's multi-probe flips bits of that key).
+    * [[graft.ops.IndexStore.scaledBitsRow]]). Since round 10 the
+    * standing [[graft.ops.IndexStore.lshBuckets]] table stores this
+    * ceiling key too; q248/ServeBench mask it to the count-scaled r
+    * at read (bit j from plane j, so the r=8 floor reproduces the
+    * historical 8-plane buckets bit-for-bit).
     */
   private val KEY_PLANES = 16
 
@@ -87,7 +89,7 @@ object Similarity extends QueryPack {
     IndexStore.codes(VectorOps.pqSubspaces(x, subDim = DIM),
       k = 16, rounds = 2).count()
     IndexStore.labelCentroids(labelVecs(s, d), DIM).count()
-    IndexStore.lshBuckets(idVecs(s, d), DIM, PLANES).count()
+    IndexStore.lshBuckets(idVecs(s, d), DIM, KEY_PLANES).count()
     IndexStore.knnGraph(idVecs(s, d), DIM, KEY_PLANES).count()
     // the BASE-snapshot twins the q243/q244/q250 lifecycle steps read
     IndexStore.labelCentroids(baseLabelVecs(s, d), DIM).count()
@@ -1906,38 +1908,63 @@ object Similarity extends QueryPack {
 
   /** q248: MULTI-PROBE LSH — the recall lever a production LSH index
     * pulls before it adds tables: besides its own sign-bucket, each
-    * query probes the buckets reached by flipping its 2
-    * LOWEST-MARGIN sign bits (margin = |round-6dp hyperplane dot| —
-    * the planes the query sits closest to, hence the flips most
-    * likely to hold true neighbors; Lv et al., VLDB'07). The margin
+    * query probes the buckets reached by flipping its LOWEST-MARGIN
+    * sign bits (margin = |round-6dp hyperplane dot| — the planes the
+    * query sits closest to, hence the flips most likely to hold true
+    * neighbors; Lv et al., VLDB'07). Round 10: BOTH sides of the
+    * resolution rule apply — the bucket is the 16-plane ceiling key
+    * masked to the count-scaled r (divisor 16, the q34 rule; the old
+    * fixed 8-plane space left occupancy ∝ n), and the flip count is
+    * count-scaled too (max(2, r−6): 2 at the r=8 floor — the
+    * historical probe set bit-for-bit — 5 at sf1's r=11). The margin
     * rank (margin asc, plane asc) is a total order so both engines
-    * pick the identical 2 flips, and the 3 probed buckets are
-    * pairwise distinct (different bits) so no candidate double-counts.
-    * Report per query: single vs multi candidate counts (the cost:
-    * ~3× buckets, each cell-sized) and single vs multi hit against
-    * the exact top-5 (the recall: multi candidates ⊇ single, so
+    * pick the identical flips, and the probed buckets are pairwise
+    * distinct (different bits) so no candidate double-counts. Report
+    * per query: single vs multi candidate counts (the cost: probes ×
+    * bounded-occupancy buckets) and single vs multi hit against the
+    * exact top-5 (the recall: multi candidates ⊇ single, so
     * multi_hit can only improve). Query-side bounded (vec_id < 20)
-    * like q34/q38 — at scale this runs per serving query, cost
-    * = 3 cells, corpus-size-independent given q247's count-scaled
-    * cells. Reference analogue: hw4's cosine top-1
-    * (hw4/hw4.py:102-117) as the exact scorer over probed buckets.
+    * like q34/q38 — at scale this runs per serving query, cost flat
+    * in n under the masked key. Reference analogue: hw4's cosine
+    * top-1 (hw4/hw4.py:102-117) as the exact scorer over probed
+    * buckets.
     */
   private def q248MultiprobeLsh(s: SparkSession, d: String): DataFrame = {
-    // the standing LSH index table ([[IndexStore.lshBuckets]]):
-    // bucketed once per corpus snapshot, probed as a file scan here
-    val bucketed = IndexStore.lshBuckets(idVecs(s, d), DIM, PLANES)
+    // the standing LSH index table ([[IndexStore.lshBuckets]]) now
+    // stores the 16-plane CEILING key; every consumer masks to the
+    // count-scaled r at read (the q34 rule, divisor 16) so the bucket
+    // space scales with the corpus while the artifact format never
+    // changes — the fixed 8-plane space was the serving family's last
+    // fixed-resolution key (occupancy ∝ n ⇒ per-probe cost linear:
+    // n_multi 8 → 245 across the shipped→sf1 span)
+    val v = idVecs(s, d)
+    val bucketed = IndexStore.lshBuckets(v, DIM, KEY_PLANES)
+      .crossJoin(broadcast(IndexStore.scaledBitsRow(v, 16, PLANES, "r")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (col("bkt") % expr("shiftleft(CAST(1 AS BIGINT), r)")).as("bkt"),
+        col("r"))
     val qs = bucketed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bkt").as("b0"))
-    val planeDots = array((0 until PLANES).map(j =>
+        col("nrm").as("qn"), col("bkt").as("b0"), col("r"))
+    val planeDots = array((0 until KEY_PLANES).map(j =>
       struct(lit(j.toLong).as("j"),
         abs(round(VectorOps.dot(col("qv"), VectorOps.plane(j, DIM)), 6))
           .as("adj"))): _*)
-    val flips = TopKOps.topKPerGroup(
-      qs.select(col("qid"), col("b0"), explode(planeDots).as("pd"))
-        .select(col("qid"), col("b0"), col("pd.j").as("j"),
-          col("pd.adj").as("adj")),
-      Seq(col("qid")), Seq(col("adj").asc, col("j").asc), 2)
+    // margin-ranked single-bit flips over the r MASKED planes, flip
+    // count COUNT-SCALED: max(2, r − 6) — 2 at the r=8 floor (the
+    // historical probe set bit-for-bit), 5 at sf1's r=11, 10 at the
+    // 16-bit ceiling — the probe side grows with the key side instead
+    // of freezing while the space fines away underneath it
+    val flips = qs
+      .select(col("qid"), col("b0"), col("r"), explode(planeDots).as("pd"))
+      .select(col("qid"), col("b0"), col("r"), col("pd.j").as("j"),
+        col("pd.adj").as("adj"))
+      .filter(col("j") < col("r"))
+      .withColumn("rnk", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("adj").asc, col("j").asc)))
+      .filter(col("rnk") <= greatest(lit(2), col("r") - 6))
       .select(col("qid"),
         expr("b0 ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
           .as("probe"))
@@ -1981,19 +2008,23 @@ object Similarity extends QueryPack {
   }
 
   private val q248Sql = {
-    val planeCols = (0 until PLANES)
+    val planeCols = (0 until KEY_PLANES)
       .map(j => s"${VectorOps.planeSql(j, DIM)} AS __pl$j")
       .mkString(", ")
-    val pdArms = (0 until PLANES).map { j =>
+    val pdArms = (0 until KEY_PLANES).map { j =>
       s"""SELECT qid, b0, CAST($j AS BIGINT) AS j,
             abs(round(${VectorOps.dotSql("qv", s"__pl$j")}, 6)) AS adj
-          FROM qs CROSS JOIN planes"""
+          FROM qs CROSS JOIN planes
+          WHERE $j < (SELECT r FROM rq248)"""
     }.mkString(" UNION ALL ")
     s"""WITH $vecsCte, $scoredCte,
        planes AS (SELECT $planeCols),
+       rq248 AS (SELECT ${graft.ops.IndexStore.scaledBitsSql(16, PLANES)}
+              AS r FROM n),
        bucketed AS (SELECT vec_id, v, nrm,
-           ${VectorOps.lshBucketSql("v", DIM, PLANES)} AS bkt
-         FROM n CROSS JOIN planes),
+           ${VectorOps.lshBucketSql("v", DIM, KEY_PLANES)}
+             % (CAST(1 AS BIGINT) << r) AS bkt
+         FROM n CROSS JOIN planes CROSS JOIN rq248),
        qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bkt AS b0
               FROM bucketed WHERE vec_id < 20),
        pd AS ($pdArms),
@@ -2001,7 +2032,8 @@ object Similarity extends QueryPack {
          FROM (SELECT qid, b0, j,
                  RANK() OVER (PARTITION BY qid
                    ORDER BY adj ASC, j ASC) AS rnk
-               FROM pd) WHERE rnk <= 2),
+               FROM pd)
+         WHERE rnk <= GREATEST(2, (SELECT r FROM rq248) - 6)),
        probes AS (SELECT qid, b0 AS probe FROM qs
                   UNION ALL SELECT qid, probe FROM flips),
        cands AS (SELECT q.qid, c.vec_id AS cid,
