@@ -2411,6 +2411,16 @@ object Similarity extends QueryPack {
     * trained cell id — candidate-driven, never queries×corpus.
     * Reference analogue: hw4's cosine top-1 (hw4/hw4.py:102-117)
     * behind a trained router.
+    *
+    * q251 DELIBERATELY keeps the fixed k=16 / nprobe=2 geometry: it
+    * is the pack's fixed-index BASELINE arm — its scan fraction is a
+    * constant 1/8 of the corpus, so its recall stays flat (~0.3-0.44
+    * at every SF) while its per-query cost grows linearly with n
+    * (RECALL_r{N}: n_scanned 63 → 2492 across the 1000× span). The
+    * count-scaled IMI family (q256/q253/q255/q257) is measured
+    * AGAINST this contrast; scaling q251's own nprobe on fixed cells
+    * would only raise its cost without changing the trade it exists
+    * to document.
     */
   private def q251TrainedIvf(s: SparkSession, d: String): DataFrame =
     trainedIvfReport(s, d, k = 16)
