@@ -44,11 +44,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
+    failed_names = set()
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no Spark output")
             failures += 1
+            failed_names.add(name)
             continue
         try:
             got = canon(con.execute(
@@ -57,14 +59,17 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
+            failed_names.add(name)
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
+            failed_names.add(name)
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
+            failed_names.add(name)
             continue
         # Dtype-strict: the driver hashes typed values, so int64 vs
         # float64 (e.g. DuckDB HUGEINT from SUM(BIGINT) → pandas float)
@@ -75,6 +80,7 @@ def main():
             c, g, w = badtype[0]
             print(f"FAIL {name}: dtype col={c} spark={g} oracle={w}")
             failures += 1
+            failed_names.add(name)
             continue
         mismatch = None
         for c in got.columns:
@@ -98,18 +104,21 @@ def main():
             c, i, x, y = mismatch
             print(f"FAIL {name}: col={c} row={i} spark={x!r} oracle={y!r}")
             failures += 1
+            failed_names.add(name)
         else:
             print(f"OK   {name}: {len(got)} rows")
     # surface Verify's machine-readable failure markers — a rows-only
     # query (no oracle entry) that failed its enforced self-verdict
     # leaves <name>._ERROR, which the oracle loop above never visits.
-    # A failed ORACLE query also leaves a marker, but the loop already
-    # counted it (as "no Spark output"), so skip those to keep the
-    # summary line an honest N-of-M.
+    # A failed ORACLE query usually also leaves a marker; skip it only
+    # if the loop above ACTUALLY counted that query as a failure — a
+    # marker whose query compared green means the output dir held
+    # stale parquet from a previous run (Verify died before its
+    # overwrite), and silently discarding it would be a false green.
     marker_failures = 0
     for marker in sorted(glob.glob(f"{outdir}/*._ERROR")):
         name = os.path.basename(marker)[:-len("._ERROR")]
-        if name in oracle:
+        if name in failed_names:
             continue
         with open(marker) as fh:
             print(f"FAIL {name}: {fh.read().strip()}")

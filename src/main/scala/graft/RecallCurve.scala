@@ -25,6 +25,13 @@ object RecallCurve {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_CURVE_SFS",
       "/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // planted-cluster companions (round 11): the arm where the curve
+    // measures routing quality instead of noise-floor physics, and
+    // where the √n family's probe knee is read from
+    val clusteredDirs = sys.env.getOrElse("SPARK_GRAFT_CURVE_CLUSTERED_SFS",
+      "/root/repo/testdata-sf0.1-clustered," +
+        "/root/repo/testdata-sf1-clustered")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val nprobes = sys.env.getOrElse("SPARK_GRAFT_CURVE_NPROBES",
       "1,2,4,8,16,32")
       .split(",").map(_.trim.toInt).filter(_ > 0).toSeq.sorted
@@ -51,30 +58,43 @@ object RecallCurve {
       ("imi_residual_pq", Similarity.imiResidualReportAt),
       ("imi_refine", Similarity.imiRefineReportAt))
 
-    val perSf = sfDirs.map { dir =>
+    def perSfJson(arm: String, dir: String): String = {
       val k1 = Similarity.imiK1(spark, dir)
       val cells = k1 * k1
-      val rows = for {
-        (name, fn) <- fams
-        np <- nprobes if np <= cells
-      } yield {
-        val r = fn(spark, dir, k1, np).agg(
+      // the √n-cell geometry swept as its own family (the imi_flat
+      // shape at the sublinear k1 — q258's machinery): its points
+      // are where the clustered arm's probe knee is read from
+      val (k1s, _) = Similarity.imiSqrtGeom(spark, dir)
+      val sweep: Seq[(String, Int, Int)] =
+        fams.flatMap { case (name, _) =>
+          nprobes.filter(_ <= cells).map(np => (name, k1, np))
+        } ++ nprobes.filter(_ <= k1s * k1s)
+          .map(np => ("imi_sqrt", k1s, np))
+      val byName = fams.toMap
+      val rows = sweep.map { case (name, k1x, np) =>
+        val fn = byName.getOrElse(name, Similarity.imiIvfReportAt _)
+        val r = fn(spark, dir, k1x, np).agg(
           (avg(col("n_hits")) / 5.0).as("r"),
           avg(col("n_scanned")).as("s"),
           count(lit(1)).as("n")).head()
-        System.err.println(s"[curve] $dir $name nprobe=$np " +
-          s"recall=${f(r.getAs[Double]("r"))} " +
+        System.err.println(s"[curve] $arm $dir $name k1=$k1x " +
+          s"nprobe=$np recall=${f(r.getAs[Double]("r"))} " +
           s"scanned=${f(r.getAs[Double]("s"))}")
-        s"""{"family":"$name","nprobe":$np,""" +
+        s"""{"family":"$name","k1":$k1x,"nprobe":$np,""" +
           s""""recall_at_5":${f(r.getAs[Double]("r"))},""" +
           s""""n_scanned_avg":${f(r.getAs[Double]("s"))},""" +
           s""""n_queries":${r.getAs[Long]("n")}}"""
       }
-      s""""$dir":{"k1":$k1,"cells":$cells,""" +
+      s""""$dir":{"k1":$k1,"cells":$cells,"k1_sqrt":$k1s,""" +
         s""""points":[${rows.mkString(",")}]}"""
     }
+    val perCorpus = Seq("uniform" -> sfDirs, "clustered" -> clusteredDirs)
+      .filter(_._2.nonEmpty)
+      .map { case (arm, dirs) =>
+        s""""$arm":{${dirs.map(d => perSfJson(arm, d)).mkString(",")}}"""
+      }
     val json = s"""{"metric":"ann_recall_curve","k":5,""" +
-      s""""per_sf":{${perSf.mkString(",")}}}"""
+      s""""per_corpus":{${perCorpus.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
     spark.stop()

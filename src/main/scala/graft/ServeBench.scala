@@ -36,6 +36,21 @@ import org.apache.spark.sql.functions._
   *     (the 16-plane ceiling key masked to r) plus its max(2, r−6)
   *     lowest-margin bit flips against the standing LSH bucket table
   *     (Lv et al. multi-probe, the q248 shape), cosine-ranked.
+  *   - `ivf_sqrt` (round 11) — the SUBLINEAR operating point (q258's
+  *     geometry): k1 = exact integer 4th root of 2^bits (composite
+  *     cells ≈ √n), nprobe ≈ log₄ n — per-query scan Θ(√n·log n)
+  *     instead of the share-pinned Θ(n/16). Its recall claim is made
+  *     per corpus ARM: real on the planted-cluster companions (where
+  *     the trained router must beat the q259 random-partition control
+  *     — RecallBench gates it), honest noise-floor on the isotropic
+  *     arm. This is the family whose n_scanned must grow ≤ ~√10 per
+  *     10× corpus step.
+  *
+  * Since round 11 the sweep carries a CORPUS dimension (`uniform` —
+  * the driver's isotropic embeddings; `clustered` — the planted
+  * mixture-of-Gaussians companions), and the PQ code budget is
+  * count-scaled ([[graft.queries.Similarity.pqK]]: 16 at shipped SFs,
+  * 64 at the synthetic sf1 point).
   *
   * nprobe is COUNT-SCALED by the shared probe rule
   * ([[IndexStore.scaledProbes]]: max(2, cells/16) — the same rule the
@@ -92,6 +107,15 @@ object ServeBench {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SERVE_SFS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // the planted-cluster corpus arm (round 11): the regime where the
+    // √n-cell family's sublinear n_scanned trend and its recall are
+    // both REAL claims (on the isotropic arm recall ≈ scanned share
+    // for any router — the documented noise floor)
+    val clusteredDirs = sys.env.getOrElse("SPARK_GRAFT_SERVE_CLUSTERED_SFS",
+      "/root/repo/testdata-sf0.01-clustered," +
+        "/root/repo/testdata-sf0.1-clustered," +
+        "/root/repo/testdata-sf1-clustered")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,17 +166,21 @@ object ServeBench {
         s""""min_ms":${f(r._1)},"p50_ms":${f(r._2)},"max_ms":${f(r._3)},""" +
         s""""recall_at_5":${f(r._4)},"n_scanned_avg":${f(r._5)}}"""
 
-    val perSf = sfDirs.map { dir =>
+    def sfJson(arm: String, dir: String): String = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val x = VectorOps.liftE6(emb, "vec_id", "embedding")
       // the count-scaled IMI geometry: k1 centroids per half, k1²
       // composite cells, nprobe from the shared probe rule — all
       // resolved driver-side before any serving job, like a store
-      // reading its index header
+      // reading its index header. The √n family resolves ITS header
+      // the same way (k1 = integer 4th root, nprobe ≈ log₄ n), and
+      // the PQ code budget count-scales ([[Similarity.pqK]]).
       val k1 = Similarity.imiK1(spark, dir)
       val cells = k1 * k1
       val nprobe = IndexStore.scaledProbes(cells,
-        Similarity.IMI_PROBE_DIVISOR, 2)
+        Similarity.IMI_PROBE_DIVISOR, Similarity.IMI_PROBE_FLOOR)
+      val (k1s, nprobeS) = Similarity.imiSqrtGeom(spark, dir)
+      val kPq = Similarity.pqK(spark, dir)
       val xs2 = VectorOps.pqSubspaces(x, subDim = DIM / 2)
 
       // ---- fit once per family: train + encode + lay out the tables
@@ -164,20 +192,34 @@ object ServeBench {
       val members = IndexStore.imiMembers(x, k1 = k1, rounds = 2,
         dim = DIM)
 
+      // the √n-cell index (q258's geometry): its own trained
+      // half-space codebook + composite member table — at the sf1
+      // point the two geometries may coincide (k1s == k1), in which
+      // case the content-addressed artifacts are literally shared and
+      // the build below is a readback
+      val tS = System.nanoTime()
+      IndexStore.codebook(xs2, k = k1s, rounds = 2).count()
+      IndexStore.imiMembers(x, k1 = k1s, rounds = 2, dim = DIM).count()
+      val buildSqrtSec = (System.nanoTime() - tS) / 1e9
+      val cbS = IndexStore.codebook(xs2, k = k1s, rounds = 2)
+      val membersS = IndexStore.imiMembers(x, k1 = k1s, rounds = 2,
+        dim = DIM)
+
       // residual PQ index on top of the trained IMI quantizer (the
-      // q255 derivation — ONE construction path, Similarity's)
+      // q255 derivation — ONE construction path, Similarity's), code
+      // budget count-scaled (16 at shipped SFs, 64 at sf1)
       val t1 = System.nanoTime()
       val cellsTbl = IndexStore.codes(xs2, k = k1, rounds = 2)
         .groupBy(col("vec_id"))
         .agg((max(when(col("sub") === 0, col("c"))) * k1 +
           max(when(col("sub") === 1, col("c")))).as("cell"))
       val rxs = Similarity.imiResidualSubspaces(spark, dir, k1)
-      IndexStore.codebook(rxs, k = 16, rounds = 2).count()
-      IndexStore.pqLists(rxs, cellsTbl, k = 16, rounds = 2, m = 8).count()
+      IndexStore.codebook(rxs, k = kPq, rounds = 2).count()
+      IndexStore.pqLists(rxs, cellsTbl, k = kPq, rounds = 2, m = 8).count()
       val buildPqSec = (System.nanoTime() - t1) / 1e9
-      val rCent = IndexStore.codebook(rxs, k = 16, rounds = 2)
-      val pqLists = IndexStore.pqLists(rxs, cellsTbl, k = 16, rounds = 2,
-        m = 8)
+      val rCent = IndexStore.codebook(rxs, k = kPq, rounds = 2)
+      val pqLists = IndexStore.pqLists(rxs, cellsTbl, k = kPq,
+        rounds = 2, m = 8)
 
       // standing LSH bucket table (the q248 index format: 16-plane
       // ceiling key, masked to the count-scaled r at read)
@@ -202,7 +244,11 @@ object ServeBench {
       cb.collect().foreach(r => cbLocal(r.getAs[Long]("sub").toInt)(
         r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
           r.getAs[Long]("v"))
-      val rCentLocal = Array.ofDim[Long](8, 16, 8)
+      val cbSLocal = Array.ofDim[Long](2, k1s, DIM / 2)
+      cbS.collect().foreach(r => cbSLocal(r.getAs[Long]("sub").toInt)(
+        r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
+          r.getAs[Long]("v"))
+      val rCentLocal = Array.ofDim[Long](8, kPq, 8)
       rCent.collect().foreach(r => rCentLocal(r.getAs[Long]("sub").toInt)(
         r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
           r.getAs[Long]("v"))
@@ -224,6 +270,9 @@ object ServeBench {
       val cellSizes: Map[Int, Long] = members.groupBy(col("cell"))
         .count().collect()
         .map(r => r.getInt(0) -> r.getAs[Long]("count")).toMap
+      val cellSizesS: Map[Int, Long] = membersS.groupBy(col("cell"))
+        .count().collect()
+        .map(r => r.getInt(0) -> r.getAs[Long]("count")).toMap
       val bucketSizes: Map[Long, Long] = buckets.groupBy(col("bkt"))
         .count().collect()
         .map(r => r.getAs[Long]("bkt") -> r.getAs[Long]("count")).toMap
@@ -237,36 +286,46 @@ object ServeBench {
         .filter(col("vec_id") <= WARM_QID)
         .select(col("vec_id"), col("cell")).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      val artCellS: Map[Long, Int] = membersS
+        .filter(col("vec_id") <= WARM_QID)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
       val artBkt: Map[Long, Long] = buckets
         .filter(col("vec_id") <= WARM_QID)
         .select(col("vec_id"), col("bkt")).collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bkt")).toMap
 
       // driver-side route: nprobe nearest composite cells by the
-      // multi-sequence rule — per-half exact integer L2 against k1
-      // centroids, k1² composite sums ranked (dd, cell) — identical
-      // to q256's imiRoute
-      def route(qid: Long): Seq[Int] = {
+      // multi-sequence rule — per-half exact integer L2 against the
+      // geometry's k1 centroids, k1² composite sums ranked (dd, cell)
+      // — identical to q256/q258's imiRoute. Parameterized over the
+      // resident codebook so the share-pinned and √n families share
+      // one router.
+      def routeWith(k1x: Int, cbL: Array[Array[Array[Long]]],
+          np: Int)(qid: Long): Seq[Int] = {
         val q = qe6(qid)
-        val half = Array.ofDim[Long](2, k1)
+        val half = Array.ofDim[Long](2, k1x)
         var sub = 0
         while (sub < 2) {
           var c = 0
-          while (c < k1) {
+          while (c < k1x) {
             var dd = 0L
             var j = 0
             while (j < DIM / 2) {
-              val d = q(sub * (DIM / 2) + j) - cbLocal(sub)(c)(j)
+              val d = q(sub * (DIM / 2) + j) - cbL(sub)(c)(j)
               dd += d * d; j += 1
             }
             half(sub)(c) = dd; c += 1
           }
           sub += 1
         }
-        (for (c0 <- 0 until k1; c1 <- 0 until k1)
-          yield (half(0)(c0) + half(1)(c1), c0 * k1 + c1))
-          .sorted.take(nprobe).map(_._2)
+        (for (c0 <- 0 until k1x; c1 <- 0 until k1x)
+          yield (half(0)(c0) + half(1)(c1), c0 * k1x + c1))
+          .sorted.take(np).map(_._2)
       }
+      def route(qid: Long): Seq[Int] = routeWith(k1, cbLocal, nprobe)(qid)
+      def routeS(qid: Long): Seq[Int] =
+        routeWith(k1s, cbSLocal, nprobeS)(qid)
 
       // driver-side LSH probes: own masked bucket + the count-scaled
       // max(2, r−6) lowest-margin flips over the r masked planes
@@ -291,6 +350,9 @@ object ServeBench {
         require(route(qid).head == artCell(qid),
           s"driver IMI route drifted from the artifact for qid $qid: " +
             s"${route(qid).head} != ${artCell(qid)}")
+        require(routeS(qid).head == artCellS(qid),
+          s"driver sqrt-IMI route drifted from the artifact for qid " +
+            s"$qid: ${routeS(qid).head} != ${artCellS(qid)}")
         require(lshProbes(qid)._1.head == artBkt(qid),
           s"driver LSH bucket drifted from the artifact for qid $qid: " +
             s"${lshProbes(qid)._1.head} != ${artBkt(qid)}")
@@ -330,12 +392,16 @@ object ServeBench {
         .collect().groupBy(_.getAs[Long]("qid"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSeq }
 
-      // ---- the three point-serving paths: ONE job per query each
-      def serveIvf(qid: Long): Array[Long] = {
-        val probed = route(qid)
+      // ---- the point-serving paths: ONE job per query each. The
+      // flat scan is shared by the share-pinned and √n families —
+      // only the router and the (partitioned) member table differ.
+      def serveFlat(routeFn: Long => Seq[Int],
+          membersTbl: org.apache.spark.sql.DataFrame)(
+          qid: Long): Array[Long] = {
+        val probed = routeFn(qid)
         val qv = qe6(qid).map(_.toDouble)
         val qn2 = qe6(qid).map(v => v * v).sum
-        members
+        membersTbl
           .filter(col("cell").isin(probed: _*) &&
             col("vec_id") =!= lit(qid))
           .select(col("vec_id"),
@@ -345,18 +411,22 @@ object ServeBench {
           .orderBy(col("dist"), col("vec_id")).limit(5)
           .collect().map(_.getAs[Long]("vec_id"))
       }
+      def serveIvf(qid: Long): Array[Long] =
+        serveFlat(route, members)(qid)
+      def serveSqrt(qid: Long): Array[Long] =
+        serveFlat(routeS, membersS)(qid)
 
-      def servePq(qid: Long): Array[Long] = {
-        val probed = route(qid)
+      // per-(cell, sub, code) ADC table from the resident codebooks:
+      // the query's residual against each probed COMPOSITE cell (its
+      // two half centroids), scored against every residual centroid —
+      // nprobe×8×kPq entries as a LITERAL map (key cell·(8·kPq) +
+      // sub·kPq + code — kPq is the count-scaled code budget), so the
+      // probe is one pruned scan of the inverted list with 8 map
+      // lookups per candidate
+      def adcTable(qid: Long): Map[Long, Long] = {
         val q = qe6(qid)
-        // per-(cell, sub, code) ADC table from the resident codebooks:
-        // the query's residual against each probed COMPOSITE cell (its
-        // two half centroids), scored against every residual centroid
-        // — nprobe×8×16 entries as a LITERAL map (key cell·128 +
-        // sub·16 + code), so the probe is one pruned scan of the
-        // inverted list with 8 map lookups per candidate
-        val tab = (for {
-          cell <- probed; sub <- 0 until 8; code <- 0 until 16
+        (for {
+          cell <- route(qid); sub <- 0 until 8; code <- 0 until kPq
         } yield {
           var dd = 0L
           var j = 0
@@ -368,55 +438,38 @@ object ServeBench {
               rCentLocal(sub)(code)(j)
             dd += r * r; j += 1
           }
-          (cell.toLong * 128L + sub * 16L + code) -> dd
+          (cell.toLong * (8L * kPq) + sub.toLong * kPq + code) -> dd
         }).toMap
+      }
+      def adcScan(qid: Long, tab: Map[Long, Long]) = {
         val tl = typedlit(tab)
         pqLists
-          .filter(col("cell").isin(probed: _*) &&
+          .filter(col("cell").isin(route(qid): _*) &&
             col("vec_id") =!= lit(qid))
           .select(col("vec_id"),
             (0 until 8).map(sub => element_at(tl,
-              col("cell").cast("long") * 128L + lit(sub * 16L) +
-                col(s"c$sub"))).reduce(_ + _).as("dist"))
+              col("cell").cast("long") * (8L * kPq) +
+                lit(sub.toLong * kPq) +
+                col(s"c$sub"))).reduce(_ + _).as("adc"))
+      }
+
+      def servePq(qid: Long): Array[Long] =
+        adcScan(qid, adcTable(qid))
+          .withColumnRenamed("adc", "dist")
           .orderBy(col("dist"), col("vec_id")).limit(5)
           .collect().map(_.getAs[Long]("vec_id"))
-      }
 
       // ADC shortlist → exact refine, ONE job: the pqLists scan and
       // the members scan are BOTH partition-pruned to the probed
       // cells, and the limit(32) shortlist broadcasts into the join
       def serveRefine(qid: Long): Array[Long] = {
-        val probed = route(qid)
-        val q = qe6(qid)
-        val tab = (for {
-          cell <- probed; sub <- 0 until 8; code <- 0 until 16
-        } yield {
-          var dd = 0L
-          var j = 0
-          while (j < 8) {
-            val dim = sub * 8 + j
-            val hsub = dim / (DIM / 2)
-            val hc = if (hsub == 0) cell / k1 else cell % k1
-            val r = q(dim) - cbLocal(hsub)(hc)(dim % (DIM / 2)) -
-              rCentLocal(sub)(code)(j)
-            dd += r * r; j += 1
-          }
-          (cell.toLong * 128L + sub * 16L + code) -> dd
-        }).toMap
-        val tl = typedlit(tab)
-        val shortlist = pqLists
-          .filter(col("cell").isin(probed: _*) &&
-            col("vec_id") =!= lit(qid))
-          .select(col("vec_id"),
-            (0 until 8).map(sub => element_at(tl,
-              col("cell").cast("long") * 128L + lit(sub * 16L) +
-                col(s"c$sub"))).reduce(_ + _).as("adc"))
+        val shortlist = adcScan(qid, adcTable(qid))
           .orderBy(col("adc"), col("vec_id")).limit(32)
           .select(col("vec_id"))
         val qv = qe6(qid).map(_.toDouble)
         val qn2 = qe6(qid).map(v => v * v).sum
         shortlist
-          .join(members.filter(col("cell").isin(probed: _*)),
+          .join(members.filter(col("cell").isin(route(qid): _*)),
             Seq("vec_id"))
           .select(col("vec_id"),
             (lit(qn2) + col("n2") -
@@ -441,26 +494,43 @@ object ServeBench {
 
       def scannedIvf(qid: Long): Long =
         route(qid).map(c => cellSizes.getOrElse(c, 0L)).sum
+      def scannedSqrt(qid: Long): Long =
+        routeS(qid).map(c => cellSizesS.getOrElse(c, 0L)).sum
       def scannedLsh(qid: Long): Long =
         lshProbes(qid)._1.map(b => bucketSizes.getOrElse(b, 0L)).sum
 
       val rIvf = family(serveIvf, truthL2, scannedIvf)
+      val rSqrt = family(serveSqrt, truthL2, scannedSqrt)
       val rPq = family(servePq, truthL2, scannedIvf)
       val rRef = family(serveRefine, truthL2, scannedIvf)
       val rLsh = family(serveLsh, truthCos, scannedLsh)
-      System.err.println(s"[serve] $dir k1=$k1 nprobe=$nprobe " +
+      System.err.println(s"[serve] $arm $dir k1=$k1 nprobe=$nprobe " +
+        s"k1s=$k1s nprobeS=$nprobeS kpq=$kPq " +
         s"ivf p50=${f(rIvf._2)}ms r@5=${f(rIvf._4)} " +
+        s"sqrt p50=${f(rSqrt._2)}ms r@5=${f(rSqrt._4)} " +
+        s"n=${f(rSqrt._5)} " +
         s"pq p50=${f(rPq._2)}ms r@5=${f(rPq._4)} " +
         s"refine p50=${f(rRef._2)}ms r@5=${f(rRef._4)} " +
         s"lsh p50=${f(rLsh._2)}ms r@5=${f(rLsh._4)}")
       s""""$dir":{"k1":$k1,"cells":$cells,"nprobe":$nprobe,""" +
+        s""""k1_sqrt":$k1s,"nprobe_sqrt":$nprobeS,"kpq":$kPq,""" +
         s"""${familyJson("ivf_flat", buildIvfSec, rIvf)},""" +
+        s"""${familyJson("ivf_sqrt", buildSqrtSec, rSqrt)},""" +
         s"""${familyJson("ivfpq_residual", buildPqSec, rPq)},""" +
-        s"""${familyJson("ivfpq_refine", buildPqSec, rRef)},""" +
+        // build_sec 0: the refine family SERVES the ivfpq_residual
+        // family's standing index (same codebooks, same pqLists) —
+        // reporting the shared one-time build here too would
+        // double-count it for any consumer summing build_sec per SF
+        s"""${familyJson("ivfpq_refine", 0.0, rRef)},""" +
         s"""${familyJson("lsh_multiprobe", buildLshSec, rLsh)}}"""
     }
+    val perCorpus = Seq("uniform" -> sfDirs, "clustered" -> clusteredDirs)
+      .filter(_._2.nonEmpty)
+      .map { case (arm, dirs) =>
+        s""""$arm":{${dirs.map(d => sfJson(arm, d)).mkString(",")}}"""
+      }
     val json =
-      s"""{"metric":"serve_latency","repeats":$repeats,"per_sf":{${perSf.mkString(",")}}}"""
+      s"""{"metric":"serve_latency","repeats":$repeats,"per_corpus":{${perCorpus.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(json)
     spark.stop()

@@ -22,10 +22,32 @@ import org.apache.spark.sql.functions._
   * clone: good for timing/scaling runs, not for oracle hash gates —
   * which is exactly how it is used (SCALING only).
   *
-  * Usage: `runMain graft.SynthData <sf> <outDir>`; row counts scale as
-  * lineitem=6M·sf, orders=1.5M·sf, customer=150k·sf, part=200k·sf,
-  * supplier=10k·sf, events=1M·sf (users 15k·sf),
-  * documents=max(500, 50k·sf), embeddings=max(500, 20k·sf).
+  * Usage: `runMain graft.SynthData <sf> <outDir> [arm] [tablesCsv]`;
+  * row counts scale as lineitem=6M·sf, orders=1.5M·sf,
+  * customer=150k·sf, part=200k·sf, supplier=10k·sf, events=1M·sf
+  * (users 15k·sf), documents=max(500, 50k·sf),
+  * embeddings=max(500, 20k·sf).
+  *
+  * `arm` selects the EMBEDDING corpus structure (round 11):
+  *   - `uniform` (default) — isotropic unit Gaussians, the
+  *     structureless adversarial floor. On these, ANN recall is
+  *     information-theoretically ≈ the scanned fraction for ANY
+  *     quantizer (every direction is equally likely, so no routing
+  *     can know where the neighbors are) — the regime that pins the
+  *     share-pinned probe rule.
+  *   - `clustered` — a planted mixture of m = ⌈√n⌉ Gaussian centers:
+  *     center = xxhash64-pick per vector, v = unit(center_dir +
+  *     σ·noise) with σ from SPARK_GRAFT_CLUSTER_SIGMA (default 0.1 ⇒
+  *     within-cluster cosine ≈ 1/(1+64σ²) ≈ 0.61 vs ≈0 across
+  *     clusters). This is what real embedding corpora look like (IVF
+  *     exists BECAUSE embeddings cluster), and it is the corpus on
+  *     which a trained quantizer can be distinguished from a random
+  *     partition — the recall gate's structure-exploitation pin and
+  *     the √n-cell sizing's validation arm both run here. m ∝ √n
+  *     keeps expected cluster size ∝ √n, the classic IVF regime.
+  *
+  * `tablesCsv` optionally restricts generation to a comma-set of
+  * table names (the clustered companions only need `embeddings`).
   */
 object SynthData {
 
@@ -50,9 +72,14 @@ object SynthData {
       .cast("timestamp").cast("timestamp_ntz")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SynthData <sf> <outDir>")
+    require(args.length >= 2,
+      "usage: SynthData <sf> <outDir> [uniform|clustered] [tablesCsv]")
     val sf = args(0).toDouble
     val out = args(1)
+    val arm = args.lift(2).getOrElse("uniform")
+    require(Set("uniform", "clustered")(arm), s"unknown arm $arm")
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,9 +102,11 @@ object SynthData {
     val nVecs = n(20000, 500)
 
     def write(df: DataFrame, name: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      println(s"[synth] wrote $name")
+      if (only.forall(_.contains(name))) {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+        println(s"[synth] wrote $name")
+      }
     }
 
     // fixed names keyed by position — match the reference domain exactly
@@ -195,16 +224,35 @@ object SynthData {
       .select("doc_id", "text", "lang", "source", "n_chars"),
       "documents", math.max(1, (4 * sf).toInt))
 
-    // embeddings: unit-normalized 64-dim gaussians (Box-Muller from
-    // hashed uniforms), uniform 10-way labels — matches the measured
-    // component stddev 1/sqrt(64) and |v| = 1
-    val gauss = transform(sequence(lit(0), lit(63)), j => {
-      val u1 = (pmod(xxhash64(lit(SEED), lit("eg1"), col("id"), j),
-        lit(999999989L)).cast("double") + 1) / 1e9
-      val u2 = pmod(xxhash64(lit(SEED), lit("eg2"), col("id"), j),
-        lit(1000000000L)).cast("double") / 1e9
-      sqrt(lit(-2.0) * log(u1)) * cos(lit(2 * math.Pi) * u2)
-    })
+    // embeddings: unit-normalized 64-dim vectors, uniform 10-way
+    // labels. Component source by arm:
+    //   uniform   — isotropic gaussians (Box-Muller from hashed
+    //               uniforms; matches the measured component stddev
+    //               1/sqrt(64) and |v| = 1) — the structureless floor;
+    //   clustered — planted mixture: unit center (of ⌈√n⌉ hashed
+    //               Gaussian centers) + σ × the SAME per-vector noise
+    //               the uniform arm ships, so the two arms differ by
+    //               exactly the planted structure and nothing else.
+    def gaussArr(tag: String, key: Column): Column =
+      transform(sequence(lit(0), lit(63)), j => {
+        val u1 = (pmod(xxhash64(lit(SEED), lit(tag + "1"), key, j),
+          lit(999999989L)).cast("double") + 1) / 1e9
+        val u2 = pmod(xxhash64(lit(SEED), lit(tag + "2"), key, j),
+          lit(1000000000L)).cast("double") / 1e9
+        sqrt(lit(-2.0) * log(u1)) * cos(lit(2 * math.Pi) * u2)
+      })
+    val gauss =
+      if (arm == "uniform") gaussArr("eg", col("id"))
+      else {
+        val sigma = sys.env
+          .getOrElse("SPARK_GRAFT_CLUSTER_SIGMA", "0.1").toDouble
+        val mCenters =
+          math.max(4L, math.ceil(math.sqrt(nVecs.toDouble)).toLong)
+        val cg = gaussArr("ecg", h("eclu", col("id"), mCenters))
+        val cn = sqrt(aggregate(cg, lit(0.0d), (a, x) => a + x * x))
+        zip_with(cg, gaussArr("eg", col("id")),
+          (c, x) => c / cn + lit(sigma) * x)
+      }
     write(spark.range(nVecs).select(col("id").as("vec_id"),
       gauss.as("g"),
       h("elab", col("id"), 10).cast("int").as("label"))

@@ -142,9 +142,9 @@ object IndexStore {
     * this is the one rule that retires it. One row, column `name`.
     */
   def scaledBitsRow(basis: DataFrame, divisor: Int, lo: Int,
-      name: String): DataFrame =
+      name: String, hi: Int = 16): DataFrame =
     basis.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(lo), least(lit(16),
+      .select(greatest(lit(lo), least(lit(hi),
         when(expr(s"(n - 1) div $divisor") === 0, lit(0))
           .otherwise(length(bin(expr(s"(n - 1) div $divisor"))))))
         .as(name))
@@ -153,8 +153,8 @@ object IndexStore {
     * `bin()` matches Spark's bit-for-bit and `//` floors like `div`
     * does on these non-negative counts.
     */
-  def scaledBitsSql(divisor: Int, lo: Int): String =
-    s"""GREATEST($lo, LEAST(16,
+  def scaledBitsSql(divisor: Int, lo: Int, hi: Int = 16): String =
+    s"""GREATEST($lo, LEAST($hi,
          CASE WHEN (COUNT(*) - 1) // $divisor = 0 THEN 0
               ELSE length(bin((COUNT(*) - 1) // $divisor)) END))"""
 
@@ -188,6 +188,81 @@ object IndexStore {
     */
   def scaledProbesSql(cellsExpr: String, divisor: Int, lo: Int): String =
     s"GREATEST($lo, ($cellsExpr) // $divisor)"
+
+  /** Exact integer BIT LENGTH of COUNT(*)−1 over `basis` — the shared
+    * corpus-size primitive the SUBLINEAR (√n) index sizing derives
+    * from, exactly as [[scaledBitsRow]] is the primitive of the
+    * share-pinned sizing. bitlen(n−1) = ⌈log₂ n⌉ for n ≥ 2, computed
+    * with no floating log so the DuckDB twin ([[bitLenSql]]) derives
+    * the identical value from its own COUNT(*). One row, column
+    * `name`.
+    */
+  def bitLenRow(basis: DataFrame, name: String): DataFrame =
+    basis.agg(count(lit(1)).as("n"))
+      .select(length(bin(expr("n - 1"))).as(name))
+
+  /** DuckDB twin of [[bitLenRow]] over COUNT(*). */
+  def bitLenSql: String = "length(bin(COUNT(*) - 1))"
+
+  /** THE sublinear CELL rule — the operating point the share-pinned
+    * rule ([[scaledBitsRow]] ÷128 cells + [[scaledProbes]] ÷16 probes)
+    * cannot reach: that pair pins the probed SHARE at 1/16, so
+    * per-query scan is Θ(n/16) — the right (and information-
+    * theoretically optimal) trade on STRUCTURELESS vectors, but a
+    * linear cost a real deployment never pays, because real embedding
+    * corpora cluster and a trained quantizer can route INTO the
+    * structure. The standard IVF sizing for that regime is cells ≈
+    * √n (occupancy ≈ √n) with a ~flat probe count at the measured
+    * knee, giving Θ(√n) per-query scan. For the inverted MULTI-index
+    * (cells = k1²) that is k1 = the exact integer 4th root
+    * ⌈(2^bits)^(1/4)⌉ with bits = [[bitLenRow]]: the smallest k with
+    * k⁴ ≥ 2^bits, found by exact integer comparison — no floating
+    * pow, so the DuckDB twin ([[sqrtCellK1Sql]], a MIN over a bounded
+    * integer range) derives the identical k from its own COUNT(*).
+    * Since 2^bits ∈ [n, 2n), cells = k1² ∈ [√n, ~2.9√n) at EVERY n —
+    * no power-of-4 quantization lumps, so the scan trend stays within
+    * √-growth on every 10× step, not just on average across steps.
+    * Clamped to [lo, 1024] (cells ≤ 2^20 — √n sizing up to a
+    * 10¹²-vector corpus; the 2·k1·32-long codebook stays ≤ 512 KB
+    * driver/broadcast-resident). Pure integer driver arithmetic (a
+    * trainer resolves k1 before launching Lloyd). Validated on the
+    * planted-cluster corpus arm (RECALL_r11 `clustered`): the trained
+    * router must beat the random-partition control (q259) at equal
+    * n_scanned, or the structure claim is void — on the uniform arm
+    * this sizing honestly reports recall ≈ scanned share.
+    */
+  def sqrtCellK1(bits: Int, lo: Int): Int = {
+    val target = 1L << math.min(bits, 40)
+    var k = 1
+    while (k < 1024 && k.toLong * k * k * k < target) k += 1
+    math.max(lo, k)
+  }
+
+  /** DuckDB twin of [[sqrtCellK1]] over a mirrored bits expression:
+    * the same smallest-k-with-k⁴ ≥ 2^bits as a MIN over the bounded
+    * integer range (k ≤ 1024 ⇒ k⁴ ≤ 2⁴⁰ — exact BIGINT arithmetic).
+    */
+  def sqrtCellK1Sql(bitsExpr: String, lo: Int): String =
+    s"""GREATEST($lo, LEAST(1024,
+       (SELECT MIN(i) FROM range(1, 1025) t(i)
+        WHERE i*i*i*i >= (CAST(1 AS BIGINT) << LEAST($bitsExpr, 40)))))"""
+
+  /** The √n family's PROBE rule: nprobe = max(lo, bits/divisor) —
+    * logarithmic in the corpus (bits = ⌈log₂ n⌉), the measured-knee
+    * companion of [[sqrtCellK1]]: on clustered data recall comes from
+    * routing into the right cluster, so past the knee extra probes
+    * buy little (RECALL_CURVE_r11 clustered arm: the recall-vs-nprobe
+    * curve flattens where the own-cluster cell is covered), and a
+    * slowly-growing probe count only hedges cluster/cell boundary
+    * splits as the cell space refines. Per-query scan = occupancy ·
+    * nprobe ≈ √n · log₄ n — sublinear. DuckDB twin [[logProbesSql]].
+    */
+  def logProbes(bits: Int, divisor: Int, lo: Int): Int =
+    math.max(lo, bits / divisor)
+
+  /** DuckDB twin of [[logProbes]] over a mirrored bits expression. */
+  def logProbesSql(bitsExpr: String, divisor: Int, lo: Int): String =
+    s"GREATEST($lo, ($bitsExpr) // $divisor)"
 
   /** The residual-PQ INVERTED LIST — (vec_id, c0..c{m-1}, cell) rows
     * laid out one directory per coarse cell (`partitionBy("cell")`):

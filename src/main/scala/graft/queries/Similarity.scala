@@ -97,14 +97,25 @@ object Similarity extends QueryPack {
       vecs(s, d).filter(col("vec_id") % 5 =!= 4)
         .select(col("vec_id"), col("v"), col("nrm")), DIM, KEY_PLANES)
       .count()
-    // the IMI quantizer family (q256/q253/q255): half-space codebook,
-    // composite membership, and the residual PQ index trained on
-    // x − centroid(cell(x)) over the composite cells
+    // the IMI quantizer family (q256/q253/q255/q257): half-space
+    // codebook, composite membership, and the residual PQ index
+    // trained on x − centroid(cell(x)) over the composite cells —
+    // PQ code budget count-scaled ([[pqK]])
     val k1 = imiK1(s, d)
+    val kq = pqK(s, d)
     IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
       k = k1, rounds = 2).count()
     IndexStore.codes(imiResidualSubspaces(s, d, k1),
-      k = 16, rounds = 2).count()
+      k = kq, rounds = 2).count()
+    if (kq != 16) // q253's raw-PQ frame at the scaled budget
+      IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 8),
+        k = kq, rounds = 2).count()
+    // the √n-cell IMI family (q258): its own trained half-space
+    // codebook at the sublinear geometry
+    val (k1s, _) = imiSqrtGeom(s, d)
+    if (k1s != k1)
+      IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
+        k = k1s, rounds = 2).count()
     ()
   }
 
@@ -2294,6 +2305,11 @@ object Similarity extends QueryPack {
     */
   private[graft] val IMI_PROBE_DIVISOR = 16
 
+  /** Probe-count floor of the IMI probe rule — keeps the shipped-SF
+    * regime (16 cells) at the historical nprobe=2.
+    */
+  private[graft] val IMI_PROBE_FLOOR = 2
+
   /** k1 — centroids per 32-dim half — of the count-scaled IMI
     * quantizer: 2^⌈b/2⌉ with b = [[IndexStore.scaledBitsRow]] at
     * divisor 128, floor 4 (composite cells = k1² ≈ n/128). 1-row
@@ -2304,6 +2320,67 @@ object Similarity extends QueryPack {
       .head().getInt(0)
     1 << ((b + 1) / 2)
   }
+
+  /** The √n (SUBLINEAR-scan) IMI geometry knobs — see
+    * [[IndexStore.sqrtCellK1]]/[[IndexStore.logProbes]]. Floors keep
+    * the smallest shipped corpus (500 vectors) at a sane 64-cell /
+    * 4-probe operating point; the probe divisor 4 is the measured
+    * knee of the clustered-arm recall curve (RECALL_CURVE_r11: past
+    * ~4 probes the own-cluster cell is covered and the curve
+    * flattens).
+    */
+  private[graft] val SQRT_K1_FLOOR = 4
+  private[graft] val SQRT_PROBE_DIVISOR = 4
+  private[graft] val SQRT_PROBE_FLOOR = 4
+
+  /** (k1, nprobe) of the √n-cell IMI family — both derived from ONE
+    * exact integer bit-length of COUNT(*)−1 ([[IndexStore.bitLenRow]];
+    * 1-row driver edge), cells = k1² ∈ [√n, 4√n), nprobe ≈ log₄ n
+    * floored at [[SQRT_PROBE_FLOOR]]. Per-query scan = occupancy ·
+    * nprobe ≈ √n · log n — the sublinear operating point the
+    * share-pinned rule cannot reach, valid where the corpus has
+    * cluster structure to route into (the clustered arm validates
+    * it against the q259 random-routing control).
+    */
+  private[graft] def imiSqrtGeom(s: SparkSession, d: String): (Int, Int) = {
+    val bits = IndexStore.bitLenRow(emb(s, d), "b").head().getInt(0)
+    (IndexStore.sqrtCellK1(bits, SQRT_K1_FLOOR),
+      IndexStore.logProbes(bits, SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR))
+  }
+
+  /** COUNT-SCALED PQ code budget (round 11): centroids per subspace
+    * k_pq = 2^b with b = [[IndexStore.scaledBitsRow]] at divisor 512,
+    * clamped to [4, 8] bits — the one serving-stack resolution that
+    * was still fixed while keys and probes count-scaled. 16 centroids
+    * (4 bits/sub) is exactly the distortion floor behind the measured
+    * 0.08 recall plateau of the composed IVFPQ arms
+    * (RECALL_CURVE_r10: imi_pq ≤ 0.13 at ANY nprobe): past ~4 probes
+    * the binding error is quantization, which no probe count buys
+    * back, so the budget must grow with the corpus like every other
+    * resolution. The rule keeps the shipped SFs (≤2000 vectors) at
+    * the historical 16 (zero output churn), mints 64 centroids at the
+    * synthetic-sf1 point, and lands on 256 (8-bit sub-codes — the
+    * faiss production default) at ~131k vectors and beyond. Training
+    * stays n·k_pq·DIM per Lloyd round with a broadcast codebook;
+    * the ADC table grows to nprobe·m·k_pq entries — still KBs.
+    * 1-row driver edge, mirrored from COUNT(*) in the oracles
+    * ([[pqKSqlCte]]).
+    */
+  private[graft] val PQ_K_DIVISOR = 512
+  private[graft] val PQ_BITS_LO = 4
+  private[graft] val PQ_BITS_HI = 8
+
+  private[graft] def pqK(s: SparkSession, d: String): Int =
+    1 << IndexStore.scaledBitsRow(emb(s, d), PQ_K_DIVISOR, PQ_BITS_LO,
+      "b", hi = PQ_BITS_HI).head().getInt(0)
+
+  /** The `kpq` CTE every count-scaled-PQ oracle prepends: the DuckDB
+    * twin of [[pqK]] over the mirrored COUNT(*).
+    */
+  private val pqKSqlCte =
+    s"""kpq AS (SELECT (1 << ${IndexStore
+         .scaledBitsSql(PQ_K_DIVISOR, PQ_BITS_LO, PQ_BITS_HI)}) AS kpq
+       FROM embeddings)"""
 
   /** The trained IMI quantizer over the lifted e6 frame `x`:
     * (half-space codebook (sub ∈ {0,1}, c, j, v), composite-cell
@@ -2588,20 +2665,19 @@ object Similarity extends QueryPack {
          FROM $cp p LEFT JOIN $u u
            ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
 
-  /** Shared DuckDB CTE chain for the IMI family (q256/q253/q255):
-    * count-scaled k1 AND nprobe (both mirrored from COUNT(*) — the
-    * key rule and its probe-rule dual), the lifted e6 frame, the
-    * two-half subspace frame, the k1-seed Lloyd chain (ic2 = trained
-    * half codebook), the composite-cell membership and the
+  /** Shared DuckDB CTE chain builder for the IMI family: the
+    * geometry CTEs (`kkCtes` must define kk(k1); `npCte` must define
+    * np(nprobe) — both mirrored from COUNT(*)), the lifted e6 frame,
+    * the two-half subspace frame, the k1-seed Lloyd chain (ic2 =
+    * trained half codebook), the composite-cell membership and the
     * nprobe-cell multi-sequence route. `seedrank` is shared with the
-    * PQ chains, which cut their own 16 seeds from the same ordering.
+    * PQ chains, which cut their own count-scaled seeds from the same
+    * ordering. Two instances: [[imiCtes]] (share-pinned geometry —
+    * q256/q253/q255/q257) and [[imiSqrtCtes]] (√n geometry — q258).
     */
-  private val imiCtes =
-    s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
-           ((${graft.ops.IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
-           AS k1 FROM embeddings),
-       np AS (SELECT ${graft.ops.IndexStore
-             .scaledProbesSql("k1 * k1", 16, 2)} AS nprobe FROM kk),
+  private def imiCtesWith(kkCtes: String, npCte: String): String =
+    s"""$kkCtes,
+       $npCte,
        x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
            CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
          FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2645,6 +2721,31 @@ object Similarity extends QueryPack {
            WHERE a.sub = 0 AND b.sub = 1)
          WHERE rn <= (SELECT nprobe FROM np))"""
 
+  /** The share-pinned instance: k1 from the ÷128 key rule, nprobe
+    * from the shared probe rule at [[IMI_PROBE_DIVISOR]] (the
+    * constants interpolated from the SAME vals the Spark side reads,
+    * so engine and oracle can never desynchronize on a divisor edit).
+    */
+  private val imiCtes = imiCtesWith(
+    s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
+           ((${IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
+           AS k1 FROM embeddings)""",
+    s"""np AS (SELECT ${IndexStore.scaledProbesSql("k1 * k1",
+           IMI_PROBE_DIVISOR, IMI_PROBE_FLOOR)} AS nprobe FROM kk)""")
+
+  /** The √n instance (q258): k1 and nprobe both derived from ONE
+    * mirrored bit-length of COUNT(*)−1 — [[IndexStore.sqrtCellK1Sql]]
+    * and [[IndexStore.logProbesSql]], the twins of the Spark side's
+    * [[imiSqrtGeom]].
+    */
+  private val imiSqrtCtes = imiCtesWith(
+    s"""bb AS (SELECT ${IndexStore.bitLenSql} AS bits FROM embeddings),
+       kk AS (SELECT CAST(${IndexStore
+           .sqrtCellK1Sql("bits", SQRT_K1_FLOOR)} AS BIGINT)
+           AS k1 FROM bb)""",
+    s"""np AS (SELECT ${IndexStore.logProbesSql("bits",
+           SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR)} AS nprobe FROM bb)""")
+
   /** The exact-ground-truth + report tail shared by the IMI oracles:
     * rank `$served` (qid, cid, dist) to top-5, full-scan exact top-5,
     * hits + n_scanned.
@@ -2671,8 +2772,12 @@ object Similarity extends QueryPack {
        SELECT h.qid, n.n_scanned, h.n_hits
        FROM hits h JOIN nsc n ON n.qid = h.qid ORDER BY h.qid"""
 
-  private val q256Sql =
-    s"""WITH $imiCtes,
+  /** The flat-IMI oracle (exact L2 over the probed cells' members) at
+    * a given geometry-CTE chain — q256 (share-pinned) and q258 (√n)
+    * differ ONLY in how kk/np are derived.
+    */
+  private def imiFlatSql(ctes: String): String =
+    s"""WITH $ctes,
        scanned AS (SELECT r.qid, m.vec_id AS cid,
              SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
            FROM route r JOIN cells m ON m.cell = r.cell
@@ -2681,6 +2786,119 @@ object Similarity extends QueryPack {
            WHERE m.vec_id <> r.qid
            GROUP BY 1, 2),
        ${imiReportTailSql("scanned")}"""
+
+  private val q256Sql = imiFlatSql(imiCtes)
+
+  /** q258: √n-CELL IMI serving — the SUBLINEAR-scan operating point
+    * (round 11). q256 pins the probed SHARE of the key space at
+    * 1/16, which holds recall on structureless vectors but makes
+    * per-query scan Θ(n/16) — linear (SERVE_r10 n_scanned 63 → 1259
+    * across the 1000× span). Real embedding corpora cluster, and on
+    * clustered data recall comes from ROUTING INTO the structure,
+    * not from scanned share — the standard IVF sizing for that
+    * regime is cells ≈ √n with a ~flat probe count at the knee.
+    * Here: k1 = [[IndexStore.sqrtCellK1]] (composite cells = k1² ∈
+    * [√n, 4√n)), nprobe = [[IndexStore.logProbes]] (≈ log₄ n,
+    * floor 4) — BOTH from one exact integer bit-length of COUNT(*)−1,
+    * mirrored in the oracle, so per-query scan is occupancy · nprobe
+    * ≈ √n·log n. Machinery identical to q256 (one trained half-space
+    * Lloyd chain, multi-sequence route, exact integer L2 in the
+    * probed cells); only the geometry derivation differs. The recall
+    * claim is made PER CORPUS ARM: on the planted-cluster arm the
+    * trained router must beat the q259 random-partition control at
+    * equal n_scanned (RecallBench gates it); on the isotropic arm
+    * this sizing honestly reports recall ≈ scanned share — the
+    * documented floor no quantizer can beat there — and q256 remains
+    * the shipped fallback for structureless corpora.
+    */
+  private def q258ImiSqrt(s: SparkSession, d: String): DataFrame = {
+    val (k1, nprobe) = imiSqrtGeom(s, d)
+    imiIvfReportAt(s, d, k1, nprobe)
+  }
+
+  private val q258Sql = imiFlatSql(imiSqrtCtes)
+
+  /** q259: RANDOM-PARTITION ROUTING CONTROL at q258's exact geometry
+    * — the falsifier that makes the √n family's "structure is
+    * exploited" claim measurable (without it, a recall number can't
+    * distinguish a trained quantizer from any partition of the same
+    * occupancy): members land in cell = md5-hash(vec_id) mod k1²
+    * (uniform, data-blind) and each query probes the same NPROBE
+    * cells by a hash of its own id — identical cell count, identical
+    * expected occupancy, identical probe count, therefore identical
+    * expected n_scanned, but ZERO use of vector geometry. Expected
+    * recall is exactly the scanned share on ANY corpus; q258 must
+    * beat it wherever structure exists (the clustered-arm recall
+    * gate), and matching it is the proof a corpus is structureless.
+    * Both engines derive the same hash cells (the house md5-prefix64),
+    * so the control is hash-gated like any other query.
+    */
+  private def q259RandomRoute(s: SparkSession, d: String): DataFrame = {
+    val (k1, nprobe) = imiSqrtGeom(s, d)
+    val cells = (k1 * k1).toLong
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // members, route and ground truth all scan it
+    val arrs = e6Arrays(x)
+    def cellOf(tag: String, id: org.apache.spark.sql.Column) =
+      pmod(graft.ops.TextOps.tokenHash(
+        concat(lit(tag + ":"), id.cast("string"))), lit(cells))
+    val members = arrs.select(col("vec_id").as("cid"),
+      cellOf("ctrlcell", col("vec_id")).as("cell"),
+      col("v").as("cv"), col("n2").as("cn2"))
+    val route = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        explode(sequence(lit(0L), lit(nprobe - 1L))).as("i"))
+      .select(col("qid"),
+        pmod(cellOf("ctrlprobe", col("qid")) + col("i"), lit(cells))
+          .as("cell"))
+    val qv = arrs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val scored = route.join(qv, Seq("qid"))
+      .join(members, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (col("qn2") + col("cn2") -
+          lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
+          .as("dist"))
+    ivfServingReport(scored, arrs)
+  }
+
+  private val q259Sql = {
+    def cellOf(tag: String, id: String) =
+      s"""(${graft.ops.TextOps.tokenHashSql(s"'$tag:' || $id")} %
+         (SELECT k1 * k1 FROM kk))"""
+    s"""WITH bb AS (SELECT ${IndexStore.bitLenSql} AS bits
+           FROM embeddings),
+       kk AS (SELECT CAST(${IndexStore
+           .sqrtCellK1Sql("bits", SQRT_K1_FLOOR)} AS BIGINT)
+           AS k1 FROM bb),
+       np AS (SELECT ${IndexStore.logProbesSql("bits",
+           SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR)} AS nprobe FROM bb),
+       x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
+         FROM (SELECT vec_id, unnest(embedding) AS e,
+                      unnest(range(0, len(embedding))) AS i
+               FROM embeddings)),
+       members AS (SELECT vec_id AS cid,
+           ${cellOf("ctrlcell", "vec_id")} AS cell
+         FROM (SELECT DISTINCT vec_id FROM x)),
+       route AS (SELECT q.vec_id AS qid,
+           (${cellOf("ctrlprobe", "q.vec_id")} + i.i)
+             % (SELECT k1 * k1 FROM kk) AS cell
+         FROM (SELECT DISTINCT vec_id FROM x) q
+         CROSS JOIN (SELECT unnest(range(0,
+           (SELECT nprobe FROM np))) AS i) i
+         WHERE q.vec_id < 20),
+       scanned AS (SELECT r.qid, m.cid,
+             SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
+           FROM route r JOIN members m ON m.cell = r.cell
+           JOIN x q ON q.vec_id = r.qid
+           JOIN x m2 ON m2.vec_id = m.cid AND m2.dim = q.dim
+           WHERE m.cid <> r.qid
+           GROUP BY 1, 2),
+       ${imiReportTailSql("scanned")}"""
+  }
 
   /** The q251/q256 oracle, parameterized by the seed-count source:
     * the Lloyd chain is k-agnostic everywhere except how many
@@ -2808,11 +3026,14 @@ object Similarity extends QueryPack {
       k1: Int, nprobe: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // ground truth and both query frames scan it
-    // the four standing index artifacts (all IndexStore-persisted)
+    // the four standing index artifacts (all IndexStore-persisted);
+    // the PQ code budget is COUNT-SCALED ([[pqK]]: 16 at the shipped
+    // SFs, 64 at synthetic sf1, 256 past ~131k vectors)
+    val kq = pqK(s, d)
     val (cent, cells) = imiQuantizer(x, k1)
     val xsp = VectorOps.pqSubspaces(x, subDim = 8) // PQ frame
-    val pqCent = IndexStore.codebook(xsp, k = 16, rounds = 2)
-    val pqCodes = IndexStore.codes(xsp, k = 16, rounds = 2)
+    val pqCent = IndexStore.codebook(xsp, k = kq, rounds = 2)
+    val pqCodes = IndexStore.codes(xsp, k = kq, rounds = 2)
     val route = imiRoute(x, cent, k1, nprobe)
     // per-query ADC distance table over the PQ codebook (q241's rule)
     val qxsp = xsp.filter(col("vec_id") < 20)
@@ -2834,14 +3055,15 @@ object Similarity extends QueryPack {
   }
 
   /** The m=8 PQ Lloyd chain + per-query ADC tables, shared by the
-    * q253/q255 oracles: trains over subspace frame `$xp` (raw
-    * subspaces for q253, residual subspaces for q255), emitting
-    * `${p}c2` (trained codebook) and `${p}codes` (assignments). 16
-    * seeds cut from the shared `seedrank` ordering.
+    * q253/q255/q257 oracles: trains over subspace frame `$xp` (raw
+    * subspaces for q253, residual subspaces for q255/q257), emitting
+    * `${p}c2` (trained codebook) and `${p}codes` (assignments). The
+    * COUNT-SCALED k_pq seeds (the `kpq` CTE, [[pqKSqlCte]] — the
+    * twin of [[pqK]]) are cut from the shared `seedrank` ordering.
     */
   private def pqChainSql(xp: String, p: String): String =
     s"""${p}seeds AS (SELECT vec_id, rn - 1 AS c FROM seedrank
-         WHERE rn <= 16),
+         WHERE rn <= (SELECT kpq FROM kpq)),
        ${p}c0 AS (SELECT $xp.sub, s.c, $xp.j, $xp.x AS v
                FROM ${p}seeds s JOIN $xp ON $xp.vec_id = s.vec_id),
        ${lloydRoundSql(xp, s"${p}c0", s"${p}a1", s"${p}u1", s"${p}c1")},
@@ -2858,6 +3080,7 @@ object Similarity extends QueryPack {
 
   private val q253Sql =
     s"""WITH $imiCtes,
+       $pqKSqlCte,
        xp AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM x),
        ${pqChainSql("xp", "p")},
        tab AS (SELECT q.vec_id AS qid, c.sub, c.c,
@@ -2947,10 +3170,11 @@ object Similarity extends QueryPack {
       k1: Int, nprobe: Int): (DataFrame, DataFrame) = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // residual build, query frames and ground truth scan it
+    val kq = pqK(s, d) // count-scaled PQ code budget
     val (cent, cells) = imiQuantizer(x, k1)
     val rxs = imiResidualSubspaces(s, d, k1)
-    val rCent = IndexStore.codebook(rxs, k = 16, rounds = 2)
-    val rCodes = IndexStore.codes(rxs, k = 16, rounds = 2)
+    val rCent = IndexStore.codebook(rxs, k = kq, rounds = 2)
+    val rCodes = IndexStore.codes(rxs, k = kq, rounds = 2)
     val route = imiRoute(x, cent, k1, nprobe)
     // per-(query, probed cell) residual → per-cell ADC table: the
     // probed composite cell decomposes into its two half codes
@@ -3034,6 +3258,7 @@ object Similarity extends QueryPack {
 
   private val q257Sql =
     s"""WITH $imiCtes,
+       $pqKSqlCte,
        rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
               FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
                 AND hc.sub = x.dim // 32
@@ -3075,6 +3300,7 @@ object Similarity extends QueryPack {
 
   private val q255Sql =
     s"""WITH $imiCtes,
+       $pqKSqlCte,
        rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
               FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
                 AND hc.sub = x.dim // 32
@@ -3106,6 +3332,8 @@ object Similarity extends QueryPack {
        ${imiReportTailSql("radc")}"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_random_route" -> q259RandomRoute,
+    "q258_imi_sqrt" -> q258ImiSqrt,
     "q257_ivfpq_refine" -> q257IvfPqRefine,
     "q255_ivfpq_residual" -> q255IvfPqResidual,
     "q253_ivfpq_serving" -> q253IvfPqServing,
@@ -3150,10 +3378,20 @@ object Similarity extends QueryPack {
     * none of these oracles uses a `WINDOW w AS (...)` clause (the one
     * other `name AS (` SQL form).
     */
-  private def materialized(sql: String): String =
+  private def materialized(sql: String): String = {
+    // enforce the documented precondition instead of silently
+    // corrupting a future `WINDOW w AS (...)` clause (the one other
+    // `name AS (` SQL form) into invalid SQL far from the cause
+    require(!sql.contains("WINDOW"),
+      "materialized() rewrites every `name AS (` — a WINDOW clause " +
+        "would be corrupted; restructure the oracle or extend the " +
+        "rewrite before adding one to the IMI family")
     sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+  }
 
   override val oracle: Map[String, String] = Map(
+    "q259_random_route" -> materialized(q259Sql),
+    "q258_imi_sqrt" -> materialized(q258Sql),
     "q257_ivfpq_refine" -> materialized(q257Sql),
     "q255_ivfpq_residual" -> materialized(q255Sql),
     "q253_ivfpq_serving" -> materialized(q253Sql),

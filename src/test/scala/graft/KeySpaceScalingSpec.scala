@@ -59,6 +59,41 @@ class KeySpaceScalingSpec extends AnyFunSuite {
         (pmod(xxhash64(col("id"), j), lit(97L)) - 48L).cast("double") / 48.0)
         .as("v"))
 
+  test("sqrt-cell rule: cells track sqrt(n); probe rule tracks log; " +
+      "PQ budget tracks the count bands") {
+    def bitsOf(n: Long): Int =
+      IndexStore.bitLenRow(spark.range(n).toDF("id"), "b")
+        .head().getInt(0)
+    // bitLenRow = ceil(log2 n) for n >= 2
+    assert(bitsOf(500) === 9 && bitsOf(2000) === 11 &&
+      bitsOf(20000) === 15)
+    // k1 = exact integer 4th root of 2^bits → cells = k1² ∈ [√n, ~2.9√n)
+    for ((n, k1) <- Seq(500L -> 5, 2000L -> 7, 20000L -> 14,
+        10000000L -> 64, 10000000000L -> 363)) {
+      val bits = (BigInt(n) - 1).bitLength
+      val got = IndexStore.sqrtCellK1(bits, 4)
+      assert(got === k1, s"n=$n k1=$got != $k1")
+      val cells = got.toLong * got
+      assert(cells * cells >= n, s"n=$n cells=$cells below sqrt(n)")
+      assert(cells <= 3 * math.sqrt(n.toDouble).ceil.toLong + 4,
+        s"n=$n cells=$cells far above sqrt(n)")
+    }
+    // the probe rule: log-growth with a floor — flat across the
+    // shipped decades, 8 probes at a 10-billion-vector corpus
+    assert(IndexStore.logProbes(9, 4, 4) === 4)
+    assert(IndexStore.logProbes(15, 4, 4) === 4)
+    assert(IndexStore.logProbes(34, 4, 4) === 8)
+    // the PQ code-budget rule (divisor 512, 4..8 bits/sub): 16
+    // centroids at the shipped SFs (zero output churn), 64 at the
+    // synthetic sf1 point, 256 (the faiss 8-bit default) past ~131k
+    def pqBits(n: Long): Int =
+      IndexStore.scaledBitsRow(spark.range(n).toDF("id"), 512, 4, "b",
+        hi = 8).head().getInt(0)
+    assert(pqBits(500) === 4 && pqBits(2000) === 4)
+    assert(pqBits(20000) === 6)
+    assert(pqBits(200000) === 8 && pqBits(100000000L) === 8)
+  }
+
   test("16-bit band keys masked to 8 bits equal the historical keys") {
     val v = synthVecs(64, 16)
     val mismatches = v.select(
