@@ -1714,13 +1714,17 @@ object Similarity extends QueryPack {
     * the corpus (4·n_lang ≤ n_total, exact integer test) it
     * brute-force scans the filtered subset (pre-filter — cheaper than
     * routing, recall 1 by construction); otherwise it routes through
-    * the nprobe=2 IVF cells and applies the predicate to cell members
-    * (post-filter — the scan stays ~2/|cells| of the corpus instead of
-    * the unselective subset). Report per query: strategy chosen,
-    * n_scanned (the cost claim) and n_hits vs the exact filtered
-    * full-scan top-5 (the recall claim). Reference analogue: hw4's
-    * cosine top-1 (hw4/hw4.py:102-117) with the predicate a real
-    * retrieval system attaches. Determinism: the strategy test is
+    * the COUNT-SCALED IMI composite cells (round 11 — previously the
+    * 10 label cells, a quantizer whose per-probe scan grew linearly
+    * with the corpus) at the shared probe rule's nprobe and applies
+    * the predicate to the probed cells' members (post-filter — the
+    * scan stays a bounded share of the corpus instead of the
+    * unselective subset, and the filtered path now inherits every
+    * property of the scaled index family). Report per query: strategy
+    * chosen, n_scanned (the cost claim) and n_hits vs the exact
+    * filtered full-scan top-5 (the recall claim). Reference analogue:
+    * hw4's cosine top-1 (hw4/hw4.py:102-117) with the predicate a
+    * real retrieval system attaches. Determinism: the strategy test is
     * exact integer arithmetic on counts both engines compute
     * identically, scoring is the proven round-6dp cosine with cid
     * tie-break, so DuckDB replays plan-choice→scan→rank
@@ -1744,22 +1748,27 @@ object Similarity extends QueryPack {
         when(col("n_lang") * 4 <= col("n_total"), lit("pre"))
           .otherwise(lit("post")))
     val cands = vm.select(col("vec_id").as("cid"),
-      col("label").as("mlabel"), col("v").as("cv"), col("nrm").as("cn"),
-      col("lang").as("clang"))
+      col("v").as("cv"), col("nrm").as("cn"), col("lang").as("clang"))
     def scoreCos = round(VectorOps.dot(col("qv"), col("cv")) /
       (col("qn") * col("cn")), 6)
     val preScored = qs.filter(col("strategy") === "pre")
       .join(cands,
         col("clang") === col("qlang") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), scoreCos.as("cos"))
-    // post path: q238's coarse routing, predicate applied inside the
-    // probed cells (a candidate's label is unique → no dup rows)
-    val route = ivfAssigned(s, d, nprobe = 2)
-      .select(col("qid"), col("clabel"))
+    // post path: the count-scaled IMI routing (q256's quantizer at
+    // the shared probe rule), predicate applied inside the probed
+    // composite cells (a candidate's cell is unique → no dup rows)
+    val k1 = imiK1(s, d)
+    val nprobe = IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR,
+      IMI_PROBE_FLOOR)
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding")
+    val (cent, cellsTbl) = imiQuantizer(x, k1)
+    val route = imiRoute(x, cent, k1, nprobe)
     val postScored = qs.filter(col("strategy") === "post")
       .join(route, Seq("qid"))
-      .join(cands, col("mlabel") === col("clabel") &&
-        col("clang") === col("qlang") && col("cid") =!= col("qid"))
+      .join(cands.join(cellsTbl.withColumnRenamed("vec_id", "cid"),
+        Seq("cid")), Seq("cell"))
+      .filter(col("clang") === col("qlang") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), scoreCos.as("cos"))
     // n_sc rides the rank's window partition so the union of the two
     // scan paths executes once, not once per aggregate
@@ -1792,8 +1801,11 @@ object Similarity extends QueryPack {
       .orderBy(col("qid"))
   }
 
-  private val q245Sql = {
-    s"""WITH $vecsCte,
+  // lazy: interpolates imiCtes, which is declared further down the
+  // object body (vals initialize in declaration order)
+  private lazy val q245Sql = {
+    s"""WITH $imiCtes,
+       $vecsCte,
        m AS (SELECT n.vec_id, n.label, n.v, n.nrm, d.lang
              FROM n JOIN documents d ON d.doc_id = n.vec_id),
        lc AS (SELECT lang, COUNT(*) AS n_lang FROM m GROUP BY 1),
@@ -1804,16 +1816,6 @@ object Similarity extends QueryPack {
                      THEN 'pre' ELSE 'post' END AS strategy
               FROM m JOIN lc ON lc.lang = m.lang CROSS JOIN tc
               WHERE m.vec_id < 20),
-       cents AS (SELECT label AS clabel, [$centroidColsSql] AS cv
-                 FROM vecs GROUP BY label),
-       cents2 AS (SELECT clabel, cv, ${VectorOps.normSql("cv")} AS cn
-                  FROM cents),
-       route AS (SELECT qid, clabel FROM (
-           SELECT q.qid, c.clabel,
-             RANK() OVER (PARTITION BY q.qid ORDER BY
-               round(${VectorOps.dotSql("q.qv", "c.cv")} / (q.qn * c.cn), 6)
-                 DESC, c.clabel ASC) AS crnk
-           FROM qs q CROSS JOIN cents2 c) WHERE crnk <= 2),
        pre AS (SELECT q.qid, c.vec_id AS cid,
              round(${VectorOps.dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6)
                AS cos
@@ -1824,7 +1826,8 @@ object Similarity extends QueryPack {
              round(${VectorOps.dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6)
                AS cos
            FROM qs q JOIN route r ON r.qid = q.qid
-           JOIN m c ON c.label = r.clabel AND c.lang = q.qlang
+           JOIN cells cl ON cl.cell = r.cell
+           JOIN m c ON c.vec_id = cl.vec_id AND c.lang = q.qlang
              AND c.vec_id <> q.qid
            WHERE q.strategy = 'post'),
        scored AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
@@ -3401,7 +3404,7 @@ object Similarity extends QueryPack {
     "q249_index_health" -> q249Sql,
     "q248_multiprobe_lsh" -> q248Sql,
     "q247_knn_graph" -> q247Sql,
-    "q245_filtered_ann" -> q245Sql,
+    "q245_filtered_ann" -> materialized(q245Sql),
     "q244_index_compaction" -> q244Sql,
     "q243_stream_ann_delta" -> q243Sql,
     "q241_pq_adc_recall" -> q241Sql,
