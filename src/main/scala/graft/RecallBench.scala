@@ -70,8 +70,13 @@ object RecallBench {
     ("q238_ivf_sq8_serving", "uniform") -> 0.15,
     ("q251_trained_ivf", "uniform") -> 0.25,
     ("q256_scaled_ivf", "uniform") -> 0.19,
-    ("q253_ivfpq_serving", "uniform") -> 0.04,
-    ("q255_ivfpq_residual", "uniform") -> 0.04,
+    // raised 0.04 → 0.08 in round 11: the count-scaled PQ budget
+    // lifted the sf1 plateau 0.08 → 0.15 (k_pq=64; measured to
+    // SATURATE there — 128/256 centroids buy nothing, the binding
+    // error is distance-margin resolution, which is the refine
+    // stage's job)
+    ("q253_ivfpq_serving", "uniform") -> 0.08,
+    ("q255_ivfpq_residual", "uniform") -> 0.08,
     ("q257_ivfpq_refine", "uniform") -> 0.15,
     // the √n family scans ~√n/n of a structureless corpus — its
     // uniform floor is honesty about the noise regime, not quality
@@ -80,10 +85,14 @@ object RecallBench {
     // clustered arm — where recall measures ROUTING QUALITY; floors
     // from the round-11 measured mins less margin (set after the
     // first clustered sweep; trained families ≥ 2× uniform)
+    // measured mins (r11 curve/probe): q258 .67 (sf1, nprobe=4),
+    // q256 .71, q257 .59, q253/q255 .13/.15 at the sf1 point
     ("q258_imi_sqrt", "clustered") -> 0.40,
     ("q259_random_route", "clustered") -> 0.0,
     ("q256_scaled_ivf", "clustered") -> 0.40,
-    ("q257_ivfpq_refine", "clustered") -> 0.30)
+    ("q257_ivfpq_refine", "clustered") -> 0.30,
+    ("q253_ivfpq_serving", "clustered") -> 0.08,
+    ("q255_ivfpq_residual", "clustered") -> 0.08)
 
   /** Clustered-arm STRUCTURE-EXPLOITATION gate: the trained √n router
     * (q258) must beat the random-partition control (q259) — which has

@@ -2326,11 +2326,14 @@ object Similarity extends QueryPack {
 
   /** The √n (SUBLINEAR-scan) IMI geometry knobs — see
     * [[IndexStore.sqrtCellK1]]/[[IndexStore.logProbes]]. Floors keep
-    * the smallest shipped corpus (500 vectors) at a sane 64-cell /
-    * 4-probe operating point; the probe divisor 4 is the measured
-    * knee of the clustered-arm recall curve (RECALL_CURVE_r11: past
-    * ~4 probes the own-cluster cell is covered and the curve
-    * flattens).
+    * the smallest shipped corpus (500 vectors) at a sane 25-cell /
+    * 4-probe operating point; probe divisor 4 (nprobe = max(4,
+    * ⌈log₂n⌉/4)) is the measured marginal-recall knee of the
+    * clustered-arm curve (RECALL_CURVE_r11, sf1-clustered imi_sqrt:
+    * probes 1→4 buy +0.42 recall for +343 candidates, 4→8 only
+    * +0.12 for +443, 8→16 +0.10 for +795 — past 4 probes the
+    * own-cluster cell is usually covered and each further probe buys
+    * less per candidate than the one before).
     */
   private[graft] val SQRT_K1_FLOOR = 4
   private[graft] val SQRT_PROBE_DIVISOR = 4
@@ -2368,6 +2371,17 @@ object Similarity extends QueryPack {
     * the ADC table grows to nprobe·m·k_pq entries — still KBs.
     * 1-row driver edge, mirrored from COUNT(*) in the oracles
     * ([[pqKSqlCte]]).
+    *
+    * Measured effect (r11, sf1 uniform, nprobe=16): recall@5
+    * 0.08 → 0.15 at k_pq=64, and SATURATED there — 128 and 256
+    * centroids both measure 0.11 (noise-equivalent), because past
+    * ~6 bits/sub the binding error is no longer codebook resolution
+    * but the distance MARGINS between the 5th and 6th neighbor,
+    * which 8 sub-code sums cannot resolve at any k. That remaining
+    * gap is structural to ADC and is exactly what the q257
+    * exact-refine stage recovers (0.32 uniform / 0.59+ clustered) —
+    * so the rule stops at the measured saturation band instead of
+    * burning train/serve cost on budget that buys nothing.
     */
   private[graft] val PQ_K_DIVISOR = 512
   private[graft] val PQ_BITS_LO = 4
