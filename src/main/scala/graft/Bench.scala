@@ -39,8 +39,14 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune computed
     // columns, so projection-heavy queries would measure as ~free —
     // noop materializes every output row without write I/O.
+    // optional subset (diagnosis tool — the driver's run never sets
+    // it, so the artifact of record is always the full pack)
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     def sweep(): Seq[(String, Double, Option[String])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
           try {

@@ -71,8 +71,14 @@ object RecallCurve {
         } ++ nprobes.filter(_ <= k1s * k1s)
           .map(np => ("imi_sqrt", k1s, np))
       val byName = fams.toMap
+      // the √n family sweeps at ITS shipped router (SQRT_ROUNDS Lloyd
+      // rounds since round 12); the share-pinned families at theirs
+      val sqrtFn: (SparkSession, String, Int, Int) =>
+          org.apache.spark.sql.DataFrame =
+        (s, d, k, np) =>
+          Similarity.imiIvfReportAtR(s, d, k, np, Similarity.SQRT_ROUNDS)
       val rows = sweep.map { case (name, k1x, np) =>
-        val fn = byName.getOrElse(name, Similarity.imiIvfReportAt _)
+        val fn = byName.getOrElse(name, sqrtFn)
         val r = fn(spark, dir, k1x, np).agg(
           (avg(col("n_hits")) / 5.0).as("r"),
           avg(col("n_scanned")).as("s"),

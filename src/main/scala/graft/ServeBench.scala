@@ -36,15 +36,20 @@ import org.apache.spark.sql.functions._
   *     (the 16-plane ceiling key masked to r) plus its max(2, r−6)
   *     lowest-margin bit flips against the standing LSH bucket table
   *     (Lv et al. multi-probe, the q248 shape), cosine-ranked.
-  *   - `ivf_sqrt` (round 11) — the SUBLINEAR operating point (q258's
-  *     geometry): k1 = exact integer 4th root of 2^bits (composite
-  *     cells ≈ √n), nprobe ≈ log₄ n — per-query scan Θ(√n·log n)
-  *     instead of the share-pinned Θ(n/16). Its recall claim is made
+  *   - `ivf_sqrt` (round 11; budget-routed since round 12) — the
+  *     SUBLINEAR operating point (q258's geometry): k1 = exact
+  *     integer 4th root of 2^bits (composite cells ≈ √n), probe side
+  *     a SCAN BUDGET T = max(64, 4·⌊√n⌋) consumed in multi-sequence
+  *     order — per-query scan pinned to ~4√n (exactly √10 per 10×
+  *     step) with the probe count emergent. Its recall claim is made
   *     per corpus ARM: real on the planted-cluster companions (where
   *     the trained router must beat the q259 random-partition control
   *     — RecallBench gates it), honest noise-floor on the isotropic
-  *     arm. This is the family whose n_scanned must grow ≤ ~√10 per
-  *     10× corpus step.
+  *     arm.
+  *   - `ivfpq_refine_sqrt` (round 12, q260's shape) — the COMPOSED
+  *     production stack: budget route over √n cells → pruned ADC over
+  *     residual-PQ inverted lists built per √n cell → exact top-32
+  *     refine. The faiss IVFPQ+RefineFlat recipe at sublinear scan.
   *
   * Since round 11 the sweep carries a CORPUS dimension (`uniform` —
   * the driver's isotropic embeddings; `clustered` — the planted
@@ -179,7 +184,8 @@ object ServeBench {
       val cells = k1 * k1
       val nprobe = IndexStore.scaledProbes(cells,
         Similarity.IMI_PROBE_DIVISOR, Similarity.IMI_PROBE_FLOOR)
-      val (k1s, nprobeS) = Similarity.imiSqrtGeom(spark, dir)
+      val (k1s, budgetS) = Similarity.imiSqrtGeom(spark, dir)
+      val roundsS = Similarity.SQRT_ROUNDS
       val kPq = Similarity.pqK(spark, dir)
       val xs2 = VectorOps.pqSubspaces(x, subDim = DIM / 2)
 
@@ -193,32 +199,50 @@ object ServeBench {
         dim = DIM)
 
       // the √n-cell index (q258's geometry): its own trained
-      // half-space codebook + composite member table — at the sf1
-      // point the two geometries may coincide (k1s == k1), in which
-      // case the content-addressed artifacts are literally shared and
-      // the build below is a readback
+      // half-space codebook + composite member table, trained at the
+      // family's SQRT_ROUNDS Lloyd rounds (round 12 — router quality
+      // bought at build time; the share-pinned family keeps 2)
       val tS = System.nanoTime()
-      IndexStore.codebook(xs2, k = k1s, rounds = 2).count()
-      IndexStore.imiMembers(x, k1 = k1s, rounds = 2, dim = DIM).count()
+      IndexStore.codebook(xs2, k = k1s, rounds = roundsS).count()
+      IndexStore.imiMembers(x, k1 = k1s, rounds = roundsS, dim = DIM)
+        .count()
       val buildSqrtSec = (System.nanoTime() - tS) / 1e9
-      val cbS = IndexStore.codebook(xs2, k = k1s, rounds = 2)
-      val membersS = IndexStore.imiMembers(x, k1 = k1s, rounds = 2,
+      val cbS = IndexStore.codebook(xs2, k = k1s, rounds = roundsS)
+      val membersS = IndexStore.imiMembers(x, k1 = k1s, rounds = roundsS,
         dim = DIM)
 
       // residual PQ index on top of the trained IMI quantizer (the
       // q255 derivation — ONE construction path, Similarity's), code
       // budget count-scaled (16 at shipped SFs, 64 at sf1)
+      def residualCells(k1x: Int, r: Int) =
+        IndexStore.codes(xs2, k = k1x, rounds = r)
+          .groupBy(col("vec_id"))
+          .agg((max(when(col("sub") === 0, col("c"))) * k1x +
+            max(when(col("sub") === 1, col("c")))).as("cell"))
       val t1 = System.nanoTime()
-      val cellsTbl = IndexStore.codes(xs2, k = k1, rounds = 2)
-        .groupBy(col("vec_id"))
-        .agg((max(when(col("sub") === 0, col("c"))) * k1 +
-          max(when(col("sub") === 1, col("c")))).as("cell"))
+      val cellsTbl = residualCells(k1, 2)
       val rxs = Similarity.imiResidualSubspaces(spark, dir, k1)
       IndexStore.codebook(rxs, k = kPq, rounds = 2).count()
       IndexStore.pqLists(rxs, cellsTbl, k = kPq, rounds = 2, m = 8).count()
       val buildPqSec = (System.nanoTime() - t1) / 1e9
       val rCent = IndexStore.codebook(rxs, k = kPq, rounds = 2)
       val pqLists = IndexStore.pqLists(rxs, cellsTbl, k = kPq,
+        rounds = 2, m = 8)
+
+      // the COMPOSED production stack (round 12, q260's geometry):
+      // the same residual-PQ + refine machinery multiplied onto the
+      // √n cells — residuals against the k1s half-space centroids
+      // (trained at SQRT_ROUNDS), inverted lists laid out per √n
+      // composite cell.
+      val tPS = System.nanoTime()
+      val cellsTblS = residualCells(k1s, roundsS)
+      val rxsS = Similarity.imiResidualSubspaces(spark, dir, k1s, roundsS)
+      IndexStore.codebook(rxsS, k = kPq, rounds = 2).count()
+      IndexStore.pqLists(rxsS, cellsTblS, k = kPq, rounds = 2, m = 8)
+        .count()
+      val buildPqSqrtSec = (System.nanoTime() - tPS) / 1e9
+      val rCentS = IndexStore.codebook(rxsS, k = kPq, rounds = 2)
+      val pqListsS = IndexStore.pqLists(rxsS, cellsTblS, k = kPq,
         rounds = 2, m = 8)
 
       // standing LSH bucket table (the q248 index format: 16-plane
@@ -252,6 +276,11 @@ object ServeBench {
       rCent.collect().foreach(r => rCentLocal(r.getAs[Long]("sub").toInt)(
         r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
           r.getAs[Long]("v"))
+      val rCentSLocal = Array.ofDim[Long](8, kPq, 8)
+      rCentS.collect().foreach(r =>
+        rCentSLocal(r.getAs[Long]("sub").toInt)(
+          r.getAs[Long]("c").toInt)(r.getAs[Long]("j").toInt) =
+            r.getAs[Long]("v"))
       val qe6: Map[Long, Array[Long]] = x
         .filter(col("vec_id") <= WARM_QID)
         .groupBy(col("vec_id"))
@@ -301,8 +330,8 @@ object ServeBench {
       // — identical to q256/q258's imiRoute. Parameterized over the
       // resident codebook so the share-pinned and √n families share
       // one router.
-      def routeWith(k1x: Int, cbL: Array[Array[Array[Long]]],
-          np: Int)(qid: Long): Seq[Int] = {
+      def rankedCells(k1x: Int, cbL: Array[Array[Array[Long]]])(
+          qid: Long): Seq[Int] = {
         val q = qe6(qid)
         val half = Array.ofDim[Long](2, k1x)
         var sub = 0
@@ -321,11 +350,24 @@ object ServeBench {
         }
         (for (c0 <- 0 until k1x; c1 <- 0 until k1x)
           yield (half(0)(c0) + half(1)(c1), c0 * k1x + c1))
-          .sorted.take(np).map(_._2)
+          .sorted.map(_._2)
       }
-      def route(qid: Long): Seq[Int] = routeWith(k1, cbLocal, nprobe)(qid)
-      def routeS(qid: Long): Seq[Int] =
-        routeWith(k1s, cbSLocal, nprobeS)(qid)
+      def route(qid: Long): Seq[Int] =
+        rankedCells(k1, cbLocal)(qid).take(nprobe)
+      // the √n family's SCAN-BUDGET route (q258/q260's rule): probe
+      // ranked cells until their cumulative membership reaches the
+      // budget — the probe count is emergent, the scanned mass pinned
+      def routeS(qid: Long): Seq[Int] = {
+        val buf = Seq.newBuilder[Int]
+        var cum = 0L
+        val it = rankedCells(k1s, cbSLocal)(qid).iterator
+        while (cum < budgetS && it.hasNext) {
+          val cell = it.next()
+          buf += cell
+          cum += cellSizesS.getOrElse(cell, 0L)
+        }
+        buf.result()
+      }
 
       // driver-side LSH probes: own masked bucket + the count-scaled
       // max(2, r−6) lowest-margin flips over the r masked planes
@@ -423,28 +465,35 @@ object ServeBench {
       // sub·kPq + code — kPq is the count-scaled code budget), so the
       // probe is one pruned scan of the inverted list with 8 map
       // lookups per candidate
-      def adcTable(qid: Long): Map[Long, Long] = {
+      // per-(cell, sub, code) ADC table + pruned scan, parameterized
+      // over the coarse geometry (share-pinned or √n) — the route is
+      // resolved ONCE per query and passed through (round-11 ADVICE:
+      // the per-call route recomputation ran inside the timed window)
+      def adcTableFor(probed: Seq[Int], k1x: Int,
+          cbL: Array[Array[Array[Long]]],
+          rcL: Array[Array[Array[Long]]])(qid: Long): Map[Long, Long] = {
         val q = qe6(qid)
         (for {
-          cell <- route(qid); sub <- 0 until 8; code <- 0 until kPq
+          cell <- probed; sub <- 0 until 8; code <- 0 until kPq
         } yield {
           var dd = 0L
           var j = 0
           while (j < 8) {
             val dim = sub * 8 + j
             val hsub = dim / (DIM / 2)
-            val hc = if (hsub == 0) cell / k1 else cell % k1
-            val r = q(dim) - cbLocal(hsub)(hc)(dim % (DIM / 2)) -
-              rCentLocal(sub)(code)(j)
+            val hc = if (hsub == 0) cell / k1x else cell % k1x
+            val r = q(dim) - cbL(hsub)(hc)(dim % (DIM / 2)) -
+              rcL(sub)(code)(j)
             dd += r * r; j += 1
           }
           (cell.toLong * (8L * kPq) + sub.toLong * kPq + code) -> dd
         }).toMap
       }
-      def adcScan(qid: Long, tab: Map[Long, Long]) = {
+      def adcScanFor(lists: DataFrame, probed: Seq[Int],
+          tab: Map[Long, Long], qid: Long) = {
         val tl = typedlit(tab)
-        pqLists
-          .filter(col("cell").isin(route(qid): _*) &&
+        lists
+          .filter(col("cell").isin(probed: _*) &&
             col("vec_id") =!= lit(qid))
           .select(col("vec_id"),
             (0 until 8).map(sub => element_at(tl,
@@ -453,23 +502,36 @@ object ServeBench {
                 col(s"c$sub"))).reduce(_ + _).as("adc"))
       }
 
-      def servePq(qid: Long): Array[Long] =
-        adcScan(qid, adcTable(qid))
+      def servePqWith(routeFn: Long => Seq[Int], k1x: Int,
+          cbL: Array[Array[Array[Long]]],
+          rcL: Array[Array[Array[Long]]], lists: DataFrame)(
+          qid: Long): Array[Long] = {
+        val probed = routeFn(qid)
+        adcScanFor(lists, probed,
+            adcTableFor(probed, k1x, cbL, rcL)(qid), qid)
           .withColumnRenamed("adc", "dist")
           .orderBy(col("dist"), col("vec_id")).limit(5)
           .collect().map(_.getAs[Long]("vec_id"))
+      }
+      def servePq(qid: Long): Array[Long] =
+        servePqWith(route, k1, cbLocal, rCentLocal, pqLists)(qid)
 
       // ADC shortlist → exact refine, ONE job: the pqLists scan and
       // the members scan are BOTH partition-pruned to the probed
       // cells, and the limit(32) shortlist broadcasts into the join
-      def serveRefine(qid: Long): Array[Long] = {
-        val shortlist = adcScan(qid, adcTable(qid))
+      def serveRefineWith(routeFn: Long => Seq[Int], k1x: Int,
+          cbL: Array[Array[Array[Long]]],
+          rcL: Array[Array[Array[Long]]], lists: DataFrame,
+          membersTbl: DataFrame)(qid: Long): Array[Long] = {
+        val probed = routeFn(qid)
+        val shortlist = adcScanFor(lists, probed,
+            adcTableFor(probed, k1x, cbL, rcL)(qid), qid)
           .orderBy(col("adc"), col("vec_id")).limit(32)
           .select(col("vec_id"))
         val qv = qe6(qid).map(_.toDouble)
         val qn2 = qe6(qid).map(v => v * v).sum
         shortlist
-          .join(members.filter(col("cell").isin(route(qid): _*)),
+          .join(membersTbl.filter(col("cell").isin(probed: _*)),
             Seq("vec_id"))
           .select(col("vec_id"),
             (lit(qn2) + col("n2") -
@@ -478,6 +540,15 @@ object ServeBench {
           .orderBy(col("dist"), col("vec_id")).limit(5)
           .collect().map(_.getAs[Long]("vec_id"))
       }
+      def serveRefine(qid: Long): Array[Long] =
+        serveRefineWith(route, k1, cbLocal, rCentLocal, pqLists,
+          members)(qid)
+      // the COMPOSED family (q260's shape): budget route over √n
+      // cells → pruned ADC over the sqrt residual lists → exact
+      // refine against the sqrt member table
+      def serveRefineSqrt(qid: Long): Array[Long] =
+        serveRefineWith(routeS, k1s, cbSLocal, rCentSLocal, pqListsS,
+          membersS)(qid)
 
       def serveLsh(qid: Long): Array[Long] = {
         val (probes, qn) = lshProbes(qid)
@@ -503,17 +574,20 @@ object ServeBench {
       val rSqrt = family(serveSqrt, truthL2, scannedSqrt)
       val rPq = family(servePq, truthL2, scannedIvf)
       val rRef = family(serveRefine, truthL2, scannedIvf)
+      val rRefS = family(serveRefineSqrt, truthL2, scannedSqrt)
       val rLsh = family(serveLsh, truthCos, scannedLsh)
       System.err.println(s"[serve] $arm $dir k1=$k1 nprobe=$nprobe " +
-        s"k1s=$k1s nprobeS=$nprobeS kpq=$kPq " +
+        s"k1s=$k1s budgetS=$budgetS kpq=$kPq " +
         s"ivf p50=${f(rIvf._2)}ms r@5=${f(rIvf._4)} " +
         s"sqrt p50=${f(rSqrt._2)}ms r@5=${f(rSqrt._4)} " +
         s"n=${f(rSqrt._5)} " +
         s"pq p50=${f(rPq._2)}ms r@5=${f(rPq._4)} " +
         s"refine p50=${f(rRef._2)}ms r@5=${f(rRef._4)} " +
+        s"refineS p50=${f(rRefS._2)}ms r@5=${f(rRefS._4)} " +
+        s"n=${f(rRefS._5)} " +
         s"lsh p50=${f(rLsh._2)}ms r@5=${f(rLsh._4)}")
       s""""$dir":{"k1":$k1,"cells":$cells,"nprobe":$nprobe,""" +
-        s""""k1_sqrt":$k1s,"nprobe_sqrt":$nprobeS,"kpq":$kPq,""" +
+        s""""k1_sqrt":$k1s,"scan_budget_sqrt":$budgetS,"kpq":$kPq,""" +
         s"""${familyJson("ivf_flat", buildIvfSec, rIvf)},""" +
         s"""${familyJson("ivf_sqrt", buildSqrtSec, rSqrt)},""" +
         s"""${familyJson("ivfpq_residual", buildPqSec, rPq)},""" +
@@ -522,6 +596,9 @@ object ServeBench {
         // reporting the shared one-time build here too would
         // double-count it for any consumer summing build_sec per SF
         s"""${familyJson("ivfpq_refine", 0.0, rRef)},""" +
+        // the composed production stack (q260): its sqrt residual
+        // lists are its OWN one-time build (nothing else serves them)
+        s"""${familyJson("ivfpq_refine_sqrt", buildPqSqrtSec, rRefS)},""" +
         s"""${familyJson("lsh_multiprobe", buildLshSec, rLsh)}}"""
     }
     val perCorpus = Seq("uniform" -> sfDirs, "clustered" -> clusteredDirs)

@@ -247,22 +247,63 @@ object IndexStore {
        (SELECT MIN(i) FROM range(1, 1025) t(i)
         WHERE i*i*i*i >= (CAST(1 AS BIGINT) << LEAST($bitsExpr, 40)))))"""
 
-  /** The √n family's PROBE rule: nprobe = max(lo, bits/divisor) —
-    * logarithmic in the corpus (bits = ⌈log₂ n⌉), the measured-knee
-    * companion of [[sqrtCellK1]]: on clustered data recall comes from
-    * routing into the right cluster, so past the knee extra probes
-    * buy little (RECALL_CURVE_r11 clustered arm: the recall-vs-nprobe
-    * curve flattens where the own-cluster cell is covered), and a
-    * slowly-growing probe count only hedges cluster/cell boundary
-    * splits as the cell space refines. Per-query scan = occupancy ·
-    * nprobe ≈ √n · log₄ n — sublinear. DuckDB twin [[logProbesSql]].
+  /** Exact integer square root of a non-negative count — the √n
+    * family's SCAN-BUDGET primitive. floor(sqrt) on an IEEE double is
+    * correctly rounded, but the integer contract must not hinge on
+    * that, so both engines apply the same ±1 correction: s = the
+    * unique integer with s² ≤ n < (s+1)². Valid for n < 2⁵² (a
+    * 4·10¹⁵-vector corpus). Pure driver arithmetic; DuckDB twin
+    * [[isqrtSql]] is the identical expression over COUNT(*).
     */
-  def logProbes(bits: Int, divisor: Int, lo: Int): Int =
-    math.max(lo, bits / divisor)
+  def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var s = math.sqrt(n.toDouble).toLong
+    while (s > 0 && s * s > n) s -= 1
+    while ((s + 1) * (s + 1) <= n) s += 1
+    s
+  }
 
-  /** DuckDB twin of [[logProbes]] over a mirrored bits expression. */
-  def logProbesSql(bitsExpr: String, divisor: Int, lo: Int): String =
-    s"GREATEST($lo, ($bitsExpr) // $divisor)"
+  /** DuckDB twin of [[isqrt]] over a mirrored count expression: the
+    * float sqrt corrected to the exact integer root (one step suffices
+    * — double sqrt is correctly rounded, so the raw floor is off by at
+    * most one).
+    */
+  def isqrtSql(nExpr: String): String =
+    s"""(SELECT CASE WHEN (s+1)*(s+1) <= n THEN s+1
+                     WHEN s*s > n THEN s-1 ELSE s END
+       FROM (SELECT CAST(FLOOR(SQRT(CAST(($nExpr) AS DOUBLE)))
+               AS BIGINT) AS s, ($nExpr) AS n))"""
+
+  /** THE √n family's PROBE rule (round 12, replacing round 11's
+    * nprobe = max(4, bits/4)): a per-query SCAN BUDGET T = max(lo,
+    * mult·⌊√n⌋) — the router probes composite cells in multi-sequence
+    * order (dd asc, cell asc) and stops at the first cell whose
+    * cumulative membership reaches T. Round 11's fixed probe count
+    * had two measured defects: (a) recall DECLINED with scale
+    * (0.94 → 0.87 → 0.67 across 100×, RECALL_r11) because the floor-4
+    * probes covered a shrinking share of the refining cell space, and
+    * (b) the n_scanned trend inherited the cell-count jitter of the
+    * integer-4th-root sizing (cells = k1² lands anywhere in
+    * [√n, 2.9√n), so occupancy·nprobe per decade swung between
+    * √10/2.9 and 2.9·√10 — the ≤ √10-per-decade gate held on the
+    * shipped steps by luck). Budget routing fixes both at once: the
+    * scanned mass is pinned to mult·√n at EVERY n (ratio = exactly
+    * √10 per decade, forever), and where cells are finer the router
+    * automatically probes MORE cells for the same budget — the
+    * recall-targeted behavior the fixed count lacked. mult = 4 is the
+    * measured marginal-recall knee of the clustered-arm curve at
+    * every swept SF (RECALL_CURVE_r11 + the round-12 ProbeLab sweep:
+    * past ~4·√n scanned, each further cell buys < 0.05 recall). The
+    * probe count itself becomes emergent and per-query — exactly how
+    * faiss's `max_codes` per-query scan cap behaves. 1-row driver
+    * edge; DuckDB twin [[scanBudgetSql]] over the mirrored COUNT(*).
+    */
+  def scanBudget(n: Long, mult: Int, lo: Int): Long =
+    math.max(lo.toLong, mult * isqrt(n))
+
+  /** DuckDB twin of [[scanBudget]] over a mirrored count expression. */
+  def scanBudgetSql(nExpr: String, mult: Int, lo: Int): String =
+    s"GREATEST($lo, $mult * ${isqrtSql(nExpr)})"
 
   /** The residual-PQ INVERTED LIST — (vec_id, c0..c{m-1}, cell) rows
     * laid out one directory per coarse cell (`partitionBy("cell")`):

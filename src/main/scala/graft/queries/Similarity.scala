@@ -2325,33 +2325,53 @@ object Similarity extends QueryPack {
   }
 
   /** The √n (SUBLINEAR-scan) IMI geometry knobs — see
-    * [[IndexStore.sqrtCellK1]]/[[IndexStore.logProbes]]. Floors keep
-    * the smallest shipped corpus (500 vectors) at a sane 25-cell /
-    * 4-probe operating point; probe divisor 4 (nprobe = max(4,
-    * ⌈log₂n⌉/4)) is the measured marginal-recall knee of the
-    * clustered-arm curve (RECALL_CURVE_r11, sf1-clustered imi_sqrt:
-    * probes 1→4 buy +0.42 recall for +343 candidates, 4→8 only
-    * +0.12 for +443, 8→16 +0.10 for +795 — past 4 probes the
-    * own-cluster cell is usually covered and each further probe buys
-    * less per candidate than the one before).
+    * [[IndexStore.sqrtCellK1]]/[[IndexStore.scanBudget]]. The k1
+    * floor keeps the smallest shipped corpus (500 vectors) at a sane
+    * 25-cell operating point; scan mult 4 (budget T = max(64,
+    * 4·⌊√n⌋)) is the measured marginal-recall knee of the
+    * clustered-arm curve at every swept SF (RECALL_CURVE_r11 +
+    * ProbeLab r12: past ~4√n scanned each further cell buys < 0.05
+    * recall — the own-cluster mass is usually covered by then).
     */
   private[graft] val SQRT_K1_FLOOR = 4
-  private[graft] val SQRT_PROBE_DIVISOR = 4
-  private[graft] val SQRT_PROBE_FLOOR = 4
+  private[graft] val SQRT_SCAN_MULT = 4
+  private[graft] val SQRT_SCAN_FLOOR = 64
 
-  /** (k1, nprobe) of the √n-cell IMI family — both derived from ONE
-    * exact integer bit-length of COUNT(*)−1 ([[IndexStore.bitLenRow]];
-    * 1-row driver edge), cells = k1² ∈ [√n, 4√n), nprobe ≈ log₄ n
-    * floored at [[SQRT_PROBE_FLOOR]]. Per-query scan = occupancy ·
-    * nprobe ≈ √n · log n — the sublinear operating point the
-    * share-pinned rule cannot reach, valid where the corpus has
-    * cluster structure to route into (the clustered arm validates
-    * it against the q259 random-routing control).
+  /** Lloyd rounds for the √n family's half-space codebooks (round 12;
+    * the share-pinned family keeps its historical 2 — zero output
+    * churn there). Measured on the planted-cluster sf1 companion
+    * (ProbeLab sweep, 20k vectors, k1=14): at an EQUAL ~480-candidate
+    * scan, 2 rounds route to 0.67 recall@5, 4 rounds to 0.76 — the
+    * router, not the probe budget, was the binding error, and extra
+    * training is one-time build cost (n·k1·d per round) instead of
+    * per-query scan cost. faiss trains IVF coarse quantizers with
+    * niter=25 by default; 4 exact integer rounds is the same lever at
+    * oracle-replayable cost (each round is one more unrolled CTE
+    * block in the mirror).
     */
-  private[graft] def imiSqrtGeom(s: SparkSession, d: String): (Int, Int) = {
-    val bits = IndexStore.bitLenRow(emb(s, d), "b").head().getInt(0)
-    (IndexStore.sqrtCellK1(bits, SQRT_K1_FLOOR),
-      IndexStore.logProbes(bits, SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR))
+  private[graft] val SQRT_ROUNDS = 4
+
+  /** (k1, scan budget) of the √n-cell IMI family — both derived from
+    * ONE COUNT(*) (1-row driver edge): cells = k1² ∈ [√n, 2.9√n) via
+    * the exact integer 4th root ([[IndexStore.sqrtCellK1]]), and the
+    * per-query SCAN BUDGET T = max(64, 4·⌊√n⌋)
+    * ([[IndexStore.scanBudget]]) that replaced round 11's fixed
+    * nprobe: the router probes ranked cells until their cumulative
+    * membership reaches T, so the scanned mass is pinned to 4√n at
+    * every n (exactly √10 per decade) and the probe count grows
+    * automatically as cells refine — the recall-targeted behavior the
+    * floor-pinned nprobe lacked (clustered recall slid 0.94 → 0.67
+    * across 100× under it, RECALL_r11). Valid where the corpus has
+    * cluster structure to route into (the clustered arm validates it
+    * against the q259 random-routing control).
+    */
+  private[graft] def imiSqrtGeom(s: SparkSession, d: String)
+      : (Int, Long) = {
+    val n = emb(s, d).count()
+    val bits = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    (IndexStore.sqrtCellK1(bits.toInt, SQRT_K1_FLOOR),
+      IndexStore.scanBudget(n, SQRT_SCAN_MULT, SQRT_SCAN_FLOOR))
   }
 
   /** COUNT-SCALED PQ code budget (round 11): centroids per subspace
@@ -2405,24 +2425,25 @@ object Similarity extends QueryPack {
     * from ONE k1-centroid Lloyd chain over the two-subspace frame —
     * machinery and oracle chain identical to q241's PQ.
     */
-  private def imiQuantizer(x: DataFrame, k1: Int)
+  private def imiQuantizer(x: DataFrame, k1: Int, rounds: Int = 2)
       : (DataFrame, DataFrame) = {
     val xs2 = VectorOps.pqSubspaces(x, subDim = 32)
-    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
-    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = rounds)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = rounds)
     val cells = halfCodes.groupBy(col("vec_id"))
       .agg((max(when(col("sub") === 0, col("c"))) * k1 +
         max(when(col("sub") === 1, col("c")))).as("cell"))
     (cent, cells)
   }
 
-  /** nprobe nearest composite cells per bounded query (vec_id < 20):
+  /** Per-(bounded query, composite cell) centroid distance frame —
     * each query half scores against k1 centroids, the k1² composite
-    * sums rank (dd asc, cell asc — a total order) and the top nprobe
-    * are probed (Babenko & Lempitsky's multi-sequence order).
+    * sums form the multi-sequence ranking key (dd asc, cell asc — a
+    * total order; Babenko & Lempitsky). Shared by the fixed-count
+    * route ([[imiRoute]]) and the budget route ([[imiRouteBudget]]).
     */
-  private def imiRoute(x: DataFrame, cent: DataFrame, k1: Int,
-      nprobe: Int): DataFrame = {
+  private def imiCompositeDd(x: DataFrame, cent: DataFrame,
+      k1: Int): DataFrame = {
     val qxs = VectorOps.pqSubspaces(x, subDim = 32)
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("sub"), col("j"),
@@ -2431,16 +2452,48 @@ object Similarity extends QueryPack {
       .groupBy(col("qid"), col("sub"), col("c"))
       .agg(sum((col("qx") - col("v")) * (col("qx") - col("v")))
         .as("dd"))
-    TopKOps.topKPerGroup(
-      halfDd.filter(col("sub") === 0)
-        .select(col("qid"), col("c").as("c0"), col("dd").as("dd0"))
-        .join(halfDd.filter(col("sub") === 1)
-          .select(col("qid").as("qid1"), col("c").as("c1"),
-            col("dd").as("dd1")),
-          col("qid") === col("qid1"))
-        .select(col("qid"), (col("c0") * k1 + col("c1")).as("cell"),
-          (col("dd0") + col("dd1")).as("dd")),
+    halfDd.filter(col("sub") === 0)
+      .select(col("qid"), col("c").as("c0"), col("dd").as("dd0"))
+      .join(halfDd.filter(col("sub") === 1)
+        .select(col("qid").as("qid1"), col("c").as("c1"),
+          col("dd").as("dd1")),
+        col("qid") === col("qid1"))
+      .select(col("qid"), (col("c0") * k1 + col("c1")).as("cell"),
+        (col("dd0") + col("dd1")).as("dd"))
+  }
+
+  /** nprobe nearest composite cells per bounded query (vec_id < 20) —
+    * the share-pinned family's fixed-count route.
+    */
+  private def imiRoute(x: DataFrame, cent: DataFrame, k1: Int,
+      nprobe: Int): DataFrame =
+    TopKOps.topKPerGroup(imiCompositeDd(x, cent, k1),
       Seq(col("qid")), Seq(col("dd").asc, col("cell").asc), nprobe)
+      .select(col("qid"), col("cell"))
+
+  /** SCAN-BUDGET route (round 12, the √n family's probe rule): probe
+    * composite cells in multi-sequence order until their cumulative
+    * membership reaches `budget` (the crossing cell included) — the
+    * per-query scanned mass is pinned to ~budget at any cell
+    * granularity, so n_scanned grows exactly as the budget rule
+    * (4·√n ⇒ √10 per decade) and the EMERGENT probe count rises by
+    * itself where cells are finer. Deterministic: the ranking key
+    * (dd, cell) is a total order and cell sizes are exact counts;
+    * cells with no members consume rank but no budget.
+    */
+  private def imiRouteBudget(x: DataFrame, cent: DataFrame, k1: Int,
+      cells: DataFrame, budget: Long): DataFrame = {
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dd").asc, col("cell").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    imiCompositeDd(x, cent, k1)
+      .join(sizes, Seq("cell"), "left")
+      .withColumn("sz", coalesce(col("sz"), lit(0L)))
+      .withColumn("cum", sum(col("sz")).over(w))
+      .filter(col("cum") - col("sz") < budget)
       .select(col("qid"), col("cell"))
   }
 
@@ -2637,11 +2690,38 @@ object Similarity extends QueryPack {
     * from.
     */
   private[graft] def imiIvfReportAt(s: SparkSession, d: String,
-      k1: Int, nprobe: Int): DataFrame = {
+      k1: Int, nprobe: Int): DataFrame =
+    imiIvfReportAtR(s, d, k1, nprobe, rounds = 2)
+
+  /** [[imiIvfReportAt]] with an explicit Lloyd-round count — the
+    * router-quality axis the round-12 probe-rule experiments sweep.
+    */
+  private[graft] def imiIvfReportAtR(s: SparkSession, d: String,
+      k1: Int, nprobe: Int, rounds: Int): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // training, membership and ground truth scan it
-    val (cent, cells) = imiQuantizer(x, k1)
+    val (cent, cells) = imiQuantizer(x, k1, rounds)
     val route = imiRoute(x, cent, k1, nprobe)
+    imiFlatReport(route, cells, x)
+  }
+
+  /** [[imiIvfReportAtR]] with the scan-BUDGET route — q258's shape
+    * since round 12.
+    */
+  private[graft] def imiIvfReportBudget(s: SparkSession, d: String,
+      k1: Int, budget: Long, rounds: Int): DataFrame = {
+    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    x.count() // training, membership and ground truth scan it
+    val (cent, cells) = imiQuantizer(x, k1, rounds)
+    val route = imiRouteBudget(x, cent, k1, cells, budget)
+    imiFlatReport(route, cells, x)
+  }
+
+  /** Exact-L2 scan of the routed cells' members + the serving report
+    * — the flat-IMI tail shared by the fixed-count and budget routes.
+    */
+  private def imiFlatReport(route: DataFrame, cells: DataFrame,
+      x: DataFrame): DataFrame = {
     val arrs = e6Arrays(x)
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -2683,18 +2763,28 @@ object Similarity extends QueryPack {
            ON u.sub = p.sub AND u.c = p.c AND u.j = p.j)"""
 
   /** Shared DuckDB CTE chain builder for the IMI family: the
-    * geometry CTEs (`kkCtes` must define kk(k1); `npCte` must define
-    * np(nprobe) — both mirrored from COUNT(*)), the lifted e6 frame,
-    * the two-half subspace frame, the k1-seed Lloyd chain (ic2 =
-    * trained half codebook), the composite-cell membership and the
-    * nprobe-cell multi-sequence route. `seedrank` is shared with the
-    * PQ chains, which cut their own count-scaled seeds from the same
-    * ordering. Two instances: [[imiCtes]] (share-pinned geometry —
-    * q256/q253/q255/q257) and [[imiSqrtCtes]] (√n geometry — q258).
+    * geometry CTEs (`kkCtes` must define kk(k1); `geomCte` defines
+    * the probe-side budget — np(nprobe) for the share-pinned family,
+    * bgt(budget) for the √n family — both mirrored from COUNT(*)),
+    * the lifted e6 frame, the two-half subspace frame, the k1-seed
+    * Lloyd chain over `rounds` unrolled rounds (ic$rounds = trained
+    * half codebook), the composite-cell membership, the per-query
+    * half-distance frame `hdd`, and the caller-supplied `routeCte`
+    * (must emit route(qid, cell)). `seedrank` is shared with the PQ
+    * chains, which cut their own count-scaled seeds from the same
+    * ordering. Two instances: [[imiCtes]] (share-pinned geometry,
+    * rank route, 2 rounds — q256/q253/q255/q257) and [[imiSqrtCtes]]
+    * (√n geometry, scan-budget route, [[SQRT_ROUNDS]] rounds —
+    * q258/q260).
     */
-  private def imiCtesWith(kkCtes: String, npCte: String): String =
+  private def imiCtesWith(kkCtes: String, geomCte: String,
+      routeCte: String, rounds: Int): String = {
+    val chain = (1 to rounds).map(i =>
+      lloydRoundSql("xs2", s"ic${i - 1}", s"ia$i", s"iu$i", s"ic$i"))
+      .mkString(",\n       ")
+    val icN = s"ic$rounds"
     s"""$kkCtes,
-       $npCte,
+       $geomCte,
        x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
            CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
          FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2710,15 +2800,15 @@ object Similarity extends QueryPack {
          WHERE rn <= (SELECT k1 FROM kk)),
        ic0 AS (SELECT xs2.sub, s.c, xs2.j, xs2.x AS v
               FROM iseeds s JOIN xs2 ON xs2.vec_id = s.vec_id),
-       ${lloydRoundSql("xs2", "ic0", "ia1", "iu1", "ic1")},
-       ${lloydRoundSql("xs2", "ic1", "ia2", "iu2", "ic2")},
+       $chain,
        halfc AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                ORDER BY d.dd, d.c) AS rn
            FROM (SELECT xs2.vec_id, xs2.sub, c.c,
                    SUM((xs2.x - c.v)*(xs2.x - c.v)) AS dd
-                 FROM xs2 JOIN ic2 c ON c.sub = xs2.sub AND c.j = xs2.j
+                 FROM xs2 JOIN $icN c ON c.sub = xs2.sub
+                   AND c.j = xs2.j
                  GROUP BY 1, 2, 3) d) WHERE rn = 1),
        cells AS (SELECT vec_id,
            MAX(CASE WHEN sub = 0 THEN c END) * (SELECT k1 FROM kk) +
@@ -2726,9 +2816,24 @@ object Similarity extends QueryPack {
          FROM halfc GROUP BY 1),
        hdd AS (SELECT q.vec_id AS qid, c.sub, c.c,
                SUM((q.x - c.v)*(q.x - c.v)) AS dd
-             FROM xs2 q JOIN ic2 c ON c.sub = q.sub AND c.j = q.j
+             FROM xs2 q JOIN $icN c ON c.sub = q.sub AND c.j = q.j
              WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
-       route AS (SELECT qid, cell FROM (
+       $routeCte"""
+  }
+
+  /** The share-pinned instance: k1 from the ÷128 key rule, nprobe
+    * from the shared probe rule at [[IMI_PROBE_DIVISOR]] (the
+    * constants interpolated from the SAME vals the Spark side reads,
+    * so engine and oracle can never desynchronize on a divisor edit),
+    * top-nprobe rank route, historical 2 Lloyd rounds.
+    */
+  private val imiCtes = imiCtesWith(
+    s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
+           ((${IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
+           AS k1 FROM embeddings)""",
+    s"""np AS (SELECT ${IndexStore.scaledProbesSql("k1 * k1",
+           IMI_PROBE_DIVISOR, IMI_PROBE_FLOOR)} AS nprobe FROM kk)""",
+    """route AS (SELECT qid, cell FROM (
            SELECT a.qid,
              a.c * (SELECT k1 FROM kk) + b.c AS cell,
              RANK() OVER (PARTITION BY a.qid
@@ -2736,32 +2841,38 @@ object Similarity extends QueryPack {
                  a.c * (SELECT k1 FROM kk) + b.c) AS rn
            FROM hdd a JOIN hdd b ON b.qid = a.qid
            WHERE a.sub = 0 AND b.sub = 1)
-         WHERE rn <= (SELECT nprobe FROM np))"""
+         WHERE rn <= (SELECT nprobe FROM np))""",
+    rounds = 2)
 
-  /** The share-pinned instance: k1 from the ÷128 key rule, nprobe
-    * from the shared probe rule at [[IMI_PROBE_DIVISOR]] (the
-    * constants interpolated from the SAME vals the Spark side reads,
-    * so engine and oracle can never desynchronize on a divisor edit).
-    */
-  private val imiCtes = imiCtesWith(
-    s"""kk AS (SELECT (CAST(1 AS BIGINT) <<
-           ((${IndexStore.scaledBitsSql(128, 4)} + 1) // 2))
-           AS k1 FROM embeddings)""",
-    s"""np AS (SELECT ${IndexStore.scaledProbesSql("k1 * k1",
-           IMI_PROBE_DIVISOR, IMI_PROBE_FLOOR)} AS nprobe FROM kk)""")
-
-  /** The √n instance (q258): k1 and nprobe both derived from ONE
-    * mirrored bit-length of COUNT(*)−1 — [[IndexStore.sqrtCellK1Sql]]
-    * and [[IndexStore.logProbesSql]], the twins of the Spark side's
-    * [[imiSqrtGeom]].
+  /** The √n instance (q258/q260): k1 from the mirrored integer 4th
+    * root ([[IndexStore.sqrtCellK1Sql]]), the probe side a SCAN
+    * BUDGET ([[IndexStore.scanBudgetSql]] — the twin of the Spark
+    * side's [[imiSqrtGeom]]) consumed by a cumulative-occupancy
+    * prefix route over the multi-sequence order, and the trained
+    * half codebooks at [[SQRT_ROUNDS]] unrolled Lloyd rounds.
     */
   private val imiSqrtCtes = imiCtesWith(
     s"""bb AS (SELECT ${IndexStore.bitLenSql} AS bits FROM embeddings),
        kk AS (SELECT CAST(${IndexStore
            .sqrtCellK1Sql("bits", SQRT_K1_FLOOR)} AS BIGINT)
            AS k1 FROM bb)""",
-    s"""np AS (SELECT ${IndexStore.logProbesSql("bits",
-           SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR)} AS nprobe FROM bb)""")
+    s"""bgt AS (SELECT ${IndexStore.scanBudgetSql(
+           "SELECT COUNT(*) FROM embeddings",
+           SQRT_SCAN_MULT, SQRT_SCAN_FLOOR)} AS budget)""",
+    """cellsz AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY 1),
+       comp AS (SELECT a.qid,
+             a.c * (SELECT k1 FROM kk) + b.c AS cell,
+             a.dd + b.dd AS dd
+           FROM hdd a JOIN hdd b ON b.qid = a.qid
+           WHERE a.sub = 0 AND b.sub = 1),
+       route AS (SELECT qid, cell FROM (
+           SELECT c.qid, c.cell, COALESCE(z.sz, 0) AS sz,
+             SUM(COALESCE(z.sz, 0)) OVER (PARTITION BY c.qid
+               ORDER BY c.dd, c.cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM comp c LEFT JOIN cellsz z ON z.cell = c.cell)
+         WHERE cum - sz < (SELECT budget FROM bgt))""",
+    rounds = SQRT_ROUNDS)
 
   /** The exact-ground-truth + report tail shared by the IMI oracles:
     * rank `$served` (qid, cid, dist) to top-5, full-scan exact top-5,
@@ -2813,13 +2924,23 @@ object Similarity extends QueryPack {
     * across the 1000× span). Real embedding corpora cluster, and on
     * clustered data recall comes from ROUTING INTO the structure,
     * not from scanned share — the standard IVF sizing for that
-    * regime is cells ≈ √n with a ~flat probe count at the knee.
+    * regime is cells ≈ √n with a bounded per-query scan at the knee.
     * Here: k1 = [[IndexStore.sqrtCellK1]] (composite cells = k1² ∈
-    * [√n, 4√n)), nprobe = [[IndexStore.logProbes]] (≈ log₄ n,
-    * floor 4) — BOTH from one exact integer bit-length of COUNT(*)−1,
-    * mirrored in the oracle, so per-query scan is occupancy · nprobe
-    * ≈ √n·log n. Machinery identical to q256 (one trained half-space
-    * Lloyd chain, multi-sequence route, exact integer L2 in the
+    * [√n, 2.9√n)), and since round 12 the probe side is a SCAN
+    * BUDGET ([[IndexStore.scanBudget]]: T = max(64, 4·⌊√n⌋), the
+    * measured clustered-arm knee): the router probes cells in
+    * multi-sequence order until their cumulative membership reaches
+    * T — BOTH rules from one COUNT(*), mirrored in the oracle, so
+    * per-query scan is pinned to ~4√n (exactly √10 per decade; the
+    * round-11 fixed nprobe=4 both let recall slide with scale —
+    * 0.94 → 0.67 across 100× as 4 probes covered a shrinking share
+    * of the refining cell space — and inherited the ±2.9× cell-count
+    * jitter of the integer 4th root into the scan trend). The
+    * half-space codebooks train [[SQRT_ROUNDS]] = 4 Lloyd rounds
+    * (measured: +0.09 recall at equal scan vs 2 rounds at the sf1
+    * point — router quality bought at one-time build cost).
+    * Machinery otherwise identical to q256 (one trained half-space
+    * Lloyd chain, multi-sequence ranking, exact integer L2 in the
     * probed cells); only the geometry derivation differs. The recall
     * claim is made PER CORPUS ARM: on the planted-cluster arm the
     * trained router must beat the q259 random-partition control at
@@ -2829,8 +2950,8 @@ object Similarity extends QueryPack {
     * the shipped fallback for structureless corpora.
     */
   private def q258ImiSqrt(s: SparkSession, d: String): DataFrame = {
-    val (k1, nprobe) = imiSqrtGeom(s, d)
-    imiIvfReportAt(s, d, k1, nprobe)
+    val (k1, budget) = imiSqrtGeom(s, d)
+    imiIvfReportBudget(s, d, k1, budget, SQRT_ROUNDS)
   }
 
   private val q258Sql = imiFlatSql(imiSqrtCtes)
@@ -2840,10 +2961,10 @@ object Similarity extends QueryPack {
     * exploited" claim measurable (without it, a recall number can't
     * distinguish a trained quantizer from any partition of the same
     * occupancy): members land in cell = md5-hash(vec_id) mod k1²
-    * (uniform, data-blind) and each query probes the same NPROBE
-    * cells by a hash of its own id — identical cell count, identical
-    * expected occupancy, identical probe count, therefore identical
-    * expected n_scanned, but ZERO use of vector geometry. Expected
+    * (uniform, data-blind) and each query probes consecutive hash
+    * cells from its own id's seed until the SAME scan budget is
+    * reached — identical cell count, identical expected occupancy,
+    * identical scanned mass, but ZERO use of vector geometry. Expected
     * recall is exactly the scanned share on ANY corpus; q258 must
     * beat it wherever structure exists (the clustered-arm recall
     * gate), and matching it is the proof a corpus is structureless.
@@ -2851,7 +2972,7 @@ object Similarity extends QueryPack {
     * so the control is hash-gated like any other query.
     */
   private def q259RandomRoute(s: SparkSession, d: String): DataFrame = {
-    val (k1, nprobe) = imiSqrtGeom(s, d)
+    val (k1, budget) = imiSqrtGeom(s, d)
     val cells = (k1 * k1).toLong
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // members, route and ground truth all scan it
@@ -2862,12 +2983,28 @@ object Similarity extends QueryPack {
     val members = arrs.select(col("vec_id").as("cid"),
       cellOf("ctrlcell", col("vec_id")).as("cell"),
       col("v").as("cv"), col("n2").as("cn2"))
+    // budget-matched control (round 12, tracking q258's probe rule):
+    // consecutive hash cells from the query's own hash seed until
+    // their cumulative membership reaches the SAME scan budget —
+    // identical cell count, identical expected occupancy, identical
+    // scanned mass, zero use of vector geometry
+    val sizes = members.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("i").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val route = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
-        explode(sequence(lit(0L), lit(nprobe - 1L))).as("i"))
-      .select(col("qid"),
+        explode(sequence(lit(0L), lit(cells - 1L))).as("i"))
+      .select(col("qid"), col("i"),
         pmod(cellOf("ctrlprobe", col("qid")) + col("i"), lit(cells))
           .as("cell"))
+      .join(sizes, Seq("cell"), "left")
+      .withColumn("sz", coalesce(col("sz"), lit(0L)))
+      .withColumn("cum", sum(col("sz")).over(w))
+      .filter(col("cum") - col("sz") < budget)
+      .select(col("qid"), col("cell"))
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
@@ -2890,8 +3027,9 @@ object Similarity extends QueryPack {
        kk AS (SELECT CAST(${IndexStore
            .sqrtCellK1Sql("bits", SQRT_K1_FLOOR)} AS BIGINT)
            AS k1 FROM bb),
-       np AS (SELECT ${IndexStore.logProbesSql("bits",
-           SQRT_PROBE_DIVISOR, SQRT_PROBE_FLOOR)} AS nprobe FROM bb),
+       bgt AS (SELECT ${IndexStore.scanBudgetSql(
+           "SELECT COUNT(*) FROM embeddings",
+           SQRT_SCAN_MULT, SQRT_SCAN_FLOOR)} AS budget),
        x AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
            CAST(ROUND(CAST(e AS DOUBLE)*1000000) AS BIGINT) AS x
          FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2900,13 +3038,21 @@ object Similarity extends QueryPack {
        members AS (SELECT vec_id AS cid,
            ${cellOf("ctrlcell", "vec_id")} AS cell
          FROM (SELECT DISTINCT vec_id FROM x)),
-       route AS (SELECT q.vec_id AS qid,
+       cellsz AS (SELECT cell, COUNT(*) AS sz FROM members GROUP BY 1),
+       walk AS (SELECT q.vec_id AS qid, i.i,
            (${cellOf("ctrlprobe", "q.vec_id")} + i.i)
              % (SELECT k1 * k1 FROM kk) AS cell
          FROM (SELECT DISTINCT vec_id FROM x) q
          CROSS JOIN (SELECT unnest(range(0,
-           (SELECT nprobe FROM np))) AS i) i
+           (SELECT k1 * k1 FROM kk))) AS i) i
          WHERE q.vec_id < 20),
+       route AS (SELECT qid, cell FROM (
+           SELECT w.qid, w.cell, COALESCE(z.sz, 0) AS sz,
+             SUM(COALESCE(z.sz, 0)) OVER (PARTITION BY w.qid
+               ORDER BY w.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM walk w LEFT JOIN cellsz z ON z.cell = w.cell)
+         WHERE cum - sz < (SELECT budget FROM bgt)),
        scanned AS (SELECT r.qid, m.cid,
              SUM((q.x - m2.x)*(q.x - m2.x)) AS dist
            FROM route r JOIN members m ON m.cell = r.cell
@@ -3149,11 +3295,11 @@ object Similarity extends QueryPack {
     * by a single canonical plan.
     */
   private[graft] def imiResidualSubspaces(s: SparkSession, d: String,
-      k1: Int): DataFrame = {
+      k1: Int, rounds: Int = 2): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding")
     val xs2 = VectorOps.pqSubspaces(x, subDim = 32)
-    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = 2)
-    val cent = IndexStore.codebook(xs2, k = k1, rounds = 2)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = rounds)
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = rounds)
     val rx = x
       .withColumn("sub", expr("dim div 32"))
       .withColumn("j", col("dim") % 32)
@@ -3184,15 +3330,27 @@ object Similarity extends QueryPack {
     * shortlist exactly.
     */
   private def imiResidualAdc(s: SparkSession, d: String,
-      k1: Int, nprobe: Int): (DataFrame, DataFrame) = {
+      k1: Int, nprobe: Int): (DataFrame, DataFrame) =
+    imiResidualAdcWith(s, d, k1, rounds = 2,
+      (x, cent, _) => imiRoute(x, cent, k1, nprobe))
+
+  /** [[imiResidualAdc]] generalized over the coarse geometry: Lloyd
+    * `rounds` for the half-space quantizer and a route provider
+    * (fixed-count for the share-pinned family, scan-budget for the
+    * √n family — q260).
+    */
+  private def imiResidualAdcWith(s: SparkSession, d: String, k1: Int,
+      rounds: Int,
+      routeOf: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : (DataFrame, DataFrame) = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // residual build, query frames and ground truth scan it
     val kq = pqK(s, d) // count-scaled PQ code budget
-    val (cent, cells) = imiQuantizer(x, k1)
-    val rxs = imiResidualSubspaces(s, d, k1)
+    val (cent, cells) = imiQuantizer(x, k1, rounds)
+    val rxs = imiResidualSubspaces(s, d, k1, rounds)
     val rCent = IndexStore.codebook(rxs, k = kq, rounds = 2)
     val rCodes = IndexStore.codes(rxs, k = kq, rounds = 2)
-    val route = imiRoute(x, cent, k1, nprobe)
+    val route = routeOf(x, cent, cells)
     // per-(query, probed cell) residual → per-cell ADC table: the
     // probed composite cell decomposes into its two half codes
     // (cell div k1, cell mod k1), each resolving its own half-space
@@ -3254,8 +3412,15 @@ object Similarity extends QueryPack {
     * RecallCurve sweep's refined-IVFPQ family.
     */
   private[graft] def imiRefineReportAt(s: SparkSession, d: String,
-      k1: Int, nprobe: Int): DataFrame = {
-    val (adc, arrs) = imiResidualAdc(s, d, k1, nprobe)
+      k1: Int, nprobe: Int): DataFrame =
+    refineReport(imiResidualAdc(s, d, k1, nprobe))
+
+  /** ADC shortlist → exact top-R re-rank → serving report: the refine
+    * tail shared by q257 (share-pinned route) and q260 (scan-budget
+    * route on the √n cells).
+    */
+  private def refineReport(adcArrs: (DataFrame, DataFrame)): DataFrame = {
+    val (adc, arrs) = adcArrs
     val shortlist = TopKOps.topKPerGroup(adc, Seq(col("qid")),
       Seq(col("dist").asc, col("cid").asc), REFINE_R)
       .select(col("qid"), col("cid"))
@@ -3273,20 +3438,25 @@ object Similarity extends QueryPack {
     ivfServingReport(refined, arrs, cost = Some(adc))
   }
 
-  private val q257Sql =
-    s"""WITH $imiCtes,
-       $pqKSqlCte,
-       rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
+  /** The residual-PQ CTE block shared by every residual/refine oracle
+    * at ANY coarse geometry: residualize against the chain's trained
+    * half-space centroids (`ic2`/`halfc` from [[imiCtesWith]]), train
+    * the count-scaled residual PQ chain, build the per-(query, probed
+    * cell) ADC tables and score the probed cells' members — emits
+    * `radc` (qid, cid, ADC dist).
+    */
+  private def residualAdcCtes(icN: String) =
+    s"""rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
               FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
                 AND hc.sub = x.dim // 32
-              JOIN ic2 cv ON cv.sub = hc.sub AND cv.c = hc.c
+              JOIN $icN cv ON cv.sub = hc.sub AND cv.c = hc.c
                 AND cv.j = x.dim % 32),
        rxs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM rx),
        ${pqChainSql("rxs", "r")},
        qr AS (SELECT q.vec_id AS qid, r.cell,
                 q.dim // 8 AS sub, q.dim % 8 AS j, q.x - cv.v AS qx
               FROM x q JOIN route r ON r.qid = q.vec_id
-              JOIN ic2 cv ON cv.sub = q.dim // 32
+              JOIN $icN cv ON cv.sub = q.dim // 32
                 AND cv.c = CASE WHEN q.dim // 32 = 0
                   THEN r.cell // (SELECT k1 FROM kk)
                   ELSE r.cell % (SELECT k1 FROM kk) END
@@ -3303,7 +3473,16 @@ object Similarity extends QueryPack {
               FROM cand cd JOIN rcodes k ON k.vec_id = cd.cid
               JOIN rtab t ON t.qid = cd.qid AND t.cell = cd.cell
                 AND t.sub = k.sub AND t.c = k.c
-              GROUP BY 1, 2),
+              GROUP BY 1, 2)"""
+
+  /** The residual-IVFPQ + exact-refine oracle at a given geometry-CTE
+    * chain — q257 (share-pinned) and q260 (√n) differ ONLY in how
+    * kk/np are derived, exactly like q256/q258.
+    */
+  private def imiRefineSql(ctes: String, icN: String): String =
+    s"""WITH $ctes,
+       $pqKSqlCte,
+       ${residualAdcCtes(icN)},
        short AS (SELECT qid, cid FROM (
            SELECT qid, cid, RANK() OVER (PARTITION BY qid
              ORDER BY dist, cid) AS rn FROM radc)
@@ -3315,40 +3494,45 @@ object Similarity extends QueryPack {
              GROUP BY 1, 2),
        ${imiReportTailSql("refined", cost = "radc")}"""
 
+  private val q257Sql = imiRefineSql(imiCtes, "ic2")
+
+  /** q260: the PRODUCTION serving stack COMPOSED — residual IVFPQ +
+    * exact refine (q257's machinery) over the √n-cell geometry
+    * (q258's [[imiSqrtGeom]]: cells ≈ √n, nprobe ≈ log₄ n) instead of
+    * the share-pinned cells. Round 11 shipped both halves separately
+    * and measured the gap that leaves (SERVE_r11 sf1-clustered: the
+    * refine family scanned 1364.75 candidates at p50 556 ms over the
+    * share-pinned route where ivf_sqrt scanned 483.5 at 71 ms for
+    * comparable recall); this query is the multiplication — faiss's
+    * actual large-scale recipe is IVFPQ(by_residual) + IndexRefineFlat
+    * over √n-sized inverted lists, i.e. compressed Θ(√n·log n) scan +
+    * constant-R exact re-rank, sublinear end to end. Machinery is
+    * identical to q257 (residuals against the trained half-space
+    * centroids, count-scaled k_pq codebook, per-(query, cell) ADC
+    * tables, top-R exact refine); ONLY the kk/np geometry derivation
+    * differs — exactly the q256 → q258 relationship, so the oracle is
+    * [[imiRefineSql]] over [[imiSqrtCtes]]. Same recall caveat as
+    * every √n-family member: the sublinear sizing presumes cluster
+    * structure to route into (gated on the clustered arm vs the q259
+    * control); on isotropic corpora the share-pinned q257 remains the
+    * documented fallback.
+    */
+  private def q260IvfPqSqrtRefine(s: SparkSession, d: String): DataFrame = {
+    val (k1, budget) = imiSqrtGeom(s, d)
+    refineReport(imiResidualAdcWith(s, d, k1, rounds = SQRT_ROUNDS,
+      (x, cent, cells) => imiRouteBudget(x, cent, k1, cells, budget)))
+  }
+
+  private val q260Sql = imiRefineSql(imiSqrtCtes, s"ic$SQRT_ROUNDS")
+
   private val q255Sql =
     s"""WITH $imiCtes,
        $pqKSqlCte,
-       rx AS (SELECT x.vec_id, x.dim, x.x - cv.v AS x
-              FROM x JOIN halfc hc ON hc.vec_id = x.vec_id
-                AND hc.sub = x.dim // 32
-              JOIN ic2 cv ON cv.sub = hc.sub AND cv.c = hc.c
-                AND cv.j = x.dim % 32),
-       rxs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM rx),
-       ${pqChainSql("rxs", "r")},
-       qr AS (SELECT q.vec_id AS qid, r.cell,
-                q.dim // 8 AS sub, q.dim % 8 AS j, q.x - cv.v AS qx
-              FROM x q JOIN route r ON r.qid = q.vec_id
-              JOIN ic2 cv ON cv.sub = q.dim // 32
-                AND cv.c = CASE WHEN q.dim // 32 = 0
-                  THEN r.cell // (SELECT k1 FROM kk)
-                  ELSE r.cell % (SELECT k1 FROM kk) END
-                AND cv.j = q.dim % 32
-              WHERE q.vec_id < 20),
-       rtab AS (SELECT qr.qid, qr.cell, qr.sub, c.c,
-                SUM((qr.qx - c.v)*(qr.qx - c.v)) AS dd
-              FROM qr JOIN rc2 c ON c.sub = qr.sub AND c.j = qr.j
-              GROUP BY 1, 2, 3, 4),
-       cand AS (SELECT r.qid, r.cell, m.vec_id AS cid
-              FROM route r JOIN cells m ON m.cell = r.cell
-              WHERE m.vec_id <> r.qid),
-       radc AS (SELECT cd.qid, cd.cid, SUM(t.dd) AS dist
-              FROM cand cd JOIN rcodes k ON k.vec_id = cd.cid
-              JOIN rtab t ON t.qid = cd.qid AND t.cell = cd.cell
-                AND t.sub = k.sub AND t.c = k.c
-              GROUP BY 1, 2),
+       ${residualAdcCtes("ic2")},
        ${imiReportTailSql("radc")}"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_ivfpq_sqrt_refine" -> q260IvfPqSqrtRefine,
     "q259_random_route" -> q259RandomRoute,
     "q258_imi_sqrt" -> q258ImiSqrt,
     "q257_ivfpq_refine" -> q257IvfPqRefine,
@@ -3407,6 +3591,7 @@ object Similarity extends QueryPack {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q260_ivfpq_sqrt_refine" -> materialized(q260Sql),
     "q259_random_route" -> materialized(q259Sql),
     "q258_imi_sqrt" -> materialized(q258Sql),
     "q257_ivfpq_refine" -> materialized(q257Sql),

@@ -78,11 +78,25 @@ class KeySpaceScalingSpec extends AnyFunSuite {
       assert(cells <= 3 * math.sqrt(n.toDouble).ceil.toLong + 4,
         s"n=$n cells=$cells far above sqrt(n)")
     }
-    // the probe rule: log-growth with a floor — flat across the
-    // shipped decades, 8 probes at a 10-billion-vector corpus
-    assert(IndexStore.logProbes(9, 4, 4) === 4)
-    assert(IndexStore.logProbes(15, 4, 4) === 4)
-    assert(IndexStore.logProbes(34, 4, 4) === 8)
+    // the probe rule (round 12): a SCAN BUDGET of max(64, 4·⌊√n⌋) —
+    // isqrt exact at perfect squares and off-by-one edges, budget
+    // exactly √10 per decade once past the floor
+    assert(IndexStore.isqrt(0) === 0 && IndexStore.isqrt(1) === 1)
+    assert(IndexStore.isqrt(15) === 3 && IndexStore.isqrt(16) === 4)
+    assert(IndexStore.isqrt(2000) === 44)
+    assert(IndexStore.isqrt(20000) === 141)
+    assert(IndexStore.isqrt(999999999999L) === 999999)
+    assert(IndexStore.isqrt(1000000000000L) === 1000000)
+    assert(IndexStore.scanBudget(100, 4, 64) === 64) // floor regime
+    assert(IndexStore.scanBudget(500, 4, 64) === 88)
+    assert(IndexStore.scanBudget(2000, 4, 64) === 176)
+    assert(IndexStore.scanBudget(20000, 4, 64) === 564)
+    assert(IndexStore.scanBudget(200000, 4, 64) === 1788)
+    // per-decade scan growth is pinned to ~√10 at ANY corpus size
+    // (the round-11 fixed-nprobe rule inherited the ±2.9× jitter of
+    // the integer-4th-root cell count into the scan trend)
+    assert(IndexStore.scanBudget(10000000000L, 4, 64) === 400000L)
+    assert(IndexStore.scanBudget(100000000000L, 4, 64) === 1264908L)
     // the PQ code-budget rule (divisor 512, 4..8 bits/sub): 16
     // centroids at the shipped SFs (zero output churn), 64 at the
     // synthetic sf1 point, 256 (the faiss 8-bit default) past ~131k
