@@ -61,11 +61,13 @@ for sf in 0.01 0.1 1 10; do
   fi
 done
 
+TEST_EXIT=skipped
+GATE_FAIL=0
+if [ -z "$SPARK_GRAFT_SKIP_GATES" ]; then
 sbt -batch test > /tmp/r12_test.log 2>&1
 TEST_EXIT=$?
 echo "TEST_EXIT=$TEST_EXIT $(grep -E 'Tests: succeeded' /tmp/r12_test.log | tail -1)" >> $STATUS
 
-GATE_FAIL=0
 for sf in 0.001 0.01 0.1; do
   rm -rf /tmp/verify_r12_$sf
   sbt -batch "runMain graft.Verify /root/testdata/sf$sf /tmp/verify_r12_$sf" > /tmp/r12_verify_$sf.log 2>&1
@@ -86,26 +88,10 @@ python3 scripts/oracle_check.py /root/repo/testdata-sf1 /tmp/verify_r12_sf1 > /t
 SF1_OK=$(grep -cE '^OK' /tmp/r12_oracle_sf1.log)
 echo "GATE_sf1_targeted ok=$SF1_OK/$SF1_N" >> $STATUS
 [ "$SF1_OK" -ne "$SF1_N" ] && GATE_FAIL=1
-
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.PerfProfile" > /tmp/r12_perf.log 2>&1
-run_json_stage PERF /tmp/r12_perf.log '{"sf".*}' /root/repo/PERF_r12.json $?
-
-sbt -batch "runMain graft.ScaleBench" > /tmp/r12_scale.log 2>&1
-run_json_stage SCALE /tmp/r12_scale.log '{"sfs".*}' /root/repo/SCALING_r12.json $?
-
-rm -f /tmp/STREAMBENCH_r12.json
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.StreamBench /tmp/STREAMBENCH_r12.json" > /tmp/r12_stream.log 2>&1
-promote STREAM /tmp/STREAMBENCH_r12.json /root/repo/STREAMBENCH_r12.json $?
+fi # SPARK_GRAFT_SKIP_GATES
 
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /tmp/r12_bench.log 2>&1
 echo "BENCH_EXIT=$? last_line_parses=$(tail -1 /tmp/r12_bench.log | python3 -c 'import json,sys; json.load(sys.stdin); print(1)' 2>/dev/null)" >> $STATUS
-
-sbt -batch "runMain graft.PlanDump" > /tmp/r12_plans.log 2>&1
-echo "PLANS_EXIT=$?" >> $STATUS
-
-rm -f /tmp/ITERSCALE_r12.json
-sbt -batch "runMain graft.IterScale /tmp/ITERSCALE_r12.json" > /tmp/r12_iter.log 2>&1
-promote ITER /tmp/ITERSCALE_r12.json /root/repo/ITERSCALE_r12.json $?
 
 rm -f /tmp/SERVE_r12.json
 SPARK_GRAFT_SERVE_SFS="/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1,/root/repo/testdata-sf1" \
@@ -129,6 +115,26 @@ else
 fi
 [ $RECALL_EXIT -ne 0 ] && GATE_FAIL=1
 
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.PerfProfile" > /tmp/r12_perf.log 2>&1
+run_json_stage PERF /tmp/r12_perf.log '{"sf".*}' /root/repo/PERF_r12.json $?
+
+SPARK_GRAFT_BENCH_REPEATS=1 sbt -batch "runMain graft.ScaleBench /root/repo/testdata-sf0.1-synth /root/repo/testdata-sf1" > /tmp/r12_sf1full.log 2>&1
+run_json_stage SF1FULL /tmp/r12_sf1full.log '{"sfs".*}' /root/repo/SCALING_SF1_FULL.json $?
+
+sbt -batch "runMain graft.ScaleBench" > /tmp/r12_scale.log 2>&1
+run_json_stage SCALE /tmp/r12_scale.log '{"sfs".*}' /root/repo/SCALING_r12.json $?
+
+rm -f /tmp/STREAMBENCH_r12.json
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.StreamBench /tmp/STREAMBENCH_r12.json" > /tmp/r12_stream.log 2>&1
+promote STREAM /tmp/STREAMBENCH_r12.json /root/repo/STREAMBENCH_r12.json $?
+
+rm -f /tmp/ITERSCALE_r12.json
+sbt -batch "runMain graft.IterScale /tmp/ITERSCALE_r12.json" > /tmp/r12_iter.log 2>&1
+promote ITER /tmp/ITERSCALE_r12.json /root/repo/ITERSCALE_r12.json $?
+
+sbt -batch "runMain graft.PlanDump" > /tmp/r12_plans.log 2>&1
+echo "PLANS_EXIT=$?" >> $STATUS
+
 # recall-vs-nprobe operating curve, BOTH corpus arms; the imi_sqrt
 # family sweeps at the shipped 4-round router
 rm -f /tmp/RECALL_CURVE_r12.json
@@ -136,8 +142,5 @@ SPARK_GRAFT_CURVE_SFS="/root/testdata/sf0.1,/root/repo/testdata-sf1" \
 SPARK_GRAFT_CURVE_CLUSTERED_SFS="/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered" \
   sbt -batch "runMain graft.RecallCurve /tmp/RECALL_CURVE_r12.json" > /tmp/r12_curve.log 2>&1
 promote CURVE /tmp/RECALL_CURVE_r12.json /root/repo/RECALL_CURVE_r12.json $?
-
-SPARK_GRAFT_BENCH_REPEATS=1 sbt -batch "runMain graft.ScaleBench /root/repo/testdata-sf0.1-synth /root/repo/testdata-sf1" > /tmp/r12_sf1full.log 2>&1
-run_json_stage SF1FULL /tmp/r12_sf1full.log '{"sfs".*}' /root/repo/SCALING_SF1_FULL.json $?
 
 echo "ALL_DONE test=$TEST_EXIT gate_fail=$GATE_FAIL" >> $STATUS

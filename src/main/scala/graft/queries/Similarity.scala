@@ -1714,13 +1714,13 @@ object Similarity extends QueryPack {
     * the corpus (4·n_lang ≤ n_total, exact integer test) it
     * brute-force scans the filtered subset (pre-filter — cheaper than
     * routing, recall 1 by construction); otherwise it routes through
-    * the COUNT-SCALED IMI composite cells (round 11 — previously the
-    * 10 label cells, a quantizer whose per-probe scan grew linearly
-    * with the corpus) at the shared probe rule's nprobe and applies
-    * the predicate to the probed cells' members (post-filter — the
-    * scan stays a bounded share of the corpus instead of the
-    * unselective subset, and the filtered path now inherits every
-    * property of the scaled index family). Report per query: strategy
+    * the √n-cell IMI composite cells at the SCAN-BUDGET probe rule
+    * (round 12 — q258's geometry; round 11 used the share-pinned
+    * cells, round 9 the 10 label cells whose per-probe scan grew
+    * linearly with the corpus) and applies the predicate to the
+    * probed cells' members (post-filter — the scan stays ~4√n
+    * instead of the unselective subset, and the filtered path now
+    * inherits the sublinear index family end to end). Report per query: strategy
     * chosen, n_scanned (the cost claim) and n_hits vs the exact
     * filtered full-scan top-5 (the recall claim). Reference analogue:
     * hw4's cosine top-1 (hw4/hw4.py:102-117) with the predicate a
@@ -1755,15 +1755,14 @@ object Similarity extends QueryPack {
       .join(cands,
         col("clang") === col("qlang") && col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), scoreCos.as("cos"))
-    // post path: the count-scaled IMI routing (q256's quantizer at
-    // the shared probe rule), predicate applied inside the probed
-    // composite cells (a candidate's cell is unique → no dup rows)
-    val k1 = imiK1(s, d)
-    val nprobe = IndexStore.scaledProbes(k1 * k1, IMI_PROBE_DIVISOR,
-      IMI_PROBE_FLOOR)
+    // post path (round 12): the √n-cell routing at the SCAN-BUDGET
+    // probe rule (q258's geometry — the filtered path inherits the
+    // sublinear scan), predicate applied inside the probed composite
+    // cells (a candidate's cell is unique → no dup rows)
+    val (k1, budget) = imiSqrtGeom(s, d)
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding")
-    val (cent, cellsTbl) = imiQuantizer(x, k1)
-    val route = imiRoute(x, cent, k1, nprobe)
+    val (cent, cellsTbl) = imiQuantizer(x, k1, SQRT_ROUNDS)
+    val route = imiRouteBudget(x, cent, k1, cellsTbl, budget)
     val postScored = qs.filter(col("strategy") === "post")
       .join(route, Seq("qid"))
       .join(cands.join(cellsTbl.withColumnRenamed("vec_id", "cid"),
@@ -1801,10 +1800,10 @@ object Similarity extends QueryPack {
       .orderBy(col("qid"))
   }
 
-  // lazy: interpolates imiCtes, which is declared further down the
-  // object body (vals initialize in declaration order)
+  // lazy: interpolates imiSqrtCtes, which is declared further down
+  // the object body (vals initialize in declaration order)
   private lazy val q245Sql = {
-    s"""WITH $imiCtes,
+    s"""WITH $imiSqrtCtes,
        $vecsCte,
        m AS (SELECT n.vec_id, n.label, n.v, n.nrm, d.lang
              FROM n JOIN documents d ON d.doc_id = n.vec_id),
