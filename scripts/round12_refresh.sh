@@ -3,8 +3,12 @@
 # synthetic-sf1 gate for the count-scaled probe/IMI/√n regime (now incl.
 # q260 — the composed IVFPQ+refine on the √n geometry), PERF, SCALING,
 # STREAMBENCH, bench, plans, ITERSCALE, SERVE (both corpus arms; adds
-# the ivfpq_refine_sqrt family AND the sf10-clustered decade-past-sf1
-# point), RECALL (a GATE: exit 2 = floor violation or the clustered-arm
+# the ivfpq_refine_sqrt family; the clustered sweep stops at sf1 — the
+# sf10 decade-past-sf1 point is measured via ProbeLab for the FLAT
+# scan-budget family, because the PQ families train k_pq=256 codebooks
+# on the full 200k corpus, a measured multi-hour Lloyd-assignment job;
+# the sampled-training quantizer is the named next-round design),
+# RECALL (a GATE: exit 2 = floor violation or the clustered-arm
 # structure ratio failed; clustered floors now cover ALL swept
 # families), RECALL_CURVE (both arms; imi_sqrt sweeps at the shipped
 # SQRT_ROUNDS router), and the FULL-PACK sf1 scaling point. EVERY
@@ -95,7 +99,7 @@ echo "BENCH_EXIT=$? last_line_parses=$(tail -1 /tmp/r12_bench.log | python3 -c '
 
 rm -f /tmp/SERVE_r12.json
 SPARK_GRAFT_SERVE_SFS="/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1,/root/repo/testdata-sf1" \
-SPARK_GRAFT_SERVE_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered,/root/repo/testdata-sf10-clustered" \
+SPARK_GRAFT_SERVE_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered" \
   sbt -batch "runMain graft.ServeBench /tmp/SERVE_r12.json" > /tmp/r12_serve.log 2>&1
 promote SERVE /tmp/SERVE_r12.json /root/repo/SERVE_r12.json $?
 
@@ -104,7 +108,7 @@ promote SERVE /tmp/SERVE_r12.json /root/repo/SERVE_r12.json $?
 # the round's record either way — but only a freshly-written one.
 rm -f /tmp/RECALL_r12.json
 SPARK_GRAFT_RECALL_SFS="/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1,/root/repo/testdata-sf1" \
-SPARK_GRAFT_RECALL_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered,/root/repo/testdata-sf10-clustered" \
+SPARK_GRAFT_RECALL_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered" \
   sbt -batch "runMain graft.RecallBench /tmp/RECALL_r12.json" > /tmp/r12_recall.log 2>&1
 RECALL_EXIT=$?
 if python3 -c 'import json; json.load(open("/tmp/RECALL_r12.json"))' 2>/dev/null; then

@@ -3,6 +3,19 @@
 # killed mid-SERVE when its controlling session ended). Bench + gates
 # already completed and are recorded in /tmp/r12_status.log /
 # /tmp/r12_bench.log. Same promote-on-green discipline.
+#
+# sf10 NOTE: the SERVE/RECALL clustered sweeps stop at sf1 here where
+# round12_refresh.sh included testdata-sf10-clustered. Measured reason:
+# the PQ families (q253/q255/q257/q260 shapes) train their k_pq=256
+# residual codebooks on the FULL corpus — at 200k vectors that is a
+# 12.8M-subspace-row Lloyd chain whose assignment join materializes
+# ~3.3B pair rows per round (observed: >65 min in the sf10 block,
+# 9.8 GB shuffle mid-flight, single straggler task >28 min CPU).
+# Full-corpus training is exactly what production systems do NOT do
+# (faiss trains on a ~max(256·k, 100k)-point sample); the sampled-
+# training coarse/PQ quantizer is the named next-round design, and the
+# sf10 point for the FLAT √n family (no PQ chain — the scan-budget
+# route itself) is measured and recorded via ProbeLab in ENGINE.md.
 set -x
 cd /root/repo
 STATUS=/tmp/r12_status.log
@@ -37,13 +50,13 @@ run_json_stage () { # name, log, grep-pattern, artifact, rc
 
 rm -f /tmp/SERVE_r12.json
 SPARK_GRAFT_SERVE_SFS="/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1,/root/repo/testdata-sf1" \
-SPARK_GRAFT_SERVE_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered,/root/repo/testdata-sf10-clustered" \
+SPARK_GRAFT_SERVE_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered" \
   sbt -batch "runMain graft.ServeBench /tmp/SERVE_r12.json" > /tmp/r12_serve.log 2>&1
 promote SERVE /tmp/SERVE_r12.json /root/repo/SERVE_r12.json $?
 
 rm -f /tmp/RECALL_r12.json
 SPARK_GRAFT_RECALL_SFS="/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1,/root/repo/testdata-sf1" \
-SPARK_GRAFT_RECALL_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered,/root/repo/testdata-sf10-clustered" \
+SPARK_GRAFT_RECALL_CLUSTERED_SFS="/root/repo/testdata-sf0.01-clustered,/root/repo/testdata-sf0.1-clustered,/root/repo/testdata-sf1-clustered" \
   sbt -batch "runMain graft.RecallBench /tmp/RECALL_r12.json" > /tmp/r12_recall.log 2>&1
 RECALL_EXIT=$?
 if python3 -c 'import json; json.load(open("/tmp/RECALL_r12.json"))' 2>/dev/null; then
