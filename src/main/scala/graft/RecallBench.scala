@@ -92,21 +92,25 @@ object RecallBench {
     // raised 0.40 → 0.50 in round 12: the scan-budget route +
     // 4-round codebooks hold the clustered operating point at
     // 0.94/0.88/0.80 across the 100× span where the fixed-nprobe
-    // rule slid to 0.67 at sf1 — and the sweep now extends a decade
-    // PAST sf1 (sf10-clustered, 200k vectors), where the measured
-    // point is 0.59: the binding limit there is the product
-    // quantizer's n^(1/4) per-half centroid count falling behind the
-    // ~√n planted clusters (the measured curve stays √-shaped — 0.71
-    // at 1.6× budget, 0.78 at 3×), i.e. a COARSE-QUANTIZER limit,
-    // not a probe-rule defect. The floor sits under the sf10 point;
-    // the structural fix (full-space sampled-training coarse
-    // quantizer at k ≈ √n) is the next round's job.
+    // rule slid to 0.67 at sf1. A decade PAST sf1 (sf10-clustered,
+    // 200k vectors — measured builder-side via ProbeLab; the artifact
+    // sweep stops at sf1 because the PQ families' full-corpus
+    // k_pq=256 training is a multi-hour job there) the point is
+    // 0.59: the binding limit is the product quantizer's n^(1/4)
+    // per-half centroid count falling behind the ~√n planted
+    // clusters (the measured curve stays √-shaped — 0.71 at 1.6×
+    // budget, 0.78 at 3×), i.e. a COARSE-QUANTIZER limit, not a
+    // probe-rule defect. The floor sits under that measured sf10
+    // point; the structural fix (full-space SAMPLED-training coarse
+    // quantizer at k ≈ √n — which also retires the training-cost
+    // blocker above) is the next round's job.
     ("q258_imi_sqrt", "clustered") -> 0.50,
     ("q259_random_route", "clustered") -> 0.0,
     // q260 (round 12): the composed IVFPQ+refine on the √n geometry —
-    // clustered 0.94/0.85/0.68/0.42 across the sf0.01→sf10 sweep
-    // (≥ q257's share-pinned recall at ~2.2× less scan at sf1);
-    // uniform floor is the honest noise regime (a ~4√n/n share)
+    // clustered 0.94/0.85/0.68 across the swept sf0.01→sf1 span, 0.42
+    // at the builder-measured sf10 point (≥ q257's share-pinned
+    // recall at ~2.2× less scan at sf1); uniform floor is the honest
+    // noise regime (a ~4√n/n share)
     ("q260_ivfpq_sqrt_refine", "clustered") -> 0.35,
     ("q260_ivfpq_sqrt_refine", "uniform") -> 0.0,
     ("q256_scaled_ivf", "clustered") -> 0.40,
@@ -118,7 +122,7 @@ object RecallBench {
     // structured-data regression in e.g. the multiprobe path would
     // have passed). Floors from the r11 measured mins (q34 .75,
     // q85 .60, q248m .65, q251 .76, q238 .15 across sf0.01→sf1) with
-    // margin widened for the sf10 point the sweep now includes —
+    // margin kept wide for regime shifts past the swept range —
     // q85/q238 route on label cells, which are id-hash partitions on
     // the embeddings-only companions (≈ random routing: their
     // clustered recall is scanned-share physics and DECLINES as the

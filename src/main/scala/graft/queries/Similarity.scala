@@ -3497,7 +3497,7 @@ object Similarity extends QueryPack {
 
   /** q260: the PRODUCTION serving stack COMPOSED — residual IVFPQ +
     * exact refine (q257's machinery) over the √n-cell geometry
-    * (q258's [[imiSqrtGeom]]: cells ≈ √n, nprobe ≈ log₄ n) instead of
+    * (q258's [[imiSqrtGeom]]: cells ≈ √n, scan budget 4√n) instead of
     * the share-pinned cells. Round 11 shipped both halves separately
     * and measured the gap that leaves (SERVE_r11 sf1-clustered: the
     * refine family scanned 1364.75 candidates at p50 556 ms over the
