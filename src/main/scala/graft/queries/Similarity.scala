@@ -110,12 +110,19 @@ object Similarity extends QueryPack {
     if (kq != 16) // q253's raw-PQ frame at the scaled budget
       IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 8),
         k = kq, rounds = 2).count()
-    // the √n-cell IMI family (q258): its own trained half-space
-    // codebook at the sublinear geometry
+    // the √n-cell IMI family (q258/q259/q260): its own trained
+    // half-space codebook at the sublinear geometry and SQRT_ROUNDS
+    // Lloyd rounds (a distinct artifact from the share-pinned
+    // 2-round one even when k1s == k1), plus q260's residual PQ
+    // chain over the √n cells — without these the composed family
+    // paid its whole one-time build inside the first timed query
+    // (SCALING_SF1_FULL measured q260 at 7.1× on the 10× step where
+    // its standing-index siblings read 1.3–1.6×)
     val (k1s, _) = imiSqrtGeom(s, d)
-    if (k1s != k1)
-      IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
-        k = k1s, rounds = 2).count()
+    IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
+      k = k1s, rounds = SQRT_ROUNDS).count()
+    IndexStore.codes(imiResidualSubspaces(s, d, k1s, SQRT_ROUNDS),
+      k = kq, rounds = 2).count()
     ()
   }
 
