@@ -31,29 +31,89 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** THE count-scaled TRAINING-SAMPLE rule (round 13, closing the
+    * measured 100 TB blocker on the BUILD side): every trained
+    * quantizer trains its Lloyd rounds on the
+    * max([[TRAIN_FLOOR]], [[TRAIN_MULT]]·k) smallest rows of the
+    * deterministic "pqseed:" hash-rank ordering — the faiss recipe
+    * (`max_points_per_centroid` = 256: past ~256 points per centroid,
+    * more training data moves centroids by noise, not signal) — and
+    * the full corpus is only ASSIGNED, one broadcast pass per level.
+    * Why it must exist: full-corpus Lloyd at the count-scaled budgets
+    * is O(n·k·d) per round with k growing with n (k_pq saturates at
+    * 256, coarse k ≈ √n), i.e. superlinear TOTAL build cost — at just
+    * 200k vectors (sf10) the k_pq=256 assignment join measured
+    * ~3.3 B pair rows, > 65 min and a 9.8 GB shuffle per round. With
+    * the sample rule the Lloyd frame is ≤ max(floor, 256·k) rows at
+    * ANY corpus size, so training cost stops being a function of n.
+    * The 100k floor keeps every corpus up to 100k vectors (all
+    * committed oracle-swept SFs; sf1 = 20k) training on its FULL
+    * corpus — bit-identical artifacts, zero oracle churn — while the
+    * sf10 decade and beyond get the bounded build. The rule is
+    * mirrored in every trained-quantizer oracle as one
+    * `rn <= trainN` cut over the shared `seedrank` CTE
+    * ([[trainNSql]]), and the seeds are BY CONSTRUCTION the sample's
+    * own first k rows (same ordering), so sampled training re-uses
+    * the seeding machinery the oracles already replay. The env
+    * overrides exist so the twin can be FORCED to bite at small n
+    * and hash-gated (both engines read the same vals — they cannot
+    * desync); committed artifacts always use the defaults.
+    */
+  private[graft] val TRAIN_MULT: Int =
+    sys.env.getOrElse("SPARK_GRAFT_TRAIN_MULT", "256").toInt
+  private[graft] val TRAIN_FLOOR: Int =
+    sys.env.getOrElse("SPARK_GRAFT_TRAIN_FLOOR", "100000").toInt
+
+  /** Training-sample size for a k-centroid quantizer — pure integer
+    * driver arithmetic (a trainer resolves its sample before
+    * launching Lloyd, exactly as it resolves k).
+    */
+  def trainN(k: Int): Long =
+    math.max(TRAIN_FLOOR.toLong, TRAIN_MULT.toLong * k)
+
+  /** DuckDB twin of [[trainN]] over a mirrored k expression. */
+  def trainNSql(kExpr: String): String =
+    s"GREATEST($TRAIN_FLOOR, $TRAIN_MULT * ($kExpr))"
+
+  /** Artifact-key tag of a resolved training-sample size — part of
+    * the content address, so a codebook trained under an overridden
+    * sample rule can never serve a consumer expecting the default.
+    */
+  private def tTag(trainN: Long): String = s"-t$trainN"
+
   /** Trained codebook over a PQ subspace frame (vec_id, sub, j, x):
     * k centroids per subspace, `rounds` integer-exact Lloyd rounds
-    * ([[VectorOps.pqCodebook]]). One full-space subspace = a trained
-    * IVF coarse quantizer; m subspaces = the PQ codebook. Output
-    * (sub, c, j, v), persisted once per (corpus, k, rounds, subspace
-    * projection).
+    * over the [[trainN]]-row hash-rank training sample
+    * ([[VectorOps.pqCodebook]]; `trainNOverride` > 0 pins an explicit
+    * sample size — q261's hash-gated twin proof). One full-space
+    * subspace = a trained IVF coarse quantizer; m subspaces = the PQ
+    * codebook. Output (sub, c, j, v), persisted once per (corpus, k,
+    * rounds, sample, subspace projection).
     */
-  def codebook(xs: DataFrame, k: Int, rounds: Int): DataFrame =
+  def codebook(xs: DataFrame, k: Int, rounds: Int,
+      trainNOverride: Long = -1L): DataFrame = {
+    val tN = if (trainNOverride > 0) trainNOverride else trainN(k)
     ArtifactStore.materializedOnce(xs,
-      ArtifactStore.key(xs, "codebook", s"k$k-r$rounds")) {
-      VectorOps.pqCodebook(xs, k, rounds)
+      ArtifactStore.key(xs, "codebook", s"k$k-r$rounds${tTag(tN)}")) {
+      VectorOps.pqCodebook(xs, k, rounds, tN)
     }
+  }
 
   /** Per-vector code assignment under the trained [[codebook]] —
-    * (vec_id, sub, c). For the full-space quantizer this is the IVF
-    * cell membership table; for m subspaces it is the PQ code table
-    * (the compressed database a store actually keeps hot).
+    * (vec_id, sub, c): the FULL corpus assigned in one broadcast
+    * pass (training itself saw only the sample). For the full-space
+    * quantizer this is the IVF cell membership table; for m
+    * subspaces it is the PQ code table (the compressed database a
+    * store actually keeps hot).
     */
-  def codes(xs: DataFrame, k: Int, rounds: Int): DataFrame =
+  def codes(xs: DataFrame, k: Int, rounds: Int,
+      trainNOverride: Long = -1L): DataFrame = {
+    val tN = if (trainNOverride > 0) trainNOverride else trainN(k)
     ArtifactStore.materializedOnce(xs,
-      ArtifactStore.key(xs, "codes", s"k$k-r$rounds")) {
-      VectorOps.pqAssign(xs, codebook(xs, k, rounds))
+      ArtifactStore.key(xs, "codes", s"k$k-r$rounds${tTag(tN)}")) {
+      VectorOps.pqAssign(xs, codebook(xs, k, rounds, trainNOverride))
     }
+  }
 
   /** SQ8 scalar-quantization table over a lifted (vec_id, dim, x)
     * frame ([[VectorOps.sq8]]): per-dimension stats, uint8 code and
@@ -115,7 +175,8 @@ object IndexStore {
   def ivfMembers(x: DataFrame, k: Int, rounds: Int,
       dim: Int): DataFrame =
     ArtifactStore.materializedOnce(x,
-      ArtifactStore.key(x, "ivfmembers", s"k$k-r$rounds-d$dim"),
+      ArtifactStore.key(x, "ivfmembers",
+        s"k$k-r$rounds-d$dim${tTag(trainN(k))}"),
       partitionBy = Seq("c")) {
       val xs = VectorOps.pqSubspaces(x, dim)
       val arrs = x.groupBy(col("vec_id"))
@@ -266,7 +327,9 @@ object IndexStore {
   /** DuckDB twin of [[isqrt]] over a mirrored count expression: the
     * float sqrt corrected to the exact integer root (one step suffices
     * — double sqrt is correctly rounded, so the raw floor is off by at
-    * most one).
+    * most one). Contract: `nExpr` is interpolated TWICE, so it must be
+    * a deterministic, cheap-to-evaluate scalar expression (the shipped
+    * callers pass COUNT(*) scalar subqueries — both properties hold).
     */
   def isqrtSql(nExpr: String): String =
     s"""(SELECT CASE WHEN (s+1)*(s+1) <= n THEN s+1
@@ -320,7 +383,8 @@ object IndexStore {
   def pqLists(rxs: DataFrame, cells: DataFrame, k: Int, rounds: Int,
       m: Int): DataFrame =
     ArtifactStore.materializedOnce(rxs,
-      ArtifactStore.key(rxs, "pqlists", s"k$k-r$rounds-m$m"),
+      ArtifactStore.key(rxs, "pqlists",
+        s"k$k-r$rounds-m$m${tTag(trainN(k))}"),
       partitionBy = Seq("cell")) {
       codes(rxs, k, rounds)
         .groupBy(col("vec_id"))
@@ -343,7 +407,8 @@ object IndexStore {
   def imiMembers(x: DataFrame, k1: Int, rounds: Int,
       dim: Int): DataFrame =
     ArtifactStore.materializedOnce(x,
-      ArtifactStore.key(x, "imimembers", s"k$k1-r$rounds-d$dim"),
+      ArtifactStore.key(x, "imimembers",
+        s"k$k1-r$rounds-d$dim${tTag(trainN(k1))}"),
       partitionBy = Seq("cell")) {
       val xs2 = VectorOps.pqSubspaces(x, subDim = dim / 2)
       val cells = codes(xs2, k1, rounds).groupBy(col("vec_id"))

@@ -215,24 +215,46 @@ object VectorOps {
     * codebook (a few KB) broadcasts everywhere it joins.
     */
   def pqCodebook(xs: org.apache.spark.sql.DataFrame, k: Int,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      rounds: Int,
+      trainN: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // k smallest (hash, id) via global top-k (TakeOrderedAndProject —
-    // no full sort at corpus scale); the rank-assignment window then
-    // runs over exactly k rows
-    val topK = xs.select(col("vec_id")).distinct()
+    require(trainN >= k,
+      s"trainN=$trainN must cover the $k seeds")
+    // the deterministic hash-rank TRAINING SAMPLE (round 13, the
+    // faiss recipe: quantizers train on a bounded sample — default
+    // max_points_per_centroid = 256 — and the full corpus is only
+    // ASSIGNED, one broadcast pass): the trainN smallest (hash, id)
+    // rows of the SAME "pqseed:" ordering the seeds cut from, so
+    // seeds ⊂ sample by construction and the sample's DuckDB twin is
+    // one `rn <= trainN` predicate over the seedrank CTE every
+    // trained-quantizer oracle already builds. trainN = MaxValue (or
+    // ≥ n) trains on the full corpus, bit-identically to the
+    // historical behavior. Everything is a global top-N
+    // (TakeOrderedAndProject — no full sort at corpus scale); the
+    // rank-assignment window then runs over ≤ trainN rows.
+    val ranked = xs.select(col("vec_id")).distinct()
       .withColumn("h", graft.ops.TextOps.tokenHashReference(
         concat(lit("pqseed:"), col("vec_id").cast("string"))))
-      .orderBy(col("h"), col("vec_id")).limit(k)
-    val seeds = topK
+    val sampling = trainN < Int.MaxValue.toLong
+    val sample = ranked.orderBy(col("h"), col("vec_id"))
+      .limit(if (sampling) trainN.toInt else k)
+    val seeds = sample
       .withColumn("c",
         row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .filter(col("c") < k)
       .select(col("vec_id"), col("c").cast("long").as("c"))
+    // the Lloyd frame: sample rows only — training cost is bounded by
+    // trainN regardless of corpus size (the full-corpus Lloyd at
+    // k ≈ √n was O(n^1.5) total, the measured sf10 build blocker)
+    val xsT =
+      if (sampling)
+        xs.join(broadcast(sample.select(col("vec_id"))), Seq("vec_id"))
+      else xs
     var cent = xs.join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("c"), col("j"), col("x").as("v"))
     for (_ <- 1 to rounds) {
-      val assigned = pqAssign(xs, cent)
-      val updated = assigned.join(xs, Seq("vec_id", "sub"))
+      val assigned = pqAssign(xsT, cent)
+      val updated = assigned.join(xsT, Seq("vec_id", "sub"))
         .groupBy(col("sub"), col("c"), col("j"))
         .agg(expr("(sum(x) + count(1) * 2000000) div count(1) - 2000000")
           .as("nv"))
@@ -246,18 +268,52 @@ object VectorOps {
   /** Nearest-centroid assignment per (vec, subspace): exact integer
     * squared-L2 argmin with centroid-id tie-break → (vec_id, sub, c).
     * After training this IS the PQ encoder (m codes per vector).
+    *
+    * Plan shape (round 13): each (vector, subspace) is gathered into
+    * ONE j-ordered array row, each subspace's whole codebook into ONE
+    * broadcast row of k j-ordered centroid arrays (c ascending), and
+    * the argmin resolves INSIDE a single row-local fold — exact
+    * integer Σ(x−v)² per centroid, strict `<` so the FIRST (= lowest
+    * c, since the array is c-sorted) minimum wins: the identical
+    * (dd asc, c asc) tie-break the historical implementation ranked
+    * with a window, so results are bit-for-bit unchanged and no
+    * oracle moves. What changes is the cost: the old plan joined the
+    * n·DIM lifted frame against all k centroids and windowed the
+    * n·m·k distance rows — at the sf10 point (200k vectors,
+    * k_pq = 256) that is a ~3.3 B-row assignment join with a 9.8 GB
+    * mid-flight shuffle PER Lloyd pass, the measured 100 TB build
+    * blocker. This plan shuffles only the n·m gathered subvector
+    * rows, broadcasts the k·m·subDim codebook (≤ 16 K longs at the
+    * largest shipped budget), and burns the k·subDim arithmetic as
+    * row-local expression work — O(n·m) rows end to end, no
+    * per-centroid row explosion anywhere.
     */
   def pqAssign(xs: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dist = xs.join(broadcast(cent), Seq("sub", "j"))
-      .groupBy(col("vec_id"), col("sub"), col("c"))
-      .agg(sum((col("x") - col("v")) * (col("x") - col("v"))).as("dd"))
-    dist.withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dd"), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("c"))
+    val sv = xs.groupBy(col("vec_id"), col("sub"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("x")))),
+        t => t.getField("x")).as("xa"))
+    val cb = cent.groupBy(col("sub"), col("c"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("v")))),
+        t => t.getField("v")).as("cv"))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("c"), col("cv"))))
+        .as("cbs"))
+    val best = aggregate(col("cbs"),
+      struct(lit(Long.MaxValue).as("dd"), lit(-1L).as("c")),
+      (acc, ce) => {
+        val dd = aggregate(
+          zip_with(col("xa"), ce.getField("cv"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, t) => s + t)
+        when(dd < acc.getField("dd"),
+          struct(dd.as("dd"), ce.getField("c").as("c")))
+          .otherwise(acc)
+      })
+    sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), best.getField("c").as("c"))
   }
 }

@@ -123,6 +123,13 @@ object Similarity extends QueryPack {
       k = k1s, rounds = SQRT_ROUNDS).count()
     IndexStore.codes(imiResidualSubspaces(s, d, k1s, SQRT_ROUNDS),
       k = kq, rounds = 2).count()
+    // q261's sampled-training twin of the √n codebook: an explicit
+    // trainN is part of the artifact key, so the biting-sample chain
+    // is its OWN artifact — warm it with the same override the query
+    // resolves, or q261 pays its whole build in the first timed run
+    val tN261 = math.max(64L, emb(s, d).count() / 4)
+    IndexStore.codes(VectorOps.pqSubspaces(x, subDim = 32),
+      k = k1s, rounds = SQRT_ROUNDS, trainNOverride = tN261).count()
     ()
   }
 
@@ -1332,19 +1339,22 @@ object Similarity extends QueryPack {
 
   private val q241Sql = {
     // one Lloyd round as a CTE pair: assignment against codebook `cp`,
-    // then the shift-floor mean update with empty-cluster carry-over
+    // then the shift-floor mean update with empty-cluster carry-over —
+    // trained over xst, the hash-rank training sample
+    // ([[IndexStore.trainN]]'s twin; full-corpus at every committed
+    // SF under the 100k floor)
     def round(cp: String, a: String, u: String, cn: String) =
       s"""$a AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xs.vec_id, xs.sub, c.c,
-                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
-                 FROM xs JOIN $cp c ON c.sub = xs.sub AND c.j = xs.j
+           FROM (SELECT xst.vec_id, xst.sub, c.c,
+                   SUM((xst.x - c.v)*(xst.x - c.v)) AS dd
+                 FROM xst JOIN $cp c ON c.sub = xst.sub AND c.j = xst.j
                  GROUP BY 1, 2, 3) d) WHERE rn = 1),
-         $u AS (SELECT a.sub, a.c, xs.j,
-             (SUM(xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
-           FROM $a a JOIN xs ON xs.vec_id = a.vec_id AND xs.sub = a.sub
+         $u AS (SELECT a.sub, a.c, xst.j,
+             (SUM(xst.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN xst ON xst.vec_id = a.vec_id AND xst.sub = a.sub
            GROUP BY 1, 2, 3),
          $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
            FROM $cp p LEFT JOIN $u u
@@ -1355,11 +1365,15 @@ object Similarity extends QueryPack {
                       unnest(range(0, len(embedding))) AS i
                FROM embeddings)),
        xs AS (SELECT vec_id, dim // 8 AS sub, dim % 8 AS j, x FROM x),
-       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
-           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       srank AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
                CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
                  AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x)) WHERE rn <= 16),
+           FROM (SELECT DISTINCT vec_id FROM x)),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM srank WHERE rn <= 16),
+       tsam AS (SELECT vec_id FROM srank
+         WHERE rn <= (${IndexStore.trainNSql("16")})),
+       xst AS (SELECT xs.vec_id, xs.sub, xs.j, xs.x
+              FROM xs JOIN tsam ON tsam.vec_id = xs.vec_id),
        c0 AS (SELECT xs.sub, s.c, xs.j, xs.x AS v
               FROM seeds s JOIN xs ON xs.vec_id = s.vec_id),
        ${round("c0", "a1", "u1", "c1")},
@@ -2431,11 +2445,13 @@ object Similarity extends QueryPack {
     * from ONE k1-centroid Lloyd chain over the two-subspace frame —
     * machinery and oracle chain identical to q241's PQ.
     */
-  private def imiQuantizer(x: DataFrame, k1: Int, rounds: Int = 2)
-      : (DataFrame, DataFrame) = {
+  private def imiQuantizer(x: DataFrame, k1: Int, rounds: Int = 2,
+      trainNOverride: Long = -1L): (DataFrame, DataFrame) = {
     val xs2 = VectorOps.pqSubspaces(x, subDim = 32)
-    val cent = IndexStore.codebook(xs2, k = k1, rounds = rounds)
-    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = rounds)
+    val cent = IndexStore.codebook(xs2, k = k1, rounds = rounds,
+      trainNOverride = trainNOverride)
+    val halfCodes = IndexStore.codes(xs2, k = k1, rounds = rounds,
+      trainNOverride = trainNOverride)
     val cells = halfCodes.groupBy(col("vec_id"))
       .agg((max(when(col("sub") === 0, col("c"))) * k1 +
         max(when(col("sub") === 1, col("c")))).as("cell"))
@@ -2715,10 +2731,11 @@ object Similarity extends QueryPack {
     * since round 12.
     */
   private[graft] def imiIvfReportBudget(s: SparkSession, d: String,
-      k1: Int, budget: Long, rounds: Int): DataFrame = {
+      k1: Int, budget: Long, rounds: Int,
+      trainNOverride: Long = -1L): DataFrame = {
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
     x.count() // training, membership and ground truth scan it
-    val (cent, cells) = imiQuantizer(x, k1, rounds)
+    val (cent, cells) = imiQuantizer(x, k1, rounds, trainNOverride)
     val route = imiRouteBudget(x, cent, k1, cells, budget)
     imiFlatReport(route, cells, x)
   }
@@ -2784,9 +2801,16 @@ object Similarity extends QueryPack {
     * q258/q260).
     */
   private def imiCtesWith(kkCtes: String, geomCte: String,
-      routeCte: String, rounds: Int): String = {
+      routeCte: String, rounds: Int,
+      trainCut: String = IndexStore.trainNSql("SELECT k1 FROM kk"))
+      : String = {
+    // the Lloyd rounds train over xst — the hash-rank TRAINING SAMPLE
+    // (round 13, [[IndexStore.trainN]]'s twin: `trainCut` rows of the
+    // shared seedrank ordering, so iseeds ⊂ sample by construction) —
+    // while the full-corpus membership (halfc) and the query frame
+    // (hdd) stay over xs2: train on the sample, assign everything
     val chain = (1 to rounds).map(i =>
-      lloydRoundSql("xs2", s"ic${i - 1}", s"ia$i", s"iu$i", s"ic$i"))
+      lloydRoundSql("xst", s"ic${i - 1}", s"ia$i", s"iu$i", s"ic$i"))
       .mkString(",\n       ")
     val icN = s"ic$rounds"
     s"""$kkCtes,
@@ -2802,6 +2826,9 @@ object Similarity extends QueryPack {
              CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
                AS BIGINT), vec_id) AS rn
            FROM (SELECT DISTINCT vec_id FROM x)),
+       tsam AS (SELECT vec_id FROM seedrank WHERE rn <= ($trainCut)),
+       xst AS (SELECT xs2.vec_id, xs2.sub, xs2.j, xs2.x
+              FROM xs2 JOIN tsam ON tsam.vec_id = xs2.vec_id),
        iseeds AS (SELECT vec_id, rn - 1 AS c FROM seedrank
          WHERE rn <= (SELECT k1 FROM kk)),
        ic0 AS (SELECT xs2.sub, s.c, xs2.j, xs2.x AS v
@@ -2857,14 +2884,18 @@ object Similarity extends QueryPack {
     * prefix route over the multi-sequence order, and the trained
     * half codebooks at [[SQRT_ROUNDS]] unrolled Lloyd rounds.
     */
-  private val imiSqrtCtes = imiCtesWith(
+  private val sqrtKkCtes =
     s"""bb AS (SELECT ${IndexStore.bitLenSql} AS bits FROM embeddings),
        kk AS (SELECT CAST(${IndexStore
            .sqrtCellK1Sql("bits", SQRT_K1_FLOOR)} AS BIGINT)
-           AS k1 FROM bb)""",
+           AS k1 FROM bb)"""
+
+  private val sqrtGeomCte =
     s"""bgt AS (SELECT ${IndexStore.scanBudgetSql(
            "SELECT COUNT(*) FROM embeddings",
-           SQRT_SCAN_MULT, SQRT_SCAN_FLOOR)} AS budget)""",
+           SQRT_SCAN_MULT, SQRT_SCAN_FLOOR)} AS budget)"""
+
+  private val sqrtRouteCte =
     """cellsz AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY 1),
        comp AS (SELECT a.qid,
              a.c * (SELECT k1 FROM kk) + b.c AS cell,
@@ -2877,8 +2908,10 @@ object Similarity extends QueryPack {
                ORDER BY c.dd, c.cell
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM comp c LEFT JOIN cellsz z ON z.cell = c.cell)
-         WHERE cum - sz < (SELECT budget FROM bgt))""",
-    rounds = SQRT_ROUNDS)
+         WHERE cum - sz < (SELECT budget FROM bgt))"""
+
+  private val imiSqrtCtes = imiCtesWith(sqrtKkCtes, sqrtGeomCte,
+    sqrtRouteCte, rounds = SQRT_ROUNDS)
 
   /** The exact-ground-truth + report tail shared by the IMI oracles:
     * rank `$served` (qid, cid, dist) to top-5, full-scan exact top-5,
@@ -2961,6 +2994,41 @@ object Similarity extends QueryPack {
   }
 
   private val q258Sql = imiFlatSql(imiSqrtCtes)
+
+  /** q261: SAMPLED-training √n IMI serving (round 13) — q258's exact
+    * machinery (√n composite cells, scan-budget route, SQRT_ROUNDS
+    * Lloyd rounds) with ONE axis changed: the half-space codebooks
+    * train on a deterministic hash-rank SAMPLE instead of the full
+    * corpus — the faiss `max_points_per_centroid` recipe that makes
+    * quantizer training corpus-size-independent
+    * ([[IndexStore.trainN]]; the measured motivation is the sf10
+    * probe: full-corpus Lloyd at the count-scaled budgets is a
+    * ~3.3 B-row assignment join, > 65 min at just 200k vectors —
+    * O(n^1.5) total with k ≈ √n, the pipeline's one remaining 100 TB
+    * blocker). The production families adopt the same rule at its
+    * shipped constants (max(100k, 256·k) — a deliberate no-op below
+    * 100k vectors, so no committed artifact moves); THIS query pins
+    * the rule where it BITES at every gate SF: trainN = max(64,
+    * ⌊n/4⌋), so even the 500-vector corpus trains on a quarter of its
+    * rows and the driver's hash gate proves the sampled chain's
+    * DuckDB twin (the `tsam`/`xst` cut over the shared seedrank
+    * ordering) value-for-value — the same one-axis-differs
+    * relationship q256→q258 and q257→q260 use. Sample determinism:
+    * the cut is a rank predicate over the SAME md5 "pqseed:"
+    * ordering the seeds already use, so seeds ⊂ sample by
+    * construction in both engines.
+    */
+  private def q261ImiSqrtSampled(s: SparkSession,
+      d: String): DataFrame = {
+    val (k1, budget) = imiSqrtGeom(s, d)
+    val tN = math.max(64L, emb(s, d).count() / 4)
+    imiIvfReportBudget(s, d, k1, budget, SQRT_ROUNDS,
+      trainNOverride = tN)
+  }
+
+  private val q261Sql = imiFlatSql(imiCtesWith(sqrtKkCtes, sqrtGeomCte,
+    sqrtRouteCte, rounds = SQRT_ROUNDS,
+    trainCut = "GREATEST(64, (SELECT COUNT(*) FROM embeddings) // 4)"))
 
   /** q259: RANDOM-PARTITION ROUTING CONTROL at q258's exact geometry
     * — the falsifier that makes the √n family's "structure is
@@ -3075,19 +3143,22 @@ object Similarity extends QueryPack {
     */
   private def trainedIvfSql(kkCte: String, seedLimit: String): String = {
     // one Lloyd round (assignment + shift-floor mean update), same
-    // text as q241's but over the single full-space subspace
+    // text as q241's but over the single full-space subspace; the
+    // rounds train over xst — the hash-rank training sample
+    // ([[IndexStore.trainN]]'s twin) — while membership/route/ground
+    // truth stay full-corpus
     def round(cp: String, a: String, u: String, cn: String) =
       s"""$a AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
                ORDER BY d.dd, d.c) AS rn
-           FROM (SELECT xs.vec_id, xs.sub, c.c,
-                   SUM((xs.x - c.v)*(xs.x - c.v)) AS dd
-                 FROM xs JOIN $cp c ON c.sub = xs.sub AND c.j = xs.j
+           FROM (SELECT xst.vec_id, xst.sub, c.c,
+                   SUM((xst.x - c.v)*(xst.x - c.v)) AS dd
+                 FROM xst JOIN $cp c ON c.sub = xst.sub AND c.j = xst.j
                  GROUP BY 1, 2, 3) d) WHERE rn = 1),
-         $u AS (SELECT a.sub, a.c, xs.j,
-             (SUM(xs.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
-           FROM $a a JOIN xs ON xs.vec_id = a.vec_id AND xs.sub = a.sub
+         $u AS (SELECT a.sub, a.c, xst.j,
+             (SUM(xst.x) + COUNT(*) * 2000000) // COUNT(*) - 2000000 AS nv
+           FROM $a a JOIN xst ON xst.vec_id = a.vec_id AND xst.sub = a.sub
            GROUP BY 1, 2, 3),
          $cn AS (SELECT p.sub, p.c, p.j, COALESCE(u.nv, p.v) AS v
            FROM $cp p LEFT JOIN $u u
@@ -3100,12 +3171,16 @@ object Similarity extends QueryPack {
                FROM embeddings)),
        xs AS (SELECT vec_id, dim // $DIM AS sub, dim % $DIM AS j, x
               FROM x),
-       seeds AS (SELECT vec_id, rn - 1 AS c FROM (
-           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       srank AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
                CAST(('0x' || substr(md5('pqseed:' || vec_id), 1, 15))
                  AS BIGINT), vec_id) AS rn
-           FROM (SELECT DISTINCT vec_id FROM x))
+           FROM (SELECT DISTINCT vec_id FROM x)),
+       seeds AS (SELECT vec_id, rn - 1 AS c FROM srank
          WHERE rn <= $seedLimit),
+       tsam AS (SELECT vec_id FROM srank
+         WHERE rn <= (${IndexStore.trainNSql(seedLimit)})),
+       xst AS (SELECT xs.vec_id, xs.sub, xs.j, xs.x
+              FROM xs JOIN tsam ON tsam.vec_id = xs.vec_id),
        c0 AS (SELECT xs.sub, s.c, xs.j, xs.x AS v
               FROM seeds s JOIN xs ON xs.vec_id = s.vec_id),
        ${round("c0", "a1", "u1", "c1")},
@@ -3233,10 +3308,16 @@ object Similarity extends QueryPack {
   private def pqChainSql(xp: String, p: String): String =
     s"""${p}seeds AS (SELECT vec_id, rn - 1 AS c FROM seedrank
          WHERE rn <= (SELECT kpq FROM kpq)),
+       ${p}tsam AS (SELECT vec_id FROM seedrank
+         WHERE rn <= (${IndexStore.trainNSql("SELECT kpq FROM kpq")})),
+       ${p}xpt AS (SELECT $xp.vec_id, $xp.sub, $xp.j, $xp.x
+               FROM $xp JOIN ${p}tsam t ON t.vec_id = $xp.vec_id),
        ${p}c0 AS (SELECT $xp.sub, s.c, $xp.j, $xp.x AS v
                FROM ${p}seeds s JOIN $xp ON $xp.vec_id = s.vec_id),
-       ${lloydRoundSql(xp, s"${p}c0", s"${p}a1", s"${p}u1", s"${p}c1")},
-       ${lloydRoundSql(xp, s"${p}c1", s"${p}a2", s"${p}u2", s"${p}c2")},
+       ${lloydRoundSql(s"${p}xpt",
+         s"${p}c0", s"${p}a1", s"${p}u1", s"${p}c1")},
+       ${lloydRoundSql(s"${p}xpt",
+         s"${p}c1", s"${p}a2", s"${p}u2", s"${p}c2")},
        ${p}codes AS (SELECT vec_id, sub, c FROM (
            SELECT d.vec_id, d.sub, d.c,
              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
@@ -3538,6 +3619,7 @@ object Similarity extends QueryPack {
        ${imiReportTailSql("radc")}"""
 
   override val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_imi_sqrt_sampled" -> q261ImiSqrtSampled,
     "q260_ivfpq_sqrt_refine" -> q260IvfPqSqrtRefine,
     "q259_random_route" -> q259RandomRoute,
     "q258_imi_sqrt" -> q258ImiSqrt,
@@ -3597,6 +3679,7 @@ object Similarity extends QueryPack {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q261_imi_sqrt_sampled" -> materialized(q261Sql),
     "q260_ivfpq_sqrt_refine" -> materialized(q260Sql),
     "q259_random_route" -> materialized(q259Sql),
     "q258_imi_sqrt" -> materialized(q258Sql),

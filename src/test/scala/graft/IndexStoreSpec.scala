@@ -65,6 +65,68 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(isBareScan(IndexStore.codes(xs, k = 16, rounds = 2)))
   }
 
+  test("round-13 gather-argmin assignment equals the historical " +
+      "exploded-join + window rank, bit for bit") {
+    // the legacy plan (round ≤ 12): join every lifted row against all
+    // k centroids, window-rank the n·m·k distance rows — kept here as
+    // the executable spec of the assignment SEMANTICS the new
+    // row-local fold must reproduce exactly (same exact integer
+    // Σ(x−v)², same (dd asc, c asc) tie-break)
+    def legacyAssign(xs: DataFrame, cent: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dist = xs.join(broadcast(cent), Seq("sub", "j"))
+        .groupBy(col("vec_id"), col("sub"), col("c"))
+        .agg(sum((col("x") - col("v")) * (col("x") - col("v"))).as("dd"))
+      dist.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("dd"), col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("c"))
+    }
+    // both the PQ frame (m=8) and the IMI half frame (m=2) — the two
+    // subspace geometries every trained quantizer in the engine uses
+    for (subDim <- Seq(8, 32)) {
+      val xs = VectorOps.pqSubspaces(lifted, subDim = subDim)
+      val cent = VectorOps.pqCodebook(xs, k = 16, rounds = 2)
+      assert(sortedRows(VectorOps.pqAssign(xs, cent)) ===
+        sortedRows(legacyAssign(xs, cent)),
+        s"assignment drift at subDim=$subDim")
+    }
+  }
+
+  test("sampled training: covering sample is bit-identical to full " +
+      "training; biting sample trains exactly on the hash-rank prefix") {
+    val xs = VectorOps.pqSubspaces(lifted, subDim = 8)
+    val full = sortedRows(VectorOps.pqCodebook(xs, k = 16, rounds = 2))
+    // a sample that covers the whole corpus (n=500 < 600) must change
+    // NOTHING — the no-op guarantee the 100k production floor relies
+    // on at every committed SF
+    assert(sortedRows(
+      VectorOps.pqCodebook(xs, k = 16, rounds = 2, trainN = 600L))
+      === full)
+    // a biting sample must equal FULL training run over the sample
+    // frame alone: the sample is a prefix of the "pqseed:" hash-rank
+    // ordering, so seeds (its first k rows) are identical too —
+    // independent derivation of the trainN=125 sample membership
+    val sampleIds = xs.select(col("vec_id")).distinct()
+      .withColumn("h", TextOps.tokenHashReference(
+        concat(lit("pqseed:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(125)
+      .select(col("vec_id"))
+    val xsSample = xs.join(sampleIds, Seq("vec_id"))
+    val sampled = sortedRows(
+      VectorOps.pqCodebook(xs, k = 16, rounds = 2, trainN = 125L))
+    assert(sampled ===
+      sortedRows(VectorOps.pqCodebook(xsSample, k = 16, rounds = 2)))
+    assert(sampled !== full) // 125 of 500: the cut genuinely bites
+    // assignment stays FULL-corpus under a sampled codebook: every
+    // (vector, subspace) of the corpus gets a code
+    val n = lifted.select(col("vec_id")).distinct().count()
+    assert(VectorOps.pqAssign(xs,
+      VectorOps.pqCodebook(xs, k = 16, rounds = 2, trainN = 125L))
+      .count() === n * 8)
+  }
+
   test("sq8 artifact equals the direct quantization") {
     val direct = sortedRows(VectorOps.sq8(lifted))
     assert(sortedRows(IndexStore.sq8Table(lifted)) === direct)

@@ -108,6 +108,25 @@ class KeySpaceScalingSpec extends AnyFunSuite {
     assert(pqBits(200000) === 8 && pqBits(100000000L) === 8)
   }
 
+  test("training-sample rule: full corpus below the 100k floor, " +
+      "256 points per centroid above it") {
+    // the round-13 build-side rule (IndexStore.trainN, the faiss
+    // max_points_per_centroid recipe): every committed oracle-swept
+    // corpus (≤ 20k at sf1) trains FULL — zero artifact churn — while
+    // the sf10 decade (200k) and beyond train on a bounded sample
+    assert(IndexStore.trainN(16) === 100000L) // q241/q251's fixed k
+    assert(IndexStore.trainN(23) === 100000L) // sf10's sqrt-family k1
+    assert(IndexStore.trainN(256) === 100000L) // kpq ceiling: 65536<floor
+    assert(IndexStore.trainN(1024) === 262144L) // k1 clamp: 256·k wins
+    // at the 10¹²-vector horizon the √n-family coarse k1 caps at 1024
+    // → Lloyd frame ≤ 262144 rows FOREVER (the full-corpus path was
+    // O(n·k) per round with k ≈ √n — the measured >65-min sf10 stage)
+    assert(IndexStore.trainN(1024) < 1000000L)
+    // the SQL twin derives the identical value from a mirrored k
+    assert(IndexStore.trainNSql("16") ===
+      s"GREATEST(100000, 256 * (16))")
+  }
+
   test("16-bit band keys masked to 8 bits equal the historical keys") {
     val v = synthVecs(64, 16)
     val mismatches = v.select(
