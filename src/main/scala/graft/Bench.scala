@@ -86,6 +86,31 @@ object Bench {
         if (ok.nonEmpty) ok.min else -1.0,
         runs.collectFirst { case (_, _, Some(e)) => e })
     }
+    // The measured NOISE BAND of this very run (round 13): per-query
+    // relative spread between the sweeps ((max−min)/min over the ok
+    // timings). Every round's ±10% total drift used to be
+    // re-litigated from memory because the artifact of record carried
+    // no variance evidence; now any per-query delta across rounds can
+    // be read against the band the artifact itself measured. Free —
+    // the sweeps already ran.
+    val spreads = sweeps.transpose.flatMap { runs =>
+      val ok = runs.collect { case (_, t, None) => t }
+      if (ok.size >= 2) Some(runs.head._1 -> (ok.max - ok.min) / ok.min)
+      else None
+    }.sortBy(_._2)
+    def pct(p: Double): Double =
+      if (spreads.isEmpty) 0.0
+      else spreads(math.min(spreads.size - 1,
+        (p * spreads.size).toInt))._2
+    val noiseJson =
+      if (spreads.isEmpty) "null"
+      else {
+        val worst = spreads.takeRight(5).reverse
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        s"""{"n":${spreads.size},"median_rel_spread":${f"${pct(0.5)}%.3f"},""" +
+          s""""p90_rel_spread":${f"${pct(0.9)}%.3f"},"worst":$worst}"""
+      }
     // NOTE: caches are deliberately NOT cleared between queries here
     // (unlike Verify): plan-identical relations are legitimately shared
     // across queries (q50/q55 embeddings, q53/q56 ratings) exactly as a
@@ -101,8 +126,16 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    // a filtered run must be self-describing (round-12 ADVICE): the
+    // subset lands in the artifact so a stray SPARK_GRAFT_BENCH_ONLY
+    // in the environment can never masquerade as a full-pack number
+    val provenance =
+      s""""full_pack":${only.isEmpty},"repeats":$repeats""" +
+        (if (only.isEmpty) ""
+         else only.toSeq.sorted
+           .map("\"" + _ + "\"").mkString(""","subset":[""", ",", "]"))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$provenance,"noise":$noiseJson,"queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: at ~200 queries the one-line JSON
     // overflows the driver's stdout-tail capture (BENCH_r05.json came
@@ -122,7 +155,7 @@ object Bench {
       .sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"median_sec":$median,"full":"$out"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec",$provenance,"noise":$noiseJson,"queries":$slowest,"sf":"$sfDir","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"median_sec":$median,"full":"$out"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

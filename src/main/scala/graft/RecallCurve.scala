@@ -91,8 +91,32 @@ object RecallCurve {
           s""""n_scanned_avg":${f(r.getAs[Double]("s"))},""" +
           s""""n_queries":${r.getAs[Long]("n")}}"""
       }
+      // the √n family ALSO sweeps its SHIPPED probe rule directly
+      // (round-12 ADVICE): budget multiples around the shipped
+      // SQRT_SCAN_MULT=4, through the same scan-budget route q258
+      // ships — so the knee claim is supported at the rule itself,
+      // not only via the nprobe-to-scanned mapping of the rank route
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val budgetRows = Seq(1, 2, 4, 8).map { mult =>
+        val budget = graft.ops.IndexStore.scanBudget(n, mult,
+          Similarity.SQRT_SCAN_FLOOR)
+        val r = Similarity.imiIvfReportBudget(spark, dir, k1s, budget,
+          Similarity.SQRT_ROUNDS).agg(
+          (avg(col("n_hits")) / 5.0).as("r"),
+          avg(col("n_scanned")).as("s"),
+          count(lit(1)).as("n")).head()
+        System.err.println(s"[curve] $arm $dir imi_sqrt_budget " +
+          s"k1=$k1s mult=$mult budget=$budget " +
+          s"recall=${f(r.getAs[Double]("r"))} " +
+          s"scanned=${f(r.getAs[Double]("s"))}")
+        s"""{"family":"imi_sqrt_budget","k1":$k1s,""" +
+          s""""budget_mult":$mult,"scan_budget":$budget,""" +
+          s""""recall_at_5":${f(r.getAs[Double]("r"))},""" +
+          s""""n_scanned_avg":${f(r.getAs[Double]("s"))},""" +
+          s""""n_queries":${r.getAs[Long]("n")}}"""
+      }
       s""""$dir":{"k1":$k1,"cells":$cells,"k1_sqrt":$k1s,""" +
-        s""""points":[${rows.mkString(",")}]}"""
+        s""""points":[${(rows ++ budgetRows).mkString(",")}]}"""
     }
     val perCorpus = Seq("uniform" -> sfDirs, "clustered" -> clusteredDirs)
       .filter(_._2.nonEmpty)

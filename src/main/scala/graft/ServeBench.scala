@@ -145,10 +145,11 @@ object ServeBench {
       * WARM_QID call), return (min, p50, max, recall@5, meanScanned).
       */
     def family(serve: Long => Array[Long], truth: Map[Long, Seq[Long]],
-        scanned: Long => Long): (Double, Double, Double, Double, Double) = {
+        scanned: Long => Long, reps: Int = repeats)
+        : (Double, Double, Double, Double, Double) = {
       serve(WARM_QID) // codegen/exchange warm-up OUTSIDE the timed set
       val perQid = QIDS.map { qid =>
-        val lat = (1 to repeats).map { _ =>
+        val lat = (1 to reps).map { _ =>
           val t = System.nanoTime()
           val got = serve(qid)
           val ms = (System.nanoTime() - t) / 1e6
@@ -530,7 +531,7 @@ object ServeBench {
           .select(col("vec_id"))
         val qv = qe6(qid).map(_.toDouble)
         val qn2 = qe6(qid).map(v => v * v).sum
-        shortlist
+        broadcast(shortlist)
           .join(membersTbl.filter(col("cell").isin(probed: _*)),
             Seq("vec_id"))
           .select(col("vec_id"),
@@ -573,8 +574,13 @@ object ServeBench {
       val rIvf = family(serveIvf, truthL2, scannedIvf)
       val rSqrt = family(serveSqrt, truthL2, scannedSqrt)
       val rPq = family(servePq, truthL2, scannedIvf)
-      val rRef = family(serveRefine, truthL2, scannedIvf)
-      val rRefS = family(serveRefineSqrt, truthL2, scannedSqrt)
+      // the refine families run extra repeats (round 13): their
+      // two-stage job is the longest serving path, so a single
+      // straggler repeat polluted the p50 trend read (SERVE_r12's
+      // non-monotone 310 ms sf0.1-uniform spike)
+      val refReps = math.max(repeats, 5)
+      val rRef = family(serveRefine, truthL2, scannedIvf, refReps)
+      val rRefS = family(serveRefineSqrt, truthL2, scannedSqrt, refReps)
       val rLsh = family(serveLsh, truthCos, scannedLsh)
       System.err.println(s"[serve] $arm $dir k1=$k1 nprobe=$nprobe " +
         s"k1s=$k1s budgetS=$budgetS kpq=$kPq " +

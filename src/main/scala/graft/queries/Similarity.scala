@@ -3049,7 +3049,17 @@ object Similarity extends QueryPack {
     val (k1, budget) = imiSqrtGeom(s, d)
     val cells = (k1 * k1).toLong
     val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // members, route and ground truth all scan it
+    val n = x.select(col("vec_id")).distinct().count()
+    // walk-length cap (round 13): the control's probe walk no longer
+    // explodes all k1² cells per query (quadratic-in-k1 routing work
+    // at the 1024 clamp) — it stops at 64·(1 + ⌊budget·cells/n⌋)
+    // consecutive hash cells, a ≥ 64× margin over the expected number
+    // needed to reach the budget under the hash-uniform placement.
+    // MIRRORED in the oracle (identical integer arithmetic), so the
+    // two engines agree even in the astronomically unlikely tail
+    // where the cap undercuts the budget. No-op at every committed
+    // gate SF (cap ≥ cells there).
+    val walkCap = math.min(cells, 64L * (1L + budget * cells / n))
     val arrs = e6Arrays(x)
     def cellOf(tag: String, id: org.apache.spark.sql.Column) =
       pmod(graft.ops.TextOps.tokenHash(
@@ -3070,7 +3080,7 @@ object Similarity extends QueryPack {
         org.apache.spark.sql.expressions.Window.currentRow)
     val route = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
-        explode(sequence(lit(0L), lit(cells - 1L))).as("i"))
+        explode(sequence(lit(0L), lit(walkCap - 1L))).as("i"))
       .select(col("qid"), col("i"),
         pmod(cellOf("ctrlprobe", col("qid")) + col("i"), lit(cells))
           .as("cell"))
@@ -3118,7 +3128,10 @@ object Similarity extends QueryPack {
              % (SELECT k1 * k1 FROM kk) AS cell
          FROM (SELECT DISTINCT vec_id FROM x) q
          CROSS JOIN (SELECT unnest(range(0,
-           (SELECT k1 * k1 FROM kk))) AS i) i
+           LEAST((SELECT k1 * k1 FROM kk),
+             64 * (1 + ((SELECT budget FROM bgt) *
+               (SELECT k1 * k1 FROM kk))
+               // (SELECT COUNT(*) FROM embeddings))))) AS i) i
          WHERE q.vec_id < 20),
        route AS (SELECT qid, cell FROM (
            SELECT w.qid, w.cell, COALESCE(z.sz, 0) AS sz,
@@ -3514,10 +3527,17 @@ object Similarity extends QueryPack {
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
-    val refined = shortlist
+    // BROADCAST-shortlist gather (round 13): the shortlist is ≤
+    // 20 queries × R rows BY CONSTRUCTION (a per-query top-R), so the
+    // raw-vector re-rank is one broadcast-filtered pass over the
+    // member arrays plus a broadcast join of the ≤ 20 query vectors —
+    // without the hints both joins shuffled the FULL array table on
+    // cid, the one residual cost the serving-latency stretch measured
+    // (ivfpq_refine_sqrt p50 237 ms vs the ~150 ms target at sf1)
+    val refined = broadcast(shortlist)
       .join(arrs.select(col("vec_id").as("cid"), col("v").as("cv"),
         col("n2").as("cn2")), Seq("cid"))
-      .join(qv, Seq("qid"))
+      .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("cid"),
         (col("qn2") + col("cn2") -
           lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
