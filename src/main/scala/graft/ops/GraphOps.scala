@@ -139,13 +139,25 @@ object GraphOps {
       edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Symmetrize by EXPLODING both directions from each edge row
+    // instead of a self-union: a union doubles the partition count of
+    // the cached edge list (every per-iteration stage then pays 2x the
+    // task overhead forever), while the explode keeps the upstream
+    // partitioning and emits the identical rows. Degrees come from a
+    // window over the same u-partitioning rather than a groupBy +
+    // join-back, so the cached edge list is produced by ONE exchange
+    // (hash on u) and every iteration's join on u can reuse that
+    // partitioning — same rows, same exact integer math.
     val dir = edges
-      .select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
-      .union(edges
-        .select(col(dst).as("u"), col(src).as("v"), col(weight).as("w")))
-    val wdeg = dir.groupBy(col("u"))
-      .agg(sum(col("w")).as("wdeg"))
-    val e = dir.join(wdeg, "u").cache()
+      .select(explode(array(
+        struct(col(src).as("u"), col(dst).as("v"), col(weight).as("w")),
+        struct(col(dst).as("u"), col(src).as("v"), col(weight).as("w"))))
+        .as("de"))
+      .select(col("de.u").as("u"), col("de.v").as("v"), col("de.w").as("w"))
+    val e = dir
+      .withColumn("wdeg", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      .cache()
     e.count()
     var scores = e.select(col("u")).distinct()
       .select(col("u"), lit(1000000000L).as("score"))

@@ -516,7 +516,18 @@ object Corpus extends QueryPack {
     */
   private def q101Textrank(s: SparkSession, d: String): DataFrame = {
     import graft.ops.GraphOps
-    val tok = positionedTokens(docs(s, d)).cache()
+    // Hash-partition the exploded tokens by doc_id BEFORE caching:
+    // both sides of the windowCooccurrence equi-join derive from this
+    // cache, so its (doc_id)-partitioning satisfies the join's
+    // (doc_id, pos2) requirement on a key subset and the join runs
+    // with ZERO exchanges at whatever parallelism the shuffle gave it
+    // — instead of single-threaded over the one cached scan partition
+    // (small-SF parquet is one row group) plus two token-level
+    // exchanges at scale. Keyed repartition (not a constant N): the
+    // partition count follows spark.sql.shuffle.partitions/AQE, so
+    // the same code is right at any scale.
+    val tok = positionedTokens(docs(s, d))
+      .repartition(col("doc_id")).cache()
     tok.count()
     val pairs = windowCooccurrence(tok, textrankWindow)
     val ranked = GraphOps.weightedPageRank(pairs, "w1", "w2", "w", iters = 3)

@@ -66,4 +66,54 @@ class RerankSpec extends AnyFunSuite {
       .count()
     assert(differs > 0, "MMR never diverged from plain top-5: vacuous")
   }
+
+  // Round-13 rewrite pin: mmrExact now computes the greedy trajectory
+  // over per-query collected arrays (one job) instead of a k-round
+  // dataframe loop. Same math, so it must match a brute-force driver
+  // reference row for row — including score ties (argmax by score desc,
+  // cid asc), missing pair rows (max_sim -> 0), and k > |candidates|
+  // (ranks simply stop).
+  test("mmrExact equals brute-force greedy reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val k = 4; val ln = 1L; val ld = 2L
+    val qids = 0L until 5L
+    val cands = qids.flatMap { q =>
+      val n = 1 + rnd.nextInt(7)
+      (0 until n).map(i => (q, i.toLong * 7 % 13,
+        rnd.nextInt(5).toLong * 100)) // coarse rels force score ties
+    }.distinct
+    val sims = for {
+      q <- qids; (q1, c1, _) <- cands if q1 == q
+      (q2, c2, _) <- cands if q2 == q && c1 != c2
+      if rnd.nextBoolean() // drop some pairs: exercises max_sim -> 0
+    } yield (q, c1, c2, rnd.nextInt(300).toLong)
+    val candDf = cands.toDF("qid", "cid", "rel")
+    val simDf = (sims ++ sims.map(s => (s._1, s._3, s._2, s._4)))
+      .distinct.toDF("qid", "cid1", "cid2", "sim")
+    val got = graft.ops.RerankOps.mmrExact(candDf, simDf, k, ln, ld)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // driver-side reference
+    val simMap = (sims ++ sims.map(s => (s._1, s._3, s._2, s._4)))
+      .map(s => (s._1, s._2, s._3) -> s._4).toMap
+    val want = qids.flatMap { q =>
+      val cs = cands.filter(_._1 == q).map(c => (c._2, c._3)).sortBy(_._1)
+      var sel = Vector.empty[(Long, Long, Long, Long)] // rank,cid,rel,mmr
+      for (rank <- 1 to k if sel.size == rank - 1) {
+        val rem = cs.filterNot(c => sel.exists(_._2 == c._1))
+        if (rem.nonEmpty) {
+          val scored = rem.map { case (cid, rel) =>
+            val matches = sel.flatMap(s => simMap.get((q, cid, s._2)))
+            val ms = if (matches.isEmpty) 0L else matches.max
+            (cid, rel, ln * rel - (ld - ln) * ms)
+          }
+          val best = scored.minBy { case (cid, _, sc) => (-sc, cid) }
+          sel :+= ((rank.toLong, best._1, best._2, best._3))
+        }
+      }
+      sel.map(s => (q, s._1, s._2, s._3, s._4))
+    }
+    assert(got.sorted === want.sorted)
+  }
 }
