@@ -134,13 +134,31 @@ object CurationOps {
           coalesce(col("comp"), col("doc_id")).as("comp"))
     }
 
+  /** Scale-adaptive compute spread (round 13, guide §2): the
+    * tokenize→shingle→hash chains inherit the scan's partitioning,
+    * and a small corpus (single-row-group parquet) scans as ONE task,
+    * so the pack's heaviest per-row arithmetic ran single-core
+    * (StageProfile: the [[materialize]] counts were 1-2-task stages
+    * of 2-4.5 s pure CPU at sf0.1). When — and only when — the input
+    * carries fewer partitions than the session's parallelism,
+    * hash-repartition by doc id before the per-row work; at scale the
+    * scan already has ≥ cores partitions and this is the identity, so
+    * no exchange is ever added to a large scan. Keyed (no constant):
+    * the partition count follows spark.sql.shuffle.partitions/AQE.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(col("doc_id"))
+    else df
+  }
+
   /** doc_id + shingles + 31-bit shingle-hash array, as chained
     * projections (each array column materialized once per row;
     * CollapseProject keeps the md5 work single-evaluation because the
     * arrays are non-cheap and multiply referenced downstream).
     */
   def shingleHashed(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    spread(docs)
       .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), DedupOps.shingles(col("toks")).as("sh"))
       .select(col("doc_id"), col("sh"),
@@ -745,7 +763,7 @@ object CurationOps {
       textCol: String): DataFrame = {
     // chained projections: toks materialized as an attribute before
     // the HOF lambda references it (HOF lambdas get no CSE)
-    val kgs = docs
+    val kgs = spread(docs)
       .select(col("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         // sequence(0, n-k) DESCENDS when n<k (step defaults to -1) —

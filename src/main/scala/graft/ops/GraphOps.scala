@@ -73,14 +73,19 @@ object GraphOps {
         .filter(col("u") =!= col("v"))
         .distinct()
 
+    // LAZY checkpoints: the sig() aggregate right below is the round's
+    // one materializing action, so an eager localCheckpoint would run
+    // a second full job per round for nothing (round 13 — the CC loop
+    // is job-count-bound on small graphs, and at scale the saved job
+    // is a saved full pass over the edge set)
     var cur = canon(edges.select(
         col(src).cast("long").as("u"), col(dst).cast("long").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var curSig = sig(cur)
-    var converged = cur.isEmpty
+    var converged = curSig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
       val nextSig = sig(next)
       // checksum gate first (one aggregate), exact set equality to
       // confirm — stopping early on a collision would emit wrong
@@ -212,11 +217,14 @@ object GraphOps {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val base = edges.select(
       col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+    // LAZY checkpoints — the count() below materializes each round's
+    // edge set; an eager checkpoint would double every round's jobs
+    // (same reasoning as [[connectedComponentsRounds]])
     var cur = base
       .union(base.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var n = cur.count()
     var converged = n == 0L
     var it = 0
@@ -229,7 +237,7 @@ object GraphOps {
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val m = next.count()
       converged = m == n
       cur = next

@@ -158,9 +158,25 @@ object VectorOps {
     */
   def liftE6(df: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String): org.apache.spark.sql.DataFrame =
+    // Hash-partitioned by the vector id (round 13, guide §2): nearly
+    // every consumer of the lifted frame aggregates or joins on the
+    // id (codebook training, code assembly, ground-truth arrays), so
+    // the keyed exchange here is the SAME shuffle those consumers
+    // would each pay — established once, reused downstream — while a
+    // small corpus (single-row-group parquet → one scan task) gets
+    // its per-row lift arithmetic spread across the cluster instead
+    // of one core. Keyed, no constant: the partition count follows
+    // spark.sql.shuffle.partitions/AQE at any scale. Query-side
+    // consumers that filter to the bounded query ids still prune
+    // BEFORE the exchange (deterministic predicates push through a
+    // RepartitionByExpression). This is also the ONE canonical lift
+    // plan — IndexStore artifact keys hash the analyzed plan, so the
+    // repartition must live here, not in per-caller wrappers, or the
+    // same codebook would train once per distinct caller plan.
     df.select(col(idCol), posexplode(toDouble(col(vecCol))))
       .select(col(idCol), col("pos").cast("long").as("dim"),
         round(col("col") * lit(1000000L)).cast("long").as("x"))
+      .repartition(col(idCol))
 
   /** SQ8 scalar quantization over a lifted (id, dim, x) frame: joins
     * the per-dimension [min,max] (a |dims|-row broadcast), derives the

@@ -565,11 +565,20 @@ object Analytics extends QueryPack {
     // driver action serializing a job before the join
     val nBaskets = baskets
       .agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    // pinned: itemSup feeds the prune join AND both rule-direction
+    // broadcasts (supA/supB) — unpinned, the groupBy over baskets
+    // re-ran once per reference (StageProfile: 4 identical stages)
     val itemSup = baskets.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minsup) // Apriori prune
+      .cache()
+    itemSup.count()
+    // pinned: both sides of the pair self-join read it — unpinned,
+    // the prune join executed once per side
     val frequent = baskets.join(broadcast(itemSup.select(col("l_partkey"))),
       Seq("l_partkey"))
+      .cache()
+    frequent.count()
     val pairSup = frequent.as("a")
       .join(frequent.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -178,12 +178,24 @@ object Multimodal extends QueryPack {
   private def q157PhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val twinOffset = 10000000L
-    val base = MultimodalOps.synthesizeMedia(assets(s, d))
+    // pinned: base feeds BOTH the corpus union and the twin transcode —
+    // uncached, every PNG was codec-encoded twice (once per consumer of
+    // the synthesized lineage); the cache bounds encodeOne to exactly
+    // one run per asset (round 13; codec work is the query's measured
+    // floor — 60 s of task CPU at sf0.1)
+    val base = MultimodalOps.synthesizeMedia(assets(s, d)).cache()
+    base.count()
     val twins = MultimodalOps
       .transcode(base.filter(_.format == "png"), "jpeg")
       .map(a => a.copy(doc_id = a.doc_id + twinOffset))
+    // The union doubles the cached partition count (base 32 + twins
+    // 32) and every consumer groups or joins on phash — re-key the
+    // tiny hash table once so the class aggregate, the star join and
+    // the per-doc join all reuse ONE hash(phash) partitioning instead
+    // of 64-task stages per consumer (round 13, guide §2.4; keyed, no
+    // constant)
     val hashes = MultimodalOps.perceptualHashes(base.union(twins))
-      .toDF().cache()
+      .toDF().repartition(col("phash")).cache()
     hashes.count() // materialize before reuse (design rule 8)
     val classes = hashes.groupBy(col("phash"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("class_size"))
@@ -207,15 +219,28 @@ object Multimodal extends QueryPack {
       .distinct()
       .filter(col("hamming") <= 6)
       .select(col("d1"), col("d2"))
-    val stars = hashes.join(classes, "phash")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("d1"), col("doc_id").as("d2"))
+    // CC over the REP graph only (round 13, guide §1.2 — shrink the
+    // iterated set): the member→rep "stars" are a star forest BY
+    // CONSTRUCTION (rep = min doc_id of its hash class), so feeding
+    // them through the alternating-star loop only inflated every
+    // round's edge set by the member count. Contract the class edges
+    // alone — a graph bounded by #distinct hashes with a Hamming
+    // neighbor — and attach members afterwards with ONE join.
+    // Identical labels: a component's minimum is always one of its
+    // reps (each rep is ≤ every member of its class), so
+    // comp(member) = comp(rep), and a rep absent from the rep graph
+    // keeps itself — exactly what the star edges used to propagate.
     val comp = graft.ops.GraphOps.connectedComponents(
-      classEdges.unionByName(stars), "d1", "d2")
+      classEdges, "d1", "d2")
+    // pinned: perDoc feeds the output AND both sides of the twin
+    // check (3 references — unpinned, the join tree and the component
+    // labels re-derive per reference)
     val perDoc = hashes.join(classes, "phash")
-      .join(comp, col("doc_id") === col("id"), "left")
+      .join(comp, col("rep") === col("id"), "left")
       .select(col("doc_id"), col("format"), col("phash"),
-        col("class_size"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        col("class_size"), coalesce(col("comp"), col("rep")).as("comp"))
+      .cache()
+    perDoc.count()
     // twin recall: every (png, jpeg-twin) pair shares a component
     val twinCheck = perDoc.filter(col("doc_id") >= twinOffset)
       .select((col("doc_id") - twinOffset).as("orig_id"),

@@ -2519,15 +2519,45 @@ object Similarity extends QueryPack {
       .select(col("qid"), col("cell"))
   }
 
+  /** cache() + count(): pin a relation the report chain references
+    * more than once. Round-13 measurement (StageProfile, warm q260):
+    * every multiply-referenced frame in the serving tail — the route,
+    * the ADC candidates, the ground-truth arrays — was re-derived per
+    * AQE stage reference (the same 1.18 MB lifted-frame scan appeared
+    * 14× in one query, 46× cold), because Spark only reuses
+    * *exchanges*, not arbitrary subtrees. At 100 TB re-deriving a
+    * routed scan per consumer is strictly worse than pinning a
+    * bounded frame (these are all ≤ corpus-row-count, most are
+    * queries×probes). Eager count per the repo's design rule 8: two
+    * concurrent AQE stage scans race an unmaterialized cache and both
+    * recompute.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    c.count()
+    c
+  }
+
+  /** The lifted e6 frame, pinned — shared entry for the
+    * trained-quantizer family (vec_id-partitioned by [[VectorOps
+    * .liftE6]] itself, so training, membership and ground truth all
+    * run at full parallelism and groupBy(vec_id) consumers reuse the
+    * partitioning).
+    */
+  private def liftedX(s: SparkSession, d: String): DataFrame =
+    pin(VectorOps.liftE6(emb(s, d), "vec_id", "embedding"))
+
   /** Reassembled double arrays + squared norms off the lifted frame —
-    * the exact-ground-truth projection every trained-IVF report scans.
+    * the exact-ground-truth projection every trained-IVF report scans
+    * (several times per report: query vectors, candidate members,
+    * exact top-5 — pinned, see [[pin]]).
     */
   private def e6Arrays(x: DataFrame): DataFrame =
-    x.groupBy(col("vec_id"))
+    pin(x.groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("x")))),
         t => t.getField("x").cast("double")).as("v"))
-      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long")))
 
   /** Assemble the (qid, n_scanned, n_hits) serving report shared by
     * the whole trained-IVF family: rank the served candidates
@@ -2602,8 +2632,7 @@ object Similarity extends QueryPack {
     */
   private def trainedIvfReport(s: SparkSession, d: String,
       k: Int): DataFrame = {
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // codebook training, membership and ground truth scan it
+    val x = liftedX(s, d)
     val xs = VectorOps.pqSubspaces(x, subDim = DIM) // one subspace
     // the trained coarse quantizer and its membership table are
     // standing artifacts ([[IndexStore]]): Lloyd runs once per corpus
@@ -2621,24 +2650,22 @@ object Similarity extends QueryPack {
           .as("dd")),
       Seq(col("qid")), Seq(col("dd").asc, col("c").asc), 2)
       .select(col("qid"), col("c"))
-    val arrs = x.groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("x")))),
-        t => t.getField("x").cast("double")).as("v"))
-      .withColumn("n2", VectorOps.dot(col("v"), col("v")).cast("long"))
+    // arrs feeds the query vectors, the member scan and the exact
+    // top-5; scanned is both ranked and counted — pinned (see [[pin]])
+    val arrs = e6Arrays(x)
     val qv = arrs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"))
     val members = cells.join(arrs, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("c"), col("v").as("cv"),
         col("n2").as("cn2"))
-    val scanned = route.join(qv, Seq("qid"))
+    val scanned = pin(route.join(qv, Seq("qid"))
       .join(members, Seq("c"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         (col("qn2") + col("cn2") -
           lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
-          .as("dist"))
+          .as("dist")))
     val nScanned = scanned.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_scanned"))
     val ivfTop = TopKOps.topKPerGroup(scanned, Seq(col("qid")),
@@ -2720,8 +2747,7 @@ object Similarity extends QueryPack {
     */
   private[graft] def imiIvfReportAtR(s: SparkSession, d: String,
       k1: Int, nprobe: Int, rounds: Int): DataFrame = {
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // training, membership and ground truth scan it
+    val x = liftedX(s, d)
     val (cent, cells) = imiQuantizer(x, k1, rounds)
     val route = imiRoute(x, cent, k1, nprobe)
     imiFlatReport(route, cells, x)
@@ -2733,9 +2759,11 @@ object Similarity extends QueryPack {
   private[graft] def imiIvfReportBudget(s: SparkSession, d: String,
       k1: Int, budget: Long, rounds: Int,
       trainNOverride: Long = -1L): DataFrame = {
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // training, membership and ground truth scan it
-    val (cent, cells) = imiQuantizer(x, k1, rounds, trainNOverride)
+    val x = liftedX(s, d)
+    // pinned: membership feeds the budget route's occupancy sizes AND
+    // the member scan (see [[pin]])
+    val (cent, cellsRaw) = imiQuantizer(x, k1, rounds, trainNOverride)
+    val cells = pin(cellsRaw)
     val route = imiRouteBudget(x, cent, k1, cells, budget)
     imiFlatReport(route, cells, x)
   }
@@ -2759,7 +2787,8 @@ object Similarity extends QueryPack {
         (col("qn2") + col("cn2") -
           lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
           .as("dist"))
-    ivfServingReport(scored, arrs)
+    // pinned: the report ranks it AND counts it (see [[pin]])
+    ivfServingReport(pin(scored), arrs)
   }
 
   /** One DuckDB Lloyd round (assignment + shift-floor mean update)
@@ -3048,7 +3077,7 @@ object Similarity extends QueryPack {
   private def q259RandomRoute(s: SparkSession, d: String): DataFrame = {
     val (k1, budget) = imiSqrtGeom(s, d)
     val cells = (k1 * k1).toLong
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
+    val x = liftedX(s, d)
     val n = x.select(col("vec_id")).distinct().count()
     // walk-length cap (round 13): the control's probe walk no longer
     // explodes all k1² cells per query (quadratic-in-k1 routing work
@@ -3099,7 +3128,8 @@ object Similarity extends QueryPack {
         (col("qn2") + col("cn2") -
           lit(2L) * VectorOps.dot(col("qv"), col("cv")).cast("long"))
           .as("dist"))
-    ivfServingReport(scored, arrs)
+    // pinned: the report ranks it AND counts it (see [[pin]])
+    ivfServingReport(pin(scored), arrs)
   }
 
   private val q259Sql = {
@@ -3281,8 +3311,7 @@ object Similarity extends QueryPack {
     */
   private[graft] def imiPqReportAt(s: SparkSession, d: String,
       k1: Int, nprobe: Int): DataFrame = {
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // ground truth and both query frames scan it
+    val x = liftedX(s, d)
     // the four standing index artifacts (all IndexStore-persisted);
     // the PQ code budget is COUNT-SCALED ([[pqK]]: 16 at the shipped
     // SFs, 64 at synthetic sf1, 256 past ~131k vectors)
@@ -3308,7 +3337,8 @@ object Similarity extends QueryPack {
       .join(broadcast(tab), Seq("qid", "sub", "c"))
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("dd")).as("dist"))
-    ivfServingReport(adc, e6Arrays(x))
+    // pinned: the report ranks it AND counts it (see [[pin]])
+    ivfServingReport(pin(adc), e6Arrays(x))
   }
 
   /** The m=8 PQ Lloyd chain + per-query ADC tables, shared by the
@@ -3443,14 +3473,18 @@ object Similarity extends QueryPack {
       rounds: Int,
       routeOf: (DataFrame, DataFrame, DataFrame) => DataFrame)
       : (DataFrame, DataFrame) = {
-    val x = VectorOps.liftE6(emb(s, d), "vec_id", "embedding").cache()
-    x.count() // residual build, query frames and ground truth scan it
+    val x = liftedX(s, d)
     val kq = pqK(s, d) // count-scaled PQ code budget
-    val (cent, cells) = imiQuantizer(x, k1, rounds)
+    val (cent, cellsRaw) = imiQuantizer(x, k1, rounds)
+    // pinned: membership feeds the route's occupancy sizes AND the
+    // candidate join; the route feeds the per-cell residual tables AND
+    // the candidate join (see [[pin]] — each reference re-derived the
+    // whole trained chain before round 13)
+    val cells = pin(cellsRaw)
     val rxs = imiResidualSubspaces(s, d, k1, rounds)
     val rCent = IndexStore.codebook(rxs, k = kq, rounds = 2)
     val rCodes = IndexStore.codes(rxs, k = kq, rounds = 2)
-    val route = routeOf(x, cent, cells)
+    val route = pin(routeOf(x, cent, cells))
     // per-(query, probed cell) residual → per-cell ADC table: the
     // probed composite cell decomposes into its two half codes
     // (cell div k1, cell mod k1), each resolving its own half-space
@@ -3478,7 +3512,9 @@ object Similarity extends QueryPack {
       .join(broadcast(tab), Seq("qid", "cell", "sub", "c"))
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("dd")).as("dist"))
-    (adc, e6Arrays(x))
+    // pinned: q255 ranks it AND counts it; q257/q260 shortlist it AND
+    // count it (queries × scanned rows — bounded)
+    (pin(adc), e6Arrays(x))
   }
 
   /** Exact-refine shortlist size for q257: the top-R ADC candidates
