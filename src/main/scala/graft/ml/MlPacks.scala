@@ -193,9 +193,25 @@ object MlPacks extends QueryPack {
       new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)))
     val model = pipe.fit(docs)
+    // Spread the TRANSFORM input, not the fit input (round 13, guide
+    // §2): the documents scan is one task (single-row-group parquet),
+    // so tokenize→shingle→vectorize→minhash and the LSH self-join all
+    // ran on one core (StageProfile: every q54 stage was 1 task; the
+    // transform+count and join stages alone were ~2.7 s single-task).
+    // The fit keeps the ORIGINAL partitioning because
+    // CountVectorizer's vocabulary is ordered by count with ties
+    // broken by encounter order — repartitioning the fit input could
+    // permute tied vocabulary indices and change which candidate
+    // pairs the MinHash buckets emit. model.transform is per-row and
+    // partitioning-invariant, so spreading it is result-identical.
+    val spreadDocs =
+      if (docs.rdd.getNumPartitions <
+          s.sparkContext.defaultParallelism)
+        docs.repartition(col("doc_id"))
+      else docs
     // cache: approxSimilarityJoin scans both sides, which would re-run
     // tokenize→shingle→vectorize→minhash twice without it
-    val tx = model.transform(docs)
+    val tx = model.transform(spreadDocs)
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("features"), col("hashes"))
       .cache()

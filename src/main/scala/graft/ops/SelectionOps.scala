@@ -160,7 +160,23 @@ object SelectionOps {
     // and handing it the raw tokens(text) EXPRESSION re-tokenizes the
     // document per element_at — O(shingles·n) tokenizations per row
     // (measured 19 s vs 0.5 s for the corpus scan at sf0.1)
-    val sh = docs
+    // Scale-adaptive compute spread (round 13, guide §2 — the same
+    // rule as CurationOps): a single-row-group corpus scans as one
+    // task, so every greedy round's groupBy scanned the cached
+    // (doc, shingle) relation single-core (StageProfile: 1-task
+    // 0.7 s stages per round). Spread by doc id only when the input
+    // has fewer partitions than the session parallelism — identity at
+    // scale, and groupBy(id) consumers reuse the keyed partitioning.
+    // (spread the RAW docs, not the exploded shingles — a repartition
+    // placed after the explode leaves the tokenize+shingle work on the
+    // single upstream scan task; placed here, the exchange moves cheap
+    // raw rows and the per-row work runs on the keyed side)
+    val docsSpread =
+      if (docs.rdd.getNumPartitions <
+          docs.sparkSession.sparkContext.defaultParallelism)
+        docs.repartition(col(idCol))
+      else docs
+    val sh = docsSpread
       .select(col(idCol).cast("long").as("id"),
         TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(DedupOps.shingles(col("toks"), n)).as("sh"))

@@ -45,10 +45,25 @@ object SemanticOps {
     retained.clear()
   }
 
+  /** Scale-adaptive compute spread (round 13, guide §2 — the same
+    * rule as CurationOps): a small embeddings table scans as ONE task
+    * (single-row-group parquet), so the per-row norm and the 4×16
+    * hyperplane-sign band keys all ran single-core (StageProfile:
+    * q208's banding stage was 1 task / 1.35 s CPU). Repartition by the
+    * row id only when the input carries fewer partitions than the
+    * session parallelism — at scale this is the identity, and the
+    * partition count follows spark.sql.shuffle.partitions/AQE.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(col(idCol))
+    else df
+  }
+
   /** (vec_id, v DOUBLE[], nrm) — the shared normalized projection. */
   def normalized(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    emb
+    spread(emb, idCol)
       .select(col(idCol).as("vec_id"),
         VectorOps.toDouble(col(vecCol)).as("v"))
       .select(col("vec_id"), col("v"),
